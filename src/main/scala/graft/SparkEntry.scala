@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{AnalyticsQueries, PipelineQueries, ReferenceQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * entry implements.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's end-to-end hostgroup/threshold pipeline
+    * (/root/reference/main.go:212-444) on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ReferenceQueries.qThresholds(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ReferenceQueries.queries ++ AnalyticsQueries.queries ++ PipelineQueries.queries
+
+  /** DuckDB-equivalent SQL per query (driver correctness gate). */
+  def oracleSql: Map[String, String] =
+    ReferenceQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.IpFunctions
+import graft.functions.IpFunctions.Cidr
+
+/** Traffic-baseline computation — the reference's whole purpose
+  * (/root/reference/main.go:212-444) re-expressed as one declarative
+  * Spark plan instead of a per-network query loop:
+  *
+  *   reference: for each CIDR -> one ClickHouse query (window filter +
+  *              range predicate + 26 avg/max aggregates) -> driver-side
+  *              govaluate threshold math -> hostgroup row
+  *   graft:     one scan -> network assignment (codegen'd range checks
+  *              on a long, no join) -> single hash aggregation over all
+  *              networks at once -> threshold Columns -> hostgroup rows
+  *
+  * At 100 TB the reference's loop is N full scans; this is one scan and
+  * one shuffle keyed by network (partial aggregation collapses rows
+  * map-side, so shuffle volume is O(networks × metrics), not O(rows)).
+  */
+object Baseline {
+
+  /** One threshold rule: reference config fields like
+    * `incoming_packet_expression = "value * 2"` (main.go:41-46).
+    * `divisor` covers the bits→mbps conversion (main.go:398).
+    */
+  final case class ThresholdRule(
+      metric: String,
+      expression: String,
+      outName: String,
+      divisor: Long = 1L)
+
+  /** The engine-relevant slice of BaselineMagicianConfiguration
+    * (main.go:20-50).
+    */
+  final case class BaselineConfig(
+      hostCol: String,
+      tsCol: String,
+      windowSeconds: Long = 7L * 24 * 3600,
+      aggregationFunction: String = "avg",
+      metrics: Map[String, Column] = Map.empty,
+      rules: Seq[ThresholdRule] = Nil)
+
+  /** Trailing time window relative to the newest row — the reference's
+    * `metricDateTime >= now() - P` (main.go:275) made reproducible on
+    * fixed data by anchoring at max(ts) instead of wall-clock now().
+    */
+  def trailingWindow(df: DataFrame, tsCol: String, seconds: Long): DataFrame = {
+    val maxTs = df.agg(max(col(tsCol)).as("__window_end"))
+    df.crossJoin(broadcast(maxTs))
+      .filter(col(tsCol) >= col("__window_end") - expr(s"INTERVAL $seconds SECONDS"))
+      .drop("__window_end")
+  }
+
+  private def aggFor(fn: String)(c: Column): Column = fn match {
+    case "avg" => avg(c)
+    case "max" => max(c)
+    case other => throw new IllegalArgumentException(
+      s"aggregation_function must be avg or max (main.go:88-91), got $other")
+  }
+
+  /** ClickHouse `toInt64(agg(x))` analog (main.go:272): truncate toward
+    * zero to a long. Metrics are non-negative so floor == trunc.
+    */
+  private def toInt64(c: Column): Column = floor(c).cast("long")
+
+  /** Aggregate metrics per fixed-prefix network (e.g. every /24 present
+    * in the data), no explicit network list needed: assignment is a mask
+    * on the numeric IP — zero joins, fully codegen'd.
+    */
+  def aggregateByPrefix(
+      df: DataFrame,
+      cfg: BaselineConfig,
+      prefix: Int): DataFrame = {
+    val windowed = trailingWindow(df, cfg.tsCol, cfg.windowSeconds)
+    val ipNum = IpFunctions.ip4ToNum(col(cfg.hostCol))
+    val net = IpFunctions.numToIp4(IpFunctions.networkOf(ipNum, prefix))
+    val aggs = cfg.metrics.toSeq.sortBy(_._1).map { case (name, c) =>
+      toInt64(aggFor(cfg.aggregationFunction)(c)).as(name)
+    }
+    windowed
+      .withColumn("network", net)
+      .groupBy(col("network"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Assign each row to the first CIDR containing its IP (networks are
+    * config-sized — the reference pulls them from a config/API list,
+    * main.go:112-133 — so this is a when-chain of codegen'd range checks,
+    * not a join). Rows outside every network get null and drop out of the
+    * aggregation, mirroring the reference's per-network WHERE.
+    */
+  def assignNetwork(ipNum: Column, networks: Seq[Cidr]): Column =
+    networks.foldRight(lit(null).cast("string")) { (c, els) =>
+      when(IpFunctions.cidrContains(c, ipNum), lit(c.networkString)).otherwise(els)
+    }
+
+  /** End-to-end hostgroup generation (main.go:212-444): window filter →
+    * network assignment → wide aggregation → threshold expressions →
+    * mangled names. Networks with zero in-window rows simply produce no
+    * group (the reference's `hosts_with_traffic == 0` skip, main.go:331).
+    */
+  def hostgroups(
+      df: DataFrame,
+      cfg: BaselineConfig,
+      networks: Seq[Cidr]): DataFrame = {
+    val windowed = trailingWindow(df, cfg.tsCol, cfg.windowSeconds)
+    val ipNum = IpFunctions.ip4ToNum(col(cfg.hostCol))
+    val aggs = cfg.metrics.toSeq.sortBy(_._1).map { case (name, c) =>
+      toInt64(aggFor(cfg.aggregationFunction)(c)).as(name)
+    }
+    val base = windowed
+      .withColumn("network", assignNetwork(ipNum, networks))
+      .filter(col("network").isNotNull)
+      .groupBy(col("network"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+
+    // Threshold math on the aggregated longs; <= 0 deactivates the
+    // threshold (main.go:372-377) -> null value + false flag.
+    val withThresholds = cfg.rules.foldLeft(base) { (acc, rule) =>
+      val raw = ThresholdExpr.withValue(rule.expression, col(rule.metric))
+      val scaled = floor(raw / lit(rule.divisor)).cast("long")
+      acc
+        .withColumn(rule.outName, when(scaled > 0, scaled))
+        .withColumn(s"${rule.outName}_active", scaled > 0)
+    }
+
+    // Hostgroup name mangling: '.'/'/' -> '_' (main.go:342-344).
+    withThresholds
+      .withColumn("hostgroup",
+        regexp_replace(regexp_replace(col("network"), "\\.", "_"), "/", "_"))
+  }
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.IpFunctions
+import graft.functions.IpFunctions.Cidr
+import graft.operators.Baseline
+import graft.operators.Baseline.{BaselineConfig, ThresholdRule}
+import Shared._
+
+/** SURVEY.md §2.1 — the reference's own query surface
+  * (/root/reference/main.go), re-expressed Spark-first.
+  */
+object ReferenceQueries {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Window length the reference defaults to (main.go:62). */
+  private val week = 7L * 24 * 3600
+
+  private def baselineCfg(agg: String) = BaselineConfig(
+    hostCol = "host", tsCol = "ts", windowSeconds = week,
+    aggregationFunction = agg,
+    // stand-ins for the reference's packets/bits/flows counters
+    // (main.go:240-269): value as packets, value scaled up as bits,
+    // value scaled down as flows.
+    metrics = Map(
+      "packets_incoming" -> col("value"),
+      "bits_incoming" -> (col("value") * 1048576L),
+      "flows_incoming" -> (col("value") / 10)),
+    rules = Seq(
+      // the README's example expressions, verbatim
+      ThresholdRule("packets_incoming", "value * 2", "threshold_pps"),
+      ThresholdRule("bits_incoming", "value * 3", "threshold_mbps", divisor = 1048576L),
+      ThresholdRule("flows_incoming", "value + 200", "threshold_flows")))
+
+  // R1: IPv4StringToNum / IPv4NumToString roundtrip (main.go:238).
+  def qIpRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val hosts = hostEvents(s, dir).select(col("host")).distinct()
+    val ipNum = IpFunctions.ip4ToNum(col("host"))
+    hosts
+      .withColumn("ip_num", ipNum)
+      .withColumn("back", IpFunctions.numToIp4(col("ip_num")))
+      .withColumn("net24", IpFunctions.numToIp4(IpFunctions.networkOf(col("ip_num"), 24)))
+      .withColumn("net16", IpFunctions.numToIp4(IpFunctions.networkOf(col("ip_num"), 16)))
+      .orderBy("ip_num")
+  }
+
+  // R2: CIDR range membership as a sargable numeric predicate (main.go:238).
+  def qCidrFilter(s: SparkSession, dir: String): DataFrame = {
+    val e = hostEvents(s, dir)
+      .withColumn("ip_num", IpFunctions.ip4ToNum(col("host")))
+    e.filter(IpFunctions.cidrContains("10.0.0.64/26", col("ip_num")))
+      .select(col("event_id"), col("host"), col("ip_num"))
+      .orderBy("event_id")
+  }
+
+  // R3+R4: trailing-window avg baseline per /24 network.
+  def qBaselineAvg(s: SparkSession, dir: String): DataFrame =
+    baselinePerType(s, dir, "avg")
+
+  // R5: same with max.
+  def qBaselineMax(s: SparkSession, dir: String): DataFrame =
+    baselinePerType(s, dir, "max")
+
+  private def baselinePerType(s: SparkSession, dir: String, agg: String): DataFrame = {
+    val perType = eventTypes.map { ty =>
+      s"${agg}_$ty" -> when(col("event_type") === ty, col("value"))
+    }.toMap
+    val cfg = BaselineConfig(
+      hostCol = "host", tsCol = "ts", windowSeconds = week,
+      aggregationFunction = agg,
+      metrics = perType + (s"${agg}_value" -> col("value")))
+    Baseline.aggregateByPrefix(hostEvents(s, dir), cfg, 24)
+      .withColumnRenamed("n_rows", "n_events")
+      .orderBy("network")
+  }
+
+  // R6+R7: full hostgroup pipeline with threshold expressions (avg).
+  def qThresholds(s: SparkSession, dir: String): DataFrame =
+    Baseline.hostgroups(hostEvents(s, dir), baselineCfg("avg"),
+        netList.map(Cidr.parse))
+      .orderBy("network")
+
+  // R7 variant: max aggregation (aggregation_function config, main.go:88).
+  def qHostgroups(s: SparkSession, dir: String): DataFrame =
+    Baseline.hostgroups(hostEvents(s, dir), baselineCfg("max"),
+        netList.map(Cidr.parse))
+      .withColumn("enable_ban", lit(true))
+      .orderBy("network")
+
+  // R8: the 26-counter wide aggregation shape (main.go:240-269) — one
+  // shuffle computes count/avg/max/sum for every event type at once.
+  def qMetricsWide(s: SparkSession, dir: String): DataFrame = {
+    val e = hostEvents(s, dir)
+      .withColumn("ip_num", IpFunctions.ip4ToNum(col("host")))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("ip_num"), 24)))
+    val windowed = Baseline.trailingWindow(e, "ts", week)
+    val aggs = eventTypes.flatMap { ty =>
+      val v = when(col("event_type") === ty, col("value"))
+      Seq(
+        count(v).as(s"n_$ty"),
+        r4(avg(v)).as(s"avg_$ty"),
+        max(v).as(s"max_$ty"),
+        r2(sum(v)).as(s"sum_$ty"))
+    }
+    windowed.groupBy(col("network"))
+      .agg(count(lit(1)).as("n_total"), aggs: _*)
+      .orderBy("network")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ip_roundtrip" -> qIpRoundtrip,
+    "q_cidr_filter" -> qCidrFilter,
+    "q_baseline_avg" -> qBaselineAvg,
+    "q_baseline_max" -> qBaselineMax,
+    "q_thresholds" -> qThresholds,
+    "q_hostgroups" -> qHostgroups,
+    "q_metrics_wide" -> qMetricsWide)
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB-side host derivation (SURVEY.md §4). */
+  private val ipNumSql = "167772160 + (user_id & 16777215)"
+
+  private def numToIpSql(n: String): String =
+    s"(($n>>24)&255) || '.' || (($n>>16)&255) || '.' || (($n>>8)&255) || '.' || ($n&255)"
+
+  private val windowSql =
+    "ts >= (SELECT max(ts) FROM events) - INTERVAL 604800 SECOND"
+
+  private def baselineSql(agg: String): String = {
+    val per = eventTypes.map(ty =>
+      s"CAST(floor($agg(CASE WHEN event_type = '$ty' THEN value END)) AS BIGINT) AS ${agg}_$ty").mkString(", ")
+    s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
+       |n AS (SELECT *, ${numToIpSql("(ip_num & 4294967040)")} AS network FROM w)
+       |SELECT network, count(*) AS n_events,
+       |  CAST(floor($agg(value)) AS BIGINT) AS ${agg}_value, $per
+       |FROM n GROUP BY network ORDER BY network""".stripMargin
+  }
+
+  /** Shared CTE for hostgroup oracles: windowed events with network
+    * assignment over the 6 /24s + the three stand-in metrics.
+    */
+  private def hostgroupBaseSql(agg: String): String = {
+    val cases = netList.map { n =>
+      val c = Cidr.parse(n)
+      s"WHEN ip_num BETWEEN ${c.start} AND ${c.end} THEN '${c.networkString}'"
+    }.mkString(" ")
+    s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
+       |n AS (SELECT *, CASE $cases END AS network FROM w),
+       |a AS (SELECT network, count(*) AS n_rows,
+       |  CAST(floor($agg(value * 1048576)) AS BIGINT) AS bits_incoming,
+       |  CAST(floor($agg(value / 10)) AS BIGINT) AS flows_incoming,
+       |  CAST(floor($agg(value)) AS BIGINT) AS packets_incoming
+       |FROM n WHERE network IS NOT NULL GROUP BY network),
+       |th AS (SELECT *,
+       |  packets_incoming * 2 AS raw_pps,
+       |  CAST(floor((bits_incoming * 3) / 1048576) AS BIGINT) AS raw_mbps,
+       |  flows_incoming + 200 AS raw_flows
+       |FROM a)
+       |SELECT network, n_rows, bits_incoming, flows_incoming, packets_incoming,
+       |  CASE WHEN raw_pps > 0 THEN raw_pps END AS threshold_pps,
+       |  raw_pps > 0 AS threshold_pps_active,
+       |  CASE WHEN raw_mbps > 0 THEN raw_mbps END AS threshold_mbps,
+       |  raw_mbps > 0 AS threshold_mbps_active,
+       |  CASE WHEN raw_flows > 0 THEN raw_flows END AS threshold_flows,
+       |  raw_flows > 0 AS threshold_flows_active,
+       |  replace(replace(network, '.', '_'), '/', '_') AS hostgroup""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ip_roundtrip" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |h AS (SELECT $ipNumSql AS ip_num FROM u)
+         |SELECT ${numToIpSql("ip_num")} AS host, ip_num,
+         |  ${numToIpSql("ip_num")} AS back,
+         |  ${numToIpSql("(ip_num & 4294967040)")} AS net24,
+         |  ${numToIpSql("(ip_num & 4294901760)")} AS net16
+         |FROM h ORDER BY ip_num""".stripMargin,
+    "q_cidr_filter" ->
+      s"""WITH e AS (SELECT *, $ipNumSql AS ip_num FROM events)
+         |SELECT event_id, ${numToIpSql("ip_num")} AS host, ip_num
+         |FROM e WHERE ip_num BETWEEN 167772224 AND 167772287
+         |ORDER BY event_id""".stripMargin,
+    "q_baseline_avg" -> baselineSql("avg"),
+    "q_baseline_max" -> baselineSql("max"),
+    "q_thresholds" ->
+      (hostgroupBaseSql("avg") + "\nFROM th ORDER BY network"),
+    "q_hostgroups" ->
+      (hostgroupBaseSql("max") + ", true AS enable_ban\nFROM th ORDER BY network"),
+    "q_metrics_wide" -> {
+      val per = eventTypes.flatMap { ty =>
+        val v = s"CASE WHEN event_type = '$ty' THEN value END"
+        Seq(
+          s"count($v) AS n_$ty",
+          s"round(avg($v), 4) AS avg_$ty",
+          s"max($v) AS max_$ty",
+          s"round(sum($v), 2) AS sum_$ty")
+      }.mkString(", ")
+      s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
+         |n AS (SELECT *, ${numToIpSql("(ip_num & 4294967040)")} AS network FROM w)
+         |SELECT network, count(*) AS n_total, $per
+         |FROM n GROUP BY network ORDER BY network""".stripMargin
+    })
+}

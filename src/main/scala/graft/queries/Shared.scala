@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Shared helpers for the SparkEntry query set. */
+object Shared {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Deterministic IPv4 host for an events row — the corpus has no
+    * host_metrics table (see SURVEY.md §4), so both Spark and the DuckDB
+    * oracle derive `10.(uid>>16).(uid>>8).(uid&255)` from user_id.
+    */
+  def hostOf(userId: Column): Column =
+    concat_ws(".",
+      lit(10),
+      shiftright(userId, 16).bitwiseAND(lit(255L)),
+      shiftright(userId, 8).bitwiseAND(lit(255L)),
+      userId.bitwiseAND(lit(255L)))
+
+  /** events + derived host column. */
+  def hostEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("host", hostOf(col("user_id")))
+
+  /** Networks list (the reference's networks_list config input,
+    * /root/reference/main.go:112-133): split 10.0.0.0/24 into /26s so
+    * small SFs (few distinct user_ids, all in 10.0.0.x) still exercise
+    * multiple groups, plus the /24s larger SFs can reach.
+    */
+  val netList: Seq[String] =
+    (0 to 3).map(i => s"10.0.0.${i * 64}/26") ++ (1 to 5).map(i => s"10.0.$i.0/24")
+
+  /** Exact money arithmetic: parquet stores money as double; casting to
+    * decimal makes sums order-independent and bit-identical to the DuckDB
+    * oracle (double sums are not associative; decimal sums are exact).
+    * Final cast back to double is exact→nearest, identical on both sides.
+    */
+  def money(c: Column): Column = c.cast("decimal(12,2)")
+  def rate(c: Column): Column = c.cast("decimal(6,4)")
+
+  /** Exact decimal sum → 2-decimal double. Rounding BEFORE the double
+    * cast keeps the numerator < 2^53, so decimal→double is a single
+    * correctly-rounded step on both engines; casting a scale-10 decimal
+    * sum directly differs from DuckDB by 1 ulp (double-rounding).
+    */
+  def moneySum(c: Column): Column = round(sum(c), 2).cast("double")
+
+  /** Defensive rounding for double outputs built from float math. */
+  def r4(c: Column): Column = round(c, 4)
+  def r2(c: Column): Column = round(c, 2)
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the test corpus (TPC-H-ish star schema + events/documents/
+  * embeddings). Everything downstream is DataFrame-shaped, so swapping in
+  * any other Spark source (csv/json/jdbc/kafka) is a one-line change —
+  * mirroring how the reference treats ClickHouse as just "a table"
+  * (/root/reference/main.go:279).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
+    // type for — read it as a long and truncate to a micros timestamp
+    // (identical to how DuckDB's TIMESTAMP_NS→TIMESTAMP truncation sees
+    // the same value, so both sides of the oracle compare agree).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        // `div` keeps the arithmetic integral (a double round-trip would
+        // lose precision above 2^53 — epoch nanos are ~1.7e18).
+        acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case (acc, _) => acc
+    }
+  }
+
+  /** Register all tables as temp views named after themselves (what the
+    * DuckDB oracle side does too), so spark.sql(...) works symmetrically.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
