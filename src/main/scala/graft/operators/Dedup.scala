@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Corpus deduplication operators (SURVEY.md §2.3 D1-D4): exact
+  * content-hash dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: nothing here is all-pairs. Candidate generation is
+  * always a shuffle keyed by a content-derived bucket (shingle hash,
+  * LSH band hash, simhash band), so work is proportional to true
+  * collisions, not |corpus|^2 — the property that matters at 100 TB.
+  * Verification (exact Jaccard / Hamming) runs only over candidates.
+  */
+object Dedup {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** D1: exact dedup — one hash-partial-aggregated groupBy on a 128-bit
+    * content hash; the canonical first pass of any training pipeline.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** (doc_id, sh): the distinct word-`n`-gram shingle hashes of each
+    * document. Documents with fewer than `n` tokens have no shingles
+    * and drop out (same as the oracle's empty-list unnest).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+          .as("gram"))
+      .select(col("doc_id"), Hashing.md5Long60(col("gram")).as("sh"))
+      .distinct()
+
+  /** Per-pair shared-shingle counts via the inverted index: shuffle on
+    * shingle hash, pairs emerge only inside buckets.
+    */
+  def sharedCounts(sets: DataFrame): DataFrame = {
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** Attach set sizes and keep pairs with Jaccard >= num/den. The
+    * threshold test is pure integer arithmetic
+    * ((den+num)*shared >= num*(n_a+n_b)), so no float boundary can
+    * disagree with the oracle; `jaccard` is display-only.
+    */
+  def jaccardFilter(pairsShared: DataFrame, sets: DataFrame,
+      num: Long, den: Long): DataFrame = {
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairsShared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(lit(den + num) * col("shared") >= lit(num) * (col("n_a") + col("n_b")))
+      .withColumn("jaccard",
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
+  /** D2: n-gram Jaccard near-dup — inverted index candidates + exact
+    * Jaccard, threshold num/den.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int, num: Long, den: Long): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    jaccardFilter(sharedCounts(sets), sets, num, den)
+  }
+
+  // ------------------------------------------------------------ MinHash
+
+  /** Universal-hash family h_i(x) = (a_i*x + b_i) mod P over 30-bit
+    * inputs; constants from a fixed LCG so the oracle embeds the same
+    * literals. P = 2^31 - 1 (prime), products stay < 2^61.
+    */
+  val MinhashP: Long = 2147483647L
+  val MinhashK: Int = 16
+  val BandRows: Int = 4
+
+  val minhashPerms: Vector[(Long, Long)] = {
+    var x = 1234567891L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 3) & 0x3fffffffL // 30 bits
+    }
+    Vector.fill(MinhashK)((next() | 1L, next()))
+  }
+
+  /** k-column minhash signature per doc — a single groupBy over the
+    * shingle rows computes all k mins (no explode-by-k).
+    */
+  def minhashSignatures(sets: DataFrame): DataFrame = {
+    val h = col("sh") % 1073741824L
+    val aggs = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((h * a + b) % MinhashP).as(s"mh_$i")
+    }
+    sets.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band, bh): md5 of each band's minhash slice. */
+  def bandHashes(sig: DataFrame): DataFrame = {
+    val nBands = MinhashK / BandRows
+    (0 until nBands).map { j =>
+      val parts = (0 until BandRows).map(k => col(s"mh_${BandRows * j + k}"))
+      sig.select(col("doc_id"), lit(j).as("band"),
+        md5(concat_ws("_", parts: _*)).as("bh"))
+    }.reduce(_ union _)
+  }
+
+  /** D3: MinHash+LSH near-dup. Candidates = pairs sharing any band
+    * bucket (shuffle on (band, bh)); exact Jaccard verification runs
+    * only over candidates — the 100 TB scale path.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int, num: Long, den: Long): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val bands = bandHashes(minhashSignatures(sets))
+    val cand = bands.as("x")
+      .join(bands.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sh"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sh"))
+    val shared = cand
+      .join(sa, "doc_a")
+      .join(sb, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    jaccardFilter(shared, sets, num, den)
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 30-bit simhash per doc over its 3-gram shingle hashes: bit j is
+    * set when the majority of shingle hashes have bit j set. Shingles
+    * (not bare tokens) keep simhashes discriminative on corpora with a
+    * shared vocabulary — with token sets, most documents land within a
+    * few Hamming bits of each other and pair volume explodes. One
+    * groupBy, 30 agg columns.
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = shingleSets(df, idCol, textCol, 3)
+      .select(col("doc_id"), (col("sh") % 1073741824L).as("h"))
+    val bitAggs = (0 until 30).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"b_$j")
+    }
+    val grouped = toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until 30)
+      .map(j => when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** D4: SimHash near-dup — pairs within Hamming distance `maxHamming`,
+    * candidate-generated by 10-bit band equality (pigeonhole: any pair
+    * with <= 2 differing bits shares a band; maxHamming 3 is verified
+    * exactly so banding is a recall heuristic, as in production use).
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sims = simhashes(df, idCol, textCol)
+    val bands = (0 until 3).map { j =>
+      sims.select(col("doc_id"), col("simhash"), lit(j).as("band"),
+        shiftright(col("simhash"), 10 * j).bitwiseAND(lit(1023L)).as("bv"))
+    }.reduce(_ union _)
+    bands.as("x").join(bands.as("y"), Seq("band", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Typed metadata extracted from an opaque media payload. */
+final case class MediaMeta(
+    doc_id: Long,
+    size_bytes: Int,
+    magic: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    mean_byte: Double)
+
+/** M1 (SURVEY.md §2.3): multimodal columns. Images/audio/video travel
+  * as opaque `binary` columns; decode/feature-extraction runs as
+  * batched per-partition processing — the Spark-side plumbing (schema,
+  * partitioning, batch shape) is real, while the decoder itself is a
+  * STUB: this container has no image/audio libraries, so `decodeStub`
+  * computes a deterministic fake "decode" from the payload bytes. At
+  * deployment the stub body is replaced by a real codec call; nothing
+  * else changes.
+  */
+object Multimodal {
+
+  /** Batch size for the per-partition decode loop — mirrors the arrow
+    * batch shape a vectorized (pandas-style) UDF would see.
+    */
+  val DecodeBatchSize: Int = 64
+
+  /** STUB decoder: derives (width, height, n_frames, mean_byte) from
+    * the payload deterministically. Replace with a real codec at
+    * deployment; signature (bytes in, features out) is the contract.
+    */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val u = bytes.map(_ & 0xff)
+    MediaMeta(
+      doc_id = id,
+      size_bytes = bytes.length,
+      magic = bytes.take(2).map("%02x".format(_)).mkString,
+      width = 64 + (u(0) % 16) * 32,
+      height = 64 + (u(1) % 16) * 32,
+      n_frames = 1 + u(2) % 8,
+      mean_byte = u.sum.toDouble / u.length)
+  }
+
+  /** Decode a (id, media binary) DataFrame into typed metadata rows.
+    * mapPartitions + grouped(batch) is the Scala analog of mapInPandas:
+    * per-partition, batched, no driver involvement, schema declared via
+    * the case-class encoder.
+    */
+  def extractMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          // real decoders amortize setup per batch; the stub has none
+          batch.iterator.map { case (id, bytes) => decodeStub(id, bytes) }
+        }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Embedding similarity operators (SURVEY.md §2.3 D5, S1, S2).
+  *
+  * Dot products are a sequential double fold over the vector — the same
+  * evaluation order the oracle engine uses — so cosines are
+  * bit-identical across engines and threshold filters cannot disagree.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns; stays in
+    * codegen (HigherOrderFunction), no UDF.
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** vectors + squared-norm column, embedding cast float->double once. */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      extra: Seq[String] = Nil): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val cols = Seq(col(idCol).as("vec_id")) ++ extra.map(col) ++
+      Seq(v.as("v"))
+    df.select(cols: _*).withColumn("nrm2", dotD(col("v"), col("v")))
+  }
+
+  def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    dot / sqrt(na2 * nb2)
+
+  /** D5: embedding near-dup — cosine >= tau pairs, blocked on a key
+    * column so the join shuffles on the block key instead of going
+    * all-pairs (at 100 TB the block key is a cluster/bucket id).
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, tau: Double): DataFrame = {
+    val n = withNorm(df, idCol, vecCol, Seq(blockCol))
+    val a = n.as("a")
+    val b = n.as("b")
+    val cos = cosine(dotD(col("a.v"), col("b.v")), col("a.nrm2"), col("b.nrm2"))
+    a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col(s"a.$blockCol").as(blockCol), round(col("cos"), 6).as("cos"))
+  }
+
+  /** S1: brute-force cosine top-k — the exact baseline. The (small)
+    * query set is broadcast; ranking is a per-query window.
+    */
+  def bruteTopK(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val n = withNorm(vecs, idCol, vecCol)
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm2").as("qn"))
+    val cos = cosine(dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(n, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  // ------------------------------------------------- LSH-bucketed ANN
+
+  /** Deterministic random hyperplanes for sign-random-projection LSH:
+    * component (plane j, dim d) = (md5_60("j_d") mod 2001 - 1000)/1000,
+    * computed driver-side (tiny) with the same md5 the data side uses.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (j, d) =>
+      val hex = digest.digest(s"${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      ((h % 2001L) - 1000L).toDouble / 1000.0
+    }
+  }
+
+  /** Bucket id = sign bits of the vector against each hyperplane. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lp = array(p.map(lit): _*)
+      when(dotD(v, lp) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** S2: LSH-bucketed ANN — queries probe only their own bucket, so the
+    * search join shuffles on bucket id (at scale: per-bucket local
+    * top-k instead of a full cross product). Approximate by design;
+    * recall vs [[bruteTopK]] is asserted in the test suite.
+    */
+  def lshTopK(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val n = withNorm(vecs, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm2").as("qn"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val cos = cosine(dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(n, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("bucket"), col("rnk"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+}

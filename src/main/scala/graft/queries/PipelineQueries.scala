@@ -1,12 +1,265 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2.3 — training-data pipeline operators (dedup, similarity,
-  * text analysis, multimodal). Filled in incrementally; see Dedup.scala /
-  * Similarity.scala / TextAnalysis.scala.
+import graft.functions.Hashing
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Shared._
+
+/** SURVEY.md §2.3 — training-data pipeline operators over the
+  * documents/embeddings corpus. Oracle parity rests on two invariants:
+  * every hash is md5-derived (both engines compute identical 60-bit
+  * values), and every float threshold is either integer arithmetic
+  * (Jaccard) or computed by the bit-identical sequential-fold dot
+  * product (cosine).
   */
 object PipelineQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Dedup demo corpus: documents unioned with a shifted-id copy of
+    * itself, so exact/near-dup operators have true duplicates to find
+    * (the raw corpus is 100% distinct texts).
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.union(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val dupCorpusSql =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+
+  // D1: exact dedup by content hash.
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(dupCorpus(s, dir), "doc_id", "text").orderBy("content_hash")
+
+  // D2: n-gram (3-shingle) Jaccard near-dup, tau = 1/2.
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2)
+      .orderBy("doc_a", "doc_b")
+
+  // D3: MinHash+LSH near-dup, same threshold — candidates via band
+  // buckets instead of the full inverted index.
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2)
+      .orderBy("doc_a", "doc_b")
+
+  // D4 (rows-only): SimHash Hamming<=3 pairs.
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(dupCorpus(s, dir), "doc_id", "text", 3)
+      .orderBy("doc_a", "doc_b")
+
+  // D5: embedding cosine near-dup, label-blocked, tau = 0.3.
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", 0.3)
+      .orderBy("id_a", "id_b")
+
+  // S1: brute-force cosine top-5 for queries vec_id < 10.
+  def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  // S2 (rows-only): LSH-bucketed ANN (8 sign-projection planes).
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5, 8, 64)
+      .orderBy("query_id", "rnk")
+  }
+
+  // T1: per-document quality stats.
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // T2: marker-voting language ID.
+  def qLangid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy("doc_id")
+
+  // T3: token counting per source.
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(t(s, dir, "documents"), "source", "text")
+      .orderBy("source")
+
+  // T4: positional rolling-hash fingerprints.
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // M1: multimodal metadata extraction over a binary media column
+  // (payload synthesized from md5 so the oracle can derive the same
+  // bytes; the decode itself is the documented stub).
+  def qMmMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMeta(
+        t(s, dir, "documents").withColumn("media", unhex(md5(col("text")))),
+        "doc_id", "media")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_ann_topk" -> qAnnTopk,
+    "q_ann_lsh" -> qAnnLsh,
+    "q_text_stats" -> qTextStats,
+    "q_langid" -> qLangid,
+    "q_token_count" -> qTokenCount,
+    "q_fingerprint" -> qFingerprint,
+    "q_mm_meta" -> qMmMeta)
+
+  // ---------------------------------------------------------------- oracle
+
+  private val h60 = Hashing.md5Long60Sql _
+
+  /** Shared shingle CTEs over the dup corpus (3-gram, distinct). */
+  private val shingleCtes =
+    s"""corpus AS ($dupCorpusSql),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+       |sh AS (SELECT DISTINCT doc_id, ${h60("g")} AS sh
+       |       FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+       |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+       |             FROM tok WHERE len(toks) >= 3) g1),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Jaccard tail shared by D2/D3 (tau = 1/2 as integer arithmetic). */
+  private val jaccardTail =
+    """SELECT p.doc_a, p.doc_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+      |  round(p.shared / (sa.n + sb.n - p.shared), 4) AS jaccard
+      |FROM pr p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+      |WHERE 3 * p.shared >= sa.n + sb.n
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val minhashSelect = Dedup.minhashPerms.zipWithIndex.map {
+    case ((a, b), i) =>
+      s"min(((sh % 1073741824) * $a + $b) % ${Dedup.MinhashP}) AS mh_$i"
+  }.mkString(",\n       ")
+
+  private val bandUnion = (0 until Dedup.MinhashK / Dedup.BandRows).map { j =>
+    val parts = (0 until Dedup.BandRows)
+      .map(k => s"mh_${Dedup.BandRows * j + k}::VARCHAR")
+      .mkString(" || '_' || ")
+    s"SELECT doc_id, $j AS band, md5($parts) AS bh FROM mh"
+  }.mkString("\n  UNION ALL ")
+
+  /** Embeddings + squared norms, double-cast once (mirrors withNorm). */
+  private val normCte =
+    """n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |       list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nrm2
+      |     FROM embeddings)""".stripMargin
+
+  private val tokCte =
+    """d AS (SELECT doc_id, lang, source, text,
+      |       regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin
+
+  private val bpeRegexSql = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH corpus AS ($dupCorpusSql)
+         |SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+         |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH $shingleCtes,
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |$jaccardTail""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $shingleCtes,
+         |mh AS (SELECT doc_id,
+         |       $minhashSelect
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandUnion),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |          AND x.doc_id < y.doc_id),
+         |pr AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |       FROM cand c
+         |       JOIN sh a ON a.doc_id = c.doc_a
+         |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |       GROUP BY 1, 2)
+         |$jaccardTail""".stripMargin,
+    "q_dedup_embed" ->
+      s"""WITH $normCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         |  round(list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2), 6) AS cos
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH $normCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn FROM n WHERE vec_id < 10),
+         |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.qv, c.v) / sqrt(q.qn * c.nrm2) AS cos
+         |      FROM q JOIN n c ON q.query_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH $tokCte,
+         |s AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tot_len,
+         |  len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stop,
+         |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         |  length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         |  length(text) AS n_chars
+         | FROM d)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(tot_len / n_tokens, 4) AS avg_token_len,
+         |  round(n_stop / n_tokens, 4) AS stop_ratio,
+         |  round(n_punct / n_chars, 4) AS punct_ratio,
+         |  round(n_upper / n_chars, 4) AS upper_ratio,
+         |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_punct / n_chars)
+         |        * (1.0 - n_stop / n_tokens), 4) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_langid" -> {
+      val caseExpr = "CASE bucket WHEN 0 THEN 'en' WHEN 1 THEN 'es' " +
+        "WHEN 2 THEN 'de' WHEN 3 THEN 'fr' ELSE 'zh' END"
+      s"""WITH $tokCte,
+         |t AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+         |c AS (SELECT doc_id, lang, ${h60("tok")} % 5 AS bucket, count(*) AS c
+         |      FROM t GROUP BY 1, 2, 3),
+         |r AS (SELECT *, sum(c) OVER (PARTITION BY doc_id) AS n_tokens,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bucket) AS rn
+         |      FROM c)
+         |SELECT doc_id, $caseExpr AS pred_lang,
+         |  round(c / n_tokens, 4) AS confidence, lang,
+         |  ($caseExpr = lang) AS is_match
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    "q_token_count" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '$bpeRegexSql'))) AS BIGINT) AS bpe_tokens,
+         |  round(avg(len(regexp_extract_all(text, '$bpeRegexSql'))), 4) AS avg_bpe_per_doc
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $tokCte,
+         |r AS (SELECT doc_id, unnest(list_transform(toks, (t, i) ->
+         |        (((${h60("t")} % 1073741824) << ((i - 1) % 30)) |
+         |         ((${h60("t")} % 1073741824) >> (30 - ((i - 1) % 30)))) & 1073741823)) AS v
+         |      FROM d)
+         |SELECT doc_id, count(*) AS n_tokens, bit_xor(v) AS fp
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mm_meta" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+         |SELECT doc_id, 16 AS size_bytes, substr(h, 1, 4) AS magic,
+         |  64 + (CAST('0x' || substr(h, 1, 2) AS INTEGER) % 16) * 32 AS width,
+         |  64 + (CAST('0x' || substr(h, 3, 2) AS INTEGER) % 16) * 32 AS height,
+         |  1 + CAST('0x' || substr(h, 5, 2) AS INTEGER) % 8 AS n_frames,
+         |  list_sum(list_transform(generate_series(0, 15),
+         |    i -> CAST('0x' || substr(h, 1 + 2*i, 2) AS INTEGER))) / 16.0 AS mean_byte
+         |FROM m ORDER BY doc_id""".stripMargin)
+  // q_dedup_simhash and q_ann_lsh are rows-only (approximate/recall
+  // semantics, asserted against brute force in the ScalaTest suite).
 }
