@@ -55,7 +55,7 @@ object Baseline {
       .drop("__window_end")
   }
 
-  private def aggFor(fn: String)(c: Column): Column = fn match {
+  private[graft] def aggFor(fn: String)(c: Column): Column = fn match {
     case "avg" => avg(c)
     case "max" => max(c)
     case other => throw new IllegalArgumentException(
@@ -65,7 +65,20 @@ object Baseline {
   /** ClickHouse `toInt64(agg(x))` analog (main.go:272): truncate toward
     * zero to a long. Metrics are non-negative so floor == trunc.
     */
-  private def toInt64(c: Column): Column = floor(c).cast("long")
+  private[graft] def toInt64(c: Column): Column = floor(c).cast("long")
+
+  /** Threshold columns over aggregated metrics; <= 0 deactivates the
+    * threshold (main.go:372-377) -> null value + false flag. Shared by
+    * the batch hostgroup pipeline and the streaming variant.
+    */
+  private[graft] def applyThresholds(df: DataFrame, rules: Seq[ThresholdRule]): DataFrame =
+    rules.foldLeft(df) { (acc, rule) =>
+      val raw = ThresholdExpr.withValue(rule.expression, col(rule.metric))
+      val scaled = floor(raw / lit(rule.divisor)).cast("long")
+      acc
+        .withColumn(rule.outName, when(scaled > 0, scaled))
+        .withColumn(s"${rule.outName}_active", scaled > 0)
+    }
 
   /** Aggregate metrics per fixed-prefix network (e.g. every /24 present
     * in the data), no explicit network list needed: assignment is a mask
@@ -118,15 +131,7 @@ object Baseline {
       .groupBy(col("network"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
 
-    // Threshold math on the aggregated longs; <= 0 deactivates the
-    // threshold (main.go:372-377) -> null value + false flag.
-    val withThresholds = cfg.rules.foldLeft(base) { (acc, rule) =>
-      val raw = ThresholdExpr.withValue(rule.expression, col(rule.metric))
-      val scaled = floor(raw / lit(rule.divisor)).cast("long")
-      acc
-        .withColumn(rule.outName, when(scaled > 0, scaled))
-        .withColumn(s"${rule.outName}_active", scaled > 0)
-    }
+    val withThresholds = applyThresholds(base, cfg.rules)
 
     // Hostgroup name mangling: '.'/'/' -> '_' (main.go:342-344).
     withThresholds

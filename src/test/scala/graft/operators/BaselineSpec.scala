@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.IpFunctions.Cidr
+import graft.operators.Baseline.{BaselineConfig, ThresholdRule}
+
+class BaselineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    // in-window rows for 10.0.0.0/24
+    ("10.0.0.1", ts("2024-01-10 00:00:00"), 100.0),
+    ("10.0.0.2", ts("2024-01-09 00:00:00"), 200.0),
+    // out-of-window row (window anchors at max ts = 2024-01-10)
+    ("10.0.0.3", ts("2024-01-01 00:00:00"), 9999.0),
+    // row for a network not in the list -> dropped
+    ("172.16.0.1", ts("2024-01-10 00:00:00"), 5.0))
+
+  private def df = events.toDF("host", "ts", "value")
+
+  private val cfg = BaselineConfig(
+    hostCol = "host", tsCol = "ts", windowSeconds = 7L * 24 * 3600,
+    aggregationFunction = "avg",
+    metrics = Map("packets" -> col("value")),
+    rules = Seq(
+      ThresholdRule("packets", "value * 2", "threshold_pps"),
+      // deactivates: avg is 150 -> 150 - 200 < 0
+      ThresholdRule("packets", "value - 200", "threshold_neg")))
+
+  test("hostgroups: window filter, network assignment, thresholds, mangling") {
+    val out = Baseline.hostgroups(df, cfg, Seq(Cidr.parse("10.0.0.0/24")))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("network") == "10.0.0.0/24")
+    assert(r.getAs[Long]("n_rows") == 2L) // 9999-row is outside the window
+    assert(r.getAs[Long]("packets") == 150L)
+    assert(r.getAs[Long]("threshold_pps") == 300L)
+    assert(r.getAs[Boolean]("threshold_pps_active"))
+    assert(r.isNullAt(r.fieldIndex("threshold_neg"))) // zero/neg deactivates
+    assert(!r.getAs[Boolean]("threshold_neg_active"))
+    assert(r.getAs[String]("hostgroup") == "10_0_0_0_24")
+  }
+
+  test("empty networks produce no rows (main.go:331-334)") {
+    val out = Baseline.hostgroups(df, cfg, Seq(Cidr.parse("192.168.0.0/24")))
+    assert(out.count() == 0)
+  }
+
+  test("max aggregation variant (main.go:88-91)") {
+    val out = Baseline.hostgroups(df, cfg.copy(aggregationFunction = "max"),
+      Seq(Cidr.parse("10.0.0.0/24"))).collect().head
+    assert(out.getAs[Long]("packets") == 200L)
+  }
+
+  test("unsupported aggregation rejected") {
+    intercept[IllegalArgumentException] {
+      Baseline.hostgroups(df, cfg.copy(aggregationFunction = "median"),
+        Seq(Cidr.parse("10.0.0.0/24"))).collect()
+    }
+  }
+}

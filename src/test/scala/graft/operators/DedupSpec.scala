@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // doc 1 == doc 2 (exact dup); doc 3 is a near-dup of 1 (one word
+  // changed); doc 4 is unrelated.
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox leaps over the lazy dog again and again"),
+    (4L, "completely different content with no overlap whatsoever here now"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram Jaccard finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 1, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH finds the exact dup pair (identical signatures)") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 1, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs at Hamming 0") {
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(pairs((1L, 2L)) == 0L)
+  }
+
+  test("minhash signature is k stable columns") {
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingleSets(docs, "doc_id", "text", 3))
+    assert(sig.columns.toSeq ==
+      "doc_id" +: (0 until Dedup.MinhashK).map(i => s"mh_$i"))
+    // identical docs -> identical signatures
+    val rows = sig.filter("doc_id IN (1, 2)").drop("doc_id").collect()
+    assert(rows(0) == rows(1))
+  }
+}

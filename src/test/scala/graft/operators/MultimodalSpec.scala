@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("extractMeta matches the stub decoder row-for-row") {
+    val docs = (0L until 200L).map(i => (i, s"payload body $i"))
+      .toDF("doc_id", "text")
+      .withColumn("media", unhex(md5(col("text"))))
+    val got = Multimodal.extractMeta(docs, "doc_id", "media")
+      .collect().map(m => m.getAs[Long]("doc_id") -> m).toMap
+    assert(got.size == 200)
+    // spot-check one row against a driver-side decode of the same bytes
+    val bytes = java.security.MessageDigest.getInstance("MD5")
+      .digest("payload body 7".getBytes("UTF-8"))
+    val expect = Multimodal.decodeStub(7L, bytes)
+    val r = got(7L)
+    assert(r.getAs[Int]("size_bytes") == 16)
+    assert(r.getAs[String]("magic") == expect.magic)
+    assert(r.getAs[Int]("width") == expect.width)
+    assert(r.getAs[Int]("height") == expect.height)
+    assert(r.getAs[Int]("n_frames") == expect.n_frames)
+    assert(r.getAs[Double]("mean_byte") == expect.mean_byte)
+  }
+
+  test("decode runs per-partition in batches (no driver collect)") {
+    // 200 rows over 2 partitions with batch 64 -> the plumbing iterates
+    // grouped batches; correctness of the full set implies batching
+    // didn't drop or reorder rows.
+    val docs = (0L until 200L).map(i => (i, s"x$i")).toDF("doc_id", "text")
+      .withColumn("media", unhex(md5(col("text"))))
+      .repartition(2)
+    assert(Multimodal.extractMeta(docs, "doc_id", "media").count() == 200L)
+  }
+}
