@@ -89,13 +89,15 @@ object Baseline {
       cfg: BaselineConfig,
       prefix: Int): DataFrame = {
     val windowed = trailingWindow(df, cfg.tsCol, cfg.windowSeconds)
-    val ipNum = IpFunctions.ip4ToNum(col(cfg.hostCol))
-    val net = IpFunctions.numToIp4(IpFunctions.networkOf(ipNum, prefix))
     val aggs = cfg.metrics.toSeq.sortBy(_._1).map { case (name, c) =>
       toInt64(aggFor(cfg.aggregationFunction)(c)).as(name)
     }
+    // materialize ip_num once: the string-split parse must not be
+    // re-evaluated by every downstream reference
     windowed
-      .withColumn("network", net)
+      .withColumn("__ip_num", IpFunctions.ip4ToNum(col(cfg.hostCol)))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
       .groupBy(col("network"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
@@ -111,6 +113,33 @@ object Baseline {
       when(IpFunctions.cidrContains(c, ipNum), lit(c.networkString)).otherwise(els)
     }
 
+  /** First-matching-CIDR index (long, null if none) — the numeric
+    * variant used pre-aggregation. Grouping by the index and mapping
+    * index -> name AFTER the aggregate keeps the hot path free of
+    * per-row string building, and filtering on a plain range
+    * disjunction (not on IsNotNull of the when-chain) keeps Catalyst
+    * from duplicating the chain into the filter, which knocked the
+    * whole stage out of codegen (9x slowdown at sf0.1).
+    */
+  def assignNetworkIdx(ipNum: Column, networks: Seq[Cidr]): Column =
+    networks.zipWithIndex.foldRight(lit(null).cast("long")) {
+      case ((c, i), els) =>
+        when(IpFunctions.cidrContains(c, ipNum), lit(i.toLong)).otherwise(els)
+    }
+
+  /** Membership in any of the networks, as a flat range disjunction —
+    * sargable, codegen-trivial, pushable when the IP is a stored
+    * numeric column.
+    */
+  def inAnyNetwork(ipNum: Column, networks: Seq[Cidr]): Column =
+    networks.map(c => IpFunctions.cidrContains(c, ipNum)).reduce(_ || _)
+
+  private def idxToName(idx: Column, networks: Seq[Cidr]): Column =
+    networks.zipWithIndex.foldRight(lit(null).cast("string")) {
+      case ((c, i), els) =>
+        when(idx === i.toLong, lit(c.networkString)).otherwise(els)
+    }
+
   /** End-to-end hostgroup generation (main.go:212-444): window filter →
     * network assignment → wide aggregation → threshold expressions →
     * mangled names. Networks with zero in-window rows simply produce no
@@ -121,13 +150,26 @@ object Baseline {
       cfg: BaselineConfig,
       networks: Seq[Cidr]): DataFrame = {
     val windowed = trailingWindow(df, cfg.tsCol, cfg.windowSeconds)
-    val ipNum = IpFunctions.ip4ToNum(col(cfg.hostCol))
     val aggs = cfg.metrics.toSeq.sortBy(_._1).map { case (name, c) =>
       toInt64(aggFor(cfg.aggregationFunction)(c)).as(name)
     }
+    // Network assignment = broadcast range join against the (tiny,
+    // config-sized) networks table. Two reasons over a when-chain:
+    // (1) the join boundary materializes the parsed ip as ONE long per
+    // row — inlining the parse into a 9-CIDR filter/key chain
+    // re-evaluated the dotted-quad split ~27x per row (a measured 9x
+    // slowdown at sf0.1); (2) it is reference-faithful: main.go queries
+    // every network independently, so an IP inside two CIDRs counts in
+    // both (when-chain first-match would not).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val netDf = networks.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.start, c.end, c.networkString) }
+      .toDF("__net_idx", "__start", "__end", "network")
     val base = windowed
-      .withColumn("network", assignNetwork(ipNum, networks))
-      .filter(col("network").isNotNull)
+      .withColumn("__ip_num", IpFunctions.ip4ToNum(col(cfg.hostCol)))
+      .join(broadcast(netDf),
+        col("__ip_num") >= col("__start") && col("__ip_num") <= col("__end"))
       .groupBy(col("network"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
 

@@ -107,14 +107,20 @@ object Dedup {
     sets.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band, bh): md5 of each band's minhash slice. */
+  /** (doc_id, band, bh): md5 of each band's minhash slice. Bands are
+    * emitted by exploding one array of structs — a union of per-band
+    * selects would re-run the whole signature pipeline once per band.
+    * (Persisting instead regressed: an unmaterialized InMemoryRelation
+    * hides stats from AQE and the candidate join planned badly.)
+    */
   def bandHashes(sig: DataFrame): DataFrame = {
     val nBands = MinhashK / BandRows
-    (0 until nBands).map { j =>
+    val bandStructs = (0 until nBands).map { j =>
       val parts = (0 until BandRows).map(k => col(s"mh_${BandRows * j + k}"))
-      sig.select(col("doc_id"), lit(j).as("band"),
-        md5(concat_ws("_", parts: _*)).as("bh"))
-    }.reduce(_ union _)
+      struct(lit(j).as("band"), md5(concat_ws("_", parts: _*)).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
   /** D3: MinHash+LSH near-dup. Candidates = pairs sharing any band
@@ -171,10 +177,15 @@ object Dedup {
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     val sims = simhashes(df, idCol, textCol)
-    val bands = (0 until 3).map { j =>
-      sims.select(col("doc_id"), col("simhash"), lit(j).as("band"),
+    val bandStructs = (0 until 3).map { j =>
+      struct(lit(j).as("band"),
         shiftright(col("simhash"), 10 * j).bitwiseAND(lit(1023L)).as("bv"))
-    }.reduce(_ union _)
+    }
+    val bands = sims
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
     bands.as("x").join(bands.as("y"), Seq("band", "bv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
