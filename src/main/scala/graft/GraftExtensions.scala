@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, Ip4ToNum, NumToIp4}
+
+/** Spark extension entry point: registers graft's native expressions
+  * into the session's function registry, so the library's surface is
+  * reachable from plain SQL too:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT graft_ip4_to_num(host), graft_dot(a, b) ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_ip4_to_num"),
+      new ExpressionInfo(classOf[Ip4ToNum].getName, "graft_ip4_to_num"),
+      (args: Seq[Expression]) => Ip4ToNum(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_num_to_ip4"),
+      new ExpressionInfo(classOf[NumToIp4].getName, "graft_num_to_ip4"),
+      (args: Seq[Expression]) => NumToIp4(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+  }
+}

@@ -10,24 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object IpFunctions {
 
-  /** ClickHouse `IPv4StringToNum` analog: dotted-quad string → long. */
-  def ip4ToNum(ip: Column): Column = {
-    val p = split(ip, "\\.")
-    p.getItem(0).cast("long") * 16777216L +
-      p.getItem(1).cast("long") * 65536L +
-      p.getItem(2).cast("long") * 256L +
-      p.getItem(3).cast("long")
-  }
+  /** ClickHouse `IPv4StringToNum` analog: dotted-quad string → long.
+    * Backed by the native codegen expression (one-pass parse, no regex
+    * split / array allocation per row); see [[IpExpressions.ip4ToNum]].
+    */
+  def ip4ToNum(ip: Column): Column = IpExpressions.ip4ToNum(ip)
 
   /** ClickHouse `IPv4NumToString` analog: long → dotted-quad string. */
-  def numToIp4(n: Column): Column = {
-    val l = n.cast("long")
-    concat_ws(".",
-      shiftright(l, 24).bitwiseAND(lit(255L)).cast("string"),
-      shiftright(l, 16).bitwiseAND(lit(255L)).cast("string"),
-      shiftright(l, 8).bitwiseAND(lit(255L)).cast("string"),
-      l.bitwiseAND(lit(255L)).cast("string"))
-  }
+  def numToIp4(n: Column): Column = IpExpressions.numToIp4(n.cast("long"))
 
   /** Parsed IPv4 CIDR block. Driver-side (tiny, config-like — mirrors the
     * reference's networks_list input, main.go:112-133); the data-side

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import graft.functions.{Hashing, IpExpressions}
 
 /** Embedding similarity operators (SURVEY.md §2.3 D5, S1, S2).
   *
@@ -14,11 +14,13 @@ import graft.functions.Hashing
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns; stays in
-    * codegen (HigherOrderFunction), no UDF.
+  /** Sequential-fold dot product of two array<double> columns — the
+    * native codegen expression (tight primitive loop; the zip_with +
+    * aggregate composition allocated an intermediate product array per
+    * row). Same fold order, so cosines stay bit-identical to the
+    * oracle.
     */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dotD(a: Column, b: Column): Column = IpExpressions.dot(a, b)
 
   /** vectors + squared-norm column, embedding cast float->double once. */
   def withNorm(df: DataFrame, idCol: String, vecCol: String,
