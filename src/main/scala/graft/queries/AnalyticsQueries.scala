@@ -142,7 +142,31 @@ object AnalyticsQueries {
         count(when(col("k") > 50, 1)).as("n_gt50"))
       .orderBy("event_type")
 
+  // A10 (rows-only): sketch aggregations — HLL++ approximate distinct
+  // next to the exact count (the 100 TB path: constant memory per
+  // group vs. the exact distinct's shuffle of every key).
+  def qSketchDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  // A11 (rows-only): quantile sketch (GK/KLL-style) next to exact
+  // percentiles; sketch state is bounded by accuracy, not group size.
+  def qSketchQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("approx_p"),
+        expr("percentile(value, array(0.5, 0.99))").as("exact_p"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_distinct" -> qSketchDistinct,
+    "q_sketch_quantile" -> qSketchQuantile,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q5_join" -> q5Join,

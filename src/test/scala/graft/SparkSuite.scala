@@ -8,6 +8,7 @@ object TestSpark {
     .master("local[2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
