@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.AsofJoin
 import Shared._
 
 /** SURVEY.md §2.2 — the general-analytics surface ClickHouse gave the
@@ -142,6 +143,19 @@ object AnalyticsQueries {
         count(when(col("k") > 50, 1)).as("n_gt50"))
       .orderBy("event_type")
 
+  // A13: as-of join — latest order at or before each event, per user.
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val ord = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    AsofJoin.leftAsof(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey")
+      .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("event_id")
+  }
+
   // A10 (rows-only): sketch aggregations — HLL++ approximate distinct
   // next to the exact count (the 100 TB path: constant memory per
   // group vs. the exact distinct's shuffle of every key).
@@ -165,6 +179,7 @@ object AnalyticsQueries {
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> qAsofJoin,
     "q_sketch_distinct" -> qSketchDistinct,
     "q_sketch_quantile" -> qSketchQuantile,
     "q1_agg" -> q1Agg,
@@ -181,6 +196,18 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT * FROM (
+        |    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  r.o_orderkey, r.o_orderdate, r.o_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+        |ORDER BY event_id""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
