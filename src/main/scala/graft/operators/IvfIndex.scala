@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the
+  * vector space into `nlist` Voronoi cells (k-means centroids), store
+  * each vector under its cell, and search only the `nprobe` cells
+  * closest to each query. The scale path beyond LSH: the search join
+  * shuffles on cell id, and the per-query candidate set shrinks from
+  * |corpus| to ~nprobe/nlist of it. Centroids are a driver-side array
+  * (nlist x dim — config-sized), broadcast into the probe expression.
+  */
+object IvfIndex {
+
+  final case class Index(centroids: Array[Array[Double]], cells: DataFrame)
+
+  /** Build the index: fit k-means (distributed) and assign every
+    * vector to its cell. `cells` has (vec_id, cell, v, nrm2).
+    */
+  def build(vecs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): Index = {
+    val n = Similarity.withNorm(vecs, idCol, vecCol)
+    val featured = n.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(featured)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val cells = model.transform(featured)
+      .withColumnRenamed("prediction", "cell")
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm2"))
+    Index(centroids, cells)
+  }
+
+  /** Squared L2 distance of a vector column to a centroid literal:
+    * |v|^2 - 2<v,c> + |c|^2 (nrm2 precomputed; <v,c> via the native
+    * dot expression).
+    */
+  private def distToCentroid(v: Column, nrm2: Column,
+      c: Array[Double]): Column = {
+    val lc = array(c.map(lit).toIndexedSeq: _*)
+    val c2 = c.map(x => x * x).sum
+    nrm2 - lit(2.0) * Similarity.dotD(v, lc) + lit(c2)
+  }
+
+  /** Top-k cosine neighbors per query, searching only the nprobe
+    * nearest cells (found by sorting the tiny per-row centroid
+    * distance array — no shuffle).
+    */
+  def search(index: Index, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val np = math.min(nprobe, index.centroids.length)
+    val q0 = Similarity.withNorm(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm2").as("qn"))
+    val dists = array(index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(distToCentroid(col("qv"), col("qn"), c).as("d"),
+        lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val q = q0
+      .withColumn("__dists", dists)
+      .withColumn("cell",
+        explode(expr(s"transform(slice(array_sort(__dists), 1, $np), x -> x.cell)")))
+      .drop("__dists")
+    val cos = Similarity.cosine(
+      Similarity.dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(index.cells, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+}

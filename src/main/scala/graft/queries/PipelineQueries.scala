@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -70,6 +70,15 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // S3 (rows-only): IVF ANN — k-means cells, nprobe-cell search.
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = IvfIndex.build(e, "vec_id", "embedding", nlist = 16)
+    IvfIndex.search(index, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
   // T1: per-document quality stats.
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")
@@ -107,6 +116,7 @@ object PipelineQueries {
     "q_dedup_embed" -> qDedupEmbed,
     "q_ann_topk" -> qAnnTopk,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_ivf" -> qAnnIvf,
     "q_text_stats" -> qTextStats,
     "q_langid" -> qLangid,
     "q_token_count" -> qTokenCount,
