@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Ip4ToNum, NumToIp4}
+import graft.functions.{DotProduct, HeavyHittersAgg, Ip4ToNum, NumToIp4}
 
 /** Spark extension entry point: registers graft's native expressions
   * into the session's function registry, so the library's surface is
@@ -16,6 +16,7 @@ import graft.functions.{DotProduct, Ip4ToNum, NumToIp4}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.EliminateIpRoundtrips)
     ext.injectFunction((
       FunctionIdentifier("graft_ip4_to_num"),
       new ExpressionInfo(classOf[Ip4ToNum].getName, "graft_ip4_to_num"),
@@ -28,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
+      (args: Seq[Expression]) => HeavyHittersAgg(args(0),
+        args(1).eval().asInstanceOf[Int]).toAggregateExpression()))
   }
 }
