@@ -108,7 +108,29 @@ object PipelineQueries {
         "doc_id", "media")
       .orderBy("doc_id")
 
+  // P1: composite curation pipeline — dedup the (duplicated) corpus,
+  // score quality, keep docs passing the bar, roll up per language.
+  // The shape a real training-data job takes; one declarative plan.
+  def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val kept = Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val docs = t(s, dir, "documents").join(kept, "doc_id")
+    val stats = TextAnalysis.textStats(
+      docs.select("doc_id", "text"), "doc_id", "text")
+    stats
+      .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast("decimal(10,4)")), 2)
+          .cast("double").as("sum_quality"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline" -> qPipeline,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -170,6 +192,27 @@ object PipelineQueries {
   private val bpeRegexSql = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_pipeline" ->
+      s"""WITH corpus AS ($dupCorpusSql),
+         |kept AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+         |d AS (SELECT doc.doc_id, doc.lang, doc.text,
+         |       regexp_split_to_array(trim(doc.text), '\\s+') AS toks
+         |      FROM documents doc JOIN kept ON doc.doc_id = kept.doc_id),
+         |st AS (SELECT doc_id, lang,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stop,
+         |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         |  length(text) AS n_chars
+         | FROM d),
+         |q AS (SELECT doc_id, lang, n_tokens,
+         |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_punct / n_chars)
+         |        * (1.0 - n_stop / n_tokens), 4) AS quality
+         | FROM st)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(round(sum(CAST(quality AS DECIMAL(10,4))), 2) AS DOUBLE) AS sum_quality,
+         |  sum(n_tokens) AS sum_tokens
+         |FROM q WHERE quality >= 0.5 AND n_tokens >= 20
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH corpus AS ($dupCorpusSql)
          |SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
