@@ -29,14 +29,15 @@ object Dedup {
     * document. Documents with fewer than `n` tokens have no shingles
     * and drop out (same as the oracle's empty-list unnest).
     */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int,
+      hash: Column => Column = Hashing.md5Long60): DataFrame =
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
           .as("gram"))
-      .select(col("doc_id"), Hashing.md5Long60(col("gram")).as("sh"))
+      .select(col("doc_id"), hash(col("gram")).as("sh"))
       .distinct()
 
   /** Per-pair shared-shingle counts via the inverted index: shuffle on
@@ -72,8 +73,9 @@ object Dedup {
     * Jaccard, threshold num/den.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int, num: Long, den: Long): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+      n: Int, num: Long, den: Long,
+      hash: Column => Column = Hashing.md5Long60): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n, hash)
     jaccardFilter(sharedCounts(sets), sets, num, den)
   }
 
@@ -128,8 +130,9 @@ object Dedup {
     * only over candidates — the 100 TB scale path.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      n: Int, num: Long, den: Long): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+      n: Int, num: Long, den: Long,
+      hash: Column => Column = Hashing.md5Long60): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n, hash)
     val bands = bandHashes(minhashSignatures(sets))
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bh"))

@@ -46,6 +46,15 @@ class DedupSpec extends SparkSuite {
     assert(pairs((1L, 2L)) == 0L)
   }
 
+  test("xxhash fast path finds the same pair set as the md5 oracle path") {
+    val md5Pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 1, 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val xxPairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 1, 2,
+        hash = graft.functions.Hashing.xx60)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(xxPairs == md5Pairs && md5Pairs.nonEmpty)
+  }
+
   test("minhash signature is k stable columns") {
     val sig = Dedup.minhashSignatures(
       Dedup.shingleSets(docs, "doc_id", "text", 3))
