@@ -13,9 +13,10 @@ import graft.functions.IpFunctions.Cidr
   *   reference: for each CIDR -> one ClickHouse query (window filter +
   *              range predicate + 26 avg/max aggregates) -> driver-side
   *              govaluate threshold math -> hostgroup row
-  *   graft:     one scan -> network assignment (codegen'd range checks
-  *              on a long, no join) -> single hash aggregation over all
-  *              networks at once -> threshold Columns -> hostgroup rows
+  *   graft:     one scan -> network assignment (broadcast range join
+  *              against the tiny networks table) -> single hash
+  *              aggregation over all networks at once -> threshold
+  *              Columns -> hostgroup rows
   *
   * At 100 TB the reference's loop is N full scans; this is one scan and
   * one shuffle keyed by network (partial aggregation collapses rows
@@ -101,44 +102,6 @@ object Baseline {
       .groupBy(col("network"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
-
-  /** Assign each row to the first CIDR containing its IP (networks are
-    * config-sized — the reference pulls them from a config/API list,
-    * main.go:112-133 — so this is a when-chain of codegen'd range checks,
-    * not a join). Rows outside every network get null and drop out of the
-    * aggregation, mirroring the reference's per-network WHERE.
-    */
-  def assignNetwork(ipNum: Column, networks: Seq[Cidr]): Column =
-    networks.foldRight(lit(null).cast("string")) { (c, els) =>
-      when(IpFunctions.cidrContains(c, ipNum), lit(c.networkString)).otherwise(els)
-    }
-
-  /** First-matching-CIDR index (long, null if none) — the numeric
-    * variant used pre-aggregation. Grouping by the index and mapping
-    * index -> name AFTER the aggregate keeps the hot path free of
-    * per-row string building, and filtering on a plain range
-    * disjunction (not on IsNotNull of the when-chain) keeps Catalyst
-    * from duplicating the chain into the filter, which knocked the
-    * whole stage out of codegen (9x slowdown at sf0.1).
-    */
-  def assignNetworkIdx(ipNum: Column, networks: Seq[Cidr]): Column =
-    networks.zipWithIndex.foldRight(lit(null).cast("long")) {
-      case ((c, i), els) =>
-        when(IpFunctions.cidrContains(c, ipNum), lit(i.toLong)).otherwise(els)
-    }
-
-  /** Membership in any of the networks, as a flat range disjunction —
-    * sargable, codegen-trivial, pushable when the IP is a stored
-    * numeric column.
-    */
-  def inAnyNetwork(ipNum: Column, networks: Seq[Cidr]): Column =
-    networks.map(c => IpFunctions.cidrContains(c, ipNum)).reduce(_ || _)
-
-  private def idxToName(idx: Column, networks: Seq[Cidr]): Column =
-    networks.zipWithIndex.foldRight(lit(null).cast("string")) {
-      case ((c, i), els) =>
-        when(idx === i.toLong, lit(c.networkString)).otherwise(els)
-    }
 
   /** End-to-end hostgroup generation (main.go:212-444): window filter →
     * network assignment → wide aggregation → threshold expressions →
