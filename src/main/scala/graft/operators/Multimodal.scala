@@ -3,6 +3,13 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** One sampled frame from an opaque media payload. */
+final case class MediaFrame(
+    doc_id: Long,
+    frame_idx: Int,
+    frame_hex: String,
+    frame_mean: Double)
+
 /** Typed metadata extracted from an opaque media payload. */
 final case class MediaMeta(
     doc_id: Long,
@@ -43,6 +50,31 @@ object Multimodal {
       height = 64 + (u(1) % 16) * 32,
       n_frames = 1 + u(2) % 8,
       mean_byte = u.sum.toDouble / u.length)
+  }
+
+  /** Frame sampling: one media payload -> several frame rows, the
+    * 1:N decode shape (video frames, audio windows). Stub "frames" are
+    * fixed-width byte slices; a real decoder plugs into the same
+    * mapPartitions+flatMap contract and nothing else changes.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
+      frameBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            bytes.grouped(frameBytes).zipWithIndex.map { case (fb, i) =>
+              val u = fb.map(_ & 0xff)
+              MediaFrame(id, i, fb.map("%02x".format(_)).mkString,
+                u.sum.toDouble / u.length)
+            }
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Decode a (id, media binary) DataFrame into typed metadata rows.

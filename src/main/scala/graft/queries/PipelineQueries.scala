@@ -108,6 +108,13 @@ object PipelineQueries {
         "doc_id", "media")
       .orderBy("doc_id")
 
+  // M2: 1:N frame sampling over the binary media column.
+  def qMmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        t(s, dir, "documents").withColumn("media", unhex(md5(col("text")))),
+        "doc_id", "media", frameBytes = 4)
+      .orderBy("doc_id", "frame_idx")
+
   // P1: composite curation pipeline — dedup the (duplicated) corpus,
   // score quality, keep docs passing the bar, roll up per language.
   // The shape a real training-data job takes; one declarative plan.
@@ -143,7 +150,8 @@ object PipelineQueries {
     "q_langid" -> qLangid,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
-    "q_mm_meta" -> qMmMeta)
+    "q_mm_meta" -> qMmMeta,
+    "q_mm_frames" -> qMmFrames)
 
   // ---------------------------------------------------------------- oracle
 
@@ -304,6 +312,22 @@ object PipelineQueries {
          |      FROM d)
          |SELECT doc_id, count(*) AS n_tokens, bit_xor(v) AS fp
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mm_frames" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx, h FROM m)
+         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         |  substr(h, 1 + frame_idx * 8, 8) AS frame_hex,
+         |  list_sum(list_transform(generate_series(0, 3),
+         |    i -> CAST('0x' || substr(h, 1 + frame_idx * 8 + 2 * i, 2) AS INTEGER))) / 4.0 AS frame_mean
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_mm_frames" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx, h FROM m)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  substr(h, 1 + frame_idx * 8, 8) AS frame_hex,
+        |  list_sum(list_transform(generate_series(0, 3),
+        |    i -> CAST('0x' || substr(h, 1 + frame_idx * 8 + 2 * i, 2) AS INTEGER))) / 4.0 AS frame_mean
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_mm_meta" ->
       s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
          |SELECT doc_id, 16 AS size_bytes, substr(h, 1, 4) AS magic,
