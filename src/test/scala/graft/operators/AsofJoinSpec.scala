@@ -40,6 +40,19 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.size == 5)
   }
 
+  test("duplicate left timestamps each get the same match") {
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 7.5))
+      .toDF("r_key", "r_ts", "price")
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("l_id", "l_key", "l_ts")
+    val out = AsofJoin.leftAsof(left, right,
+        "l_key", "r_key", "l_ts", "r_ts", rightTieBreak = "price")
+      .collect()
+    assert(out.length == 2 && out.forall(_.getAs[Double]("price") == 7.5))
+  }
+
   test("ties on (key, ts) resolve to the greatest tie-break") {
     val right = Seq(
       (1L, ts("2024-01-01 10:00:00"), 5L),

@@ -14,6 +14,15 @@ class DedupSpec extends SparkSuite {
     (4L, "completely different content with no overlap whatsoever here now"))
     .toDF("doc_id", "text")
 
+  test("operators yield empty results on an empty corpus") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docs.schema)
+    assert(Dedup.exact(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccard(empty, "doc_id", "text", 3, 1, 2).count() == 0)
+    assert(Dedup.minhashLsh(empty, "doc_id", "text", 3, 1, 2).count() == 0)
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(docs, "doc_id", "text").collect()
     assert(out.length == 3)

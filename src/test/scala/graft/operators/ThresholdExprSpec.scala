@@ -27,6 +27,11 @@ class ThresholdExprSpec extends SparkSuite {
     assert(eval("7 / 2.0", 0) == 3.5)
   }
 
+  test("whitespace robustness") {
+    assert(eval("  value  *  2  ", 21) == 42.0)
+    assert(eval("\tvalue+1", 1) == 2.0)
+  }
+
   test("unknown variable rejected") {
     intercept[IllegalArgumentException](eval("bogus * 2", 1))
   }
