@@ -143,6 +143,37 @@ object AnalyticsQueries {
         count(when(col("k") > 50, 1)).as("n_gt50"))
       .orderBy("event_type")
 
+  // A16: hierarchical rollup (subtotals + grand total in one pass).
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  // A17: pivot — event types to columns, one shuffle.
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(r2(sum(col("value"))))
+      .orderBy("day")
+
+  // A18: set operations — (user, day) pairs with a click but no
+  // purchase that day.
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+    val clicked = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("day")).distinct()
+    val bought = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("day")).distinct()
+    clicked.except(bought).orderBy("user_id", "day")
+  }
+
   // A13: as-of join — latest order at or before each event, per user.
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
@@ -180,6 +211,9 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> qAsofJoin,
+    "q_rollup" -> qRollup,
+    "q_pivot" -> qPivot,
+    "q_setops" -> qSetOps,
     "q_sketch_distinct" -> qSketchDistinct,
     "q_sketch_quantile" -> qSketchQuantile,
     "q1_agg" -> q1Agg,
@@ -196,6 +230,26 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_setops" ->
+      """SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (
         |  SELECT * FROM (
