@@ -27,6 +27,26 @@ class ThresholdExprSpec extends SparkSuite {
     assert(eval("7 / 2.0", 0) == 3.5)
   }
 
+  test("ternary with comparisons (govaluate surface)") {
+    // cap-style config: double small baselines, floor large ones
+    assert(eval("value < 100 ? value * 2 : value + 50", 40) == 80.0)
+    assert(eval("value < 100 ? value * 2 : value + 50", 200) == 250.0)
+    // nested ternary associates through the else branch
+    assert(eval("value < 10 ? 1 : value < 100 ? 2 : 3", 5) == 1.0)
+    assert(eval("value < 10 ? 1 : value < 100 ? 2 : 3", 50) == 2.0)
+    assert(eval("value < 10 ? 1 : value < 100 ? 2 : 3", 500) == 3.0)
+  }
+
+  test("boolean operators and equality") {
+    assert(eval("value >= 10 && value <= 20 ? 1 : 0", 15) == 1.0)
+    assert(eval("value >= 10 && value <= 20 ? 1 : 0", 25) == 0.0)
+    assert(eval("value == 7 || value == 9 ? 1 : 0", 9) == 1.0)
+    assert(eval("value != 7 ? 1 : 0", 7) == 0.0)
+    assert(eval("!(value > 5) ? 1 : 0", 3) == 1.0)
+    assert(eval("true ? 10 : 20", 0) == 10.0)
+    assert(eval("false ? 10 : 20", 0) == 20.0)
+  }
+
   test("whitespace robustness") {
     assert(eval("  value  *  2  ", 21) == 42.0)
     assert(eval("\tvalue+1", 1) == 2.0)
