@@ -91,7 +91,7 @@ object Similarity {
   /** Bucket id = sign bits of the vector against each hyperplane. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val lp = array(p.map(lit): _*)
+      val lp = array(p.toIndexedSeq.map(lit): _*)
       when(dotD(v, lp) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
