@@ -143,6 +143,42 @@ object AnalyticsQueries {
         count(when(col("k") > 50, 1)).as("n_gt50"))
       .orderBy("event_type")
 
+  // A19: window-function suite — rank family, offsets, running and
+  // frame aggregates in one pass per partition.
+  def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .select(col("event_type"), col("event_id"), r2(col("value")).as("value"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        r2(lag(col("value"), 1).over(w)).as("prev_value"),
+        r2(lead(col("value"), 1).over(w)).as("next_value"),
+        r2(sum(col("value")).over(wRun)).as("running_sum"),
+        r2(min(col("value")).over(wRun)).as("running_min"))
+      .orderBy("event_type", "rnk", "event_id")
+  }
+
+  // A20: date-spine gap filling (ClickHouse WITH FILL analog) — every
+  // (day, user) slot over the observed range, zeros where silent.
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id") < 20)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+    val daily = e.groupBy("day", "user_id")
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+    val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(e.select(col("user_id")).distinct())
+    spine.join(daily, Seq("day", "user_id"), "left")
+      .select(col("day"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("day", "user_id")
+  }
+
   // A16: hierarchical rollup (subtotals + grand total in one pass).
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -212,6 +248,8 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> qAsofJoin,
     "q_rollup" -> qRollup,
+    "q_window_suite" -> qWindowSuite,
+    "q_gap_fill" -> qGapFill,
     "q_pivot" -> qPivot,
     "q_setops" -> qSetOps,
     "q_sketch_distinct" -> qSketchDistinct,
@@ -230,6 +268,34 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_suite" ->
+      """SELECT event_type, event_id, round(value, 2) AS value,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(lag(value, 1) OVER w, 2) AS prev_value,
+        |  round(lead(value, 1) OVER w, 2) AS next_value,
+        |  round(sum(value) OVER (PARTITION BY event_type ORDER BY value DESC, event_id
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_sum,
+        |  round(min(value) OVER (PARTITION BY event_type ORDER BY value DESC, event_id
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_min
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+        |ORDER BY event_type, rnk, event_id""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (SELECT *, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events WHERE user_id < 20),
+        |daily AS (SELECT day, user_id, count(*) AS n,
+        |    round(sum(value), 2) AS sum_value
+        |  FROM e GROUP BY day, user_id),
+        |spine AS (SELECT unnest(generate_series((SELECT min(day) FROM e),
+        |    (SELECT max(day) FROM e), INTERVAL 1 DAY))::DATE AS day),
+        |slots AS (SELECT day, user_id FROM spine
+        |  CROSS JOIN (SELECT DISTINCT user_id FROM e))
+        |SELECT s.day, s.user_id,
+        |  COALESCE(d.n, 0) AS n, COALESCE(d.sum_value, 0.0) AS sum_value
+        |FROM slots s LEFT JOIN daily d ON s.day = d.day AND s.user_id = d.user_id
+        |ORDER BY s.day, s.user_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
