@@ -77,6 +77,33 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize: recompute target dimensions preserving aspect ratio —
+    * the stub scales the decoded metadata; a real implementation
+    * transforms pixels inside the same batched mapPartitions contract
+    * and emits the resized payload alongside.
+    */
+  def resizeStub(df: DataFrame, idCol: String, mediaCol: String,
+      maxSide: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val m = decodeStub(id, bytes)
+            val scale = math.min(1.0,
+              maxSide.toDouble / math.max(m.width, m.height))
+            (m.doc_id, m.width, m.height,
+              math.max(1, math.round(m.width * scale).toInt),
+              math.max(1, math.round(m.height * scale).toInt),
+              scale)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "out_width", "out_height", "scale")
+  }
+
   /** Decode a (id, media binary) DataFrame into typed metadata rows.
     * mapPartitions + grouped(batch) is the Scala analog of mapInPandas:
     * per-partition, batched, no driver involvement, schema declared via

@@ -27,6 +27,23 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getAs[Double]("mean_byte") == expect.mean_byte)
   }
 
+  test("resizeStub preserves aspect ratio and caps the long side") {
+    val docs = (0L until 100L).map(i => (i, s"media $i")).toDF("doc_id", "text")
+      .withColumn("media", unhex(md5(col("text"))))
+    val out = Multimodal.resizeStub(docs, "doc_id", "media", maxSide = 128)
+      .collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(math.max(ow, oh) <= 128)
+      if (math.max(w, h) <= 128) assert(ow == w && oh == h) // no upscale
+      // aspect ratio within rounding
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.1 ||
+        math.min(ow, oh) <= 2)
+    }
+  }
+
   test("decode runs per-partition in batches (no driver collect)") {
     // 200 rows over 2 partitions with batch 64 -> the plumbing iterates
     // grouped batches; correctness of the full set implies batching
