@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HeavyHittersAgg, Ip4ToNum, NumToIp4}
+import graft.functions.{BytesToIp6, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6ToBytes, NumToIp4}
 
 /** Spark extension entry point: registers graft's native expressions
   * into the session's function registry, so the library's surface is
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ip6_to_bytes"),
+      new ExpressionInfo(classOf[Ip6ToBytes].getName, "graft_ip6_to_bytes"),
+      (args: Seq[Expression]) => Ip6ToBytes(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bytes_to_ip6"),
+      new ExpressionInfo(classOf[BytesToIp6].getName, "graft_bytes_to_ip6"),
+      (args: Seq[Expression]) => BytesToIp6(args.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
