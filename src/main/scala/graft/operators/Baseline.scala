@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.IpFunctions
+import graft.functions.{IpFunctions, Ip6Expressions}
 import graft.functions.IpFunctions.Cidr
+import graft.functions.Ip6Expressions.Cidr6
 
 /** Traffic-baseline computation — the reference's whole purpose
   * (/root/reference/main.go:212-444) re-expressed as one declarative
@@ -142,5 +143,36 @@ object Baseline {
     withThresholds
       .withColumn("hostgroup",
         regexp_replace(regexp_replace(col("network"), "\\.", "_"), "/", "_"))
+  }
+
+  /** IPv6 variant — beyond the reference, which skips IPv6 networks
+    * (main.go:223). Identical plan shape: parse once at the join
+    * boundary, broadcast range join on inclusive 16-byte bounds
+    * (binary comparison = unsigned 128-bit order), one aggregation.
+    * Name mangling extends the reference's scheme with ':' -> '_'.
+    */
+  def hostgroups6(
+      df: DataFrame,
+      cfg: BaselineConfig,
+      networks: Seq[Cidr6]): DataFrame = {
+    val windowed = trailingWindow(df, cfg.tsCol, cfg.windowSeconds)
+    val aggs = cfg.metrics.toSeq.sortBy(_._1).map { case (name, c) =>
+      toInt64(aggFor(cfg.aggregationFunction)(c)).as(name)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val netDf = networks.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.start, c.end, c.networkString) }
+      .toDF("__net_idx", "__start", "__end", "network")
+    val base = windowed
+      .withColumn("__ip", Ip6Expressions.ip6ToBytes(col(cfg.hostCol)))
+      .join(broadcast(netDf),
+        col("__ip") >= col("__start") && col("__ip") <= col("__end"))
+      .groupBy(col("network"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    applyThresholds(base, cfg.rules)
+      .withColumn("hostgroup",
+        regexp_replace(regexp_replace(regexp_replace(
+          col("network"), ":", "_"), "\\.", "_"), "/", "_"))
   }
 }

@@ -60,6 +60,25 @@ class BaselineSpec extends SparkSuite {
     assert(out.getAs[Long]("packets") == 200L)
   }
 
+  test("IPv6 hostgroups: parse, binary range join, thresholds, mangling") {
+    val e6 = Seq(
+      ("2001:db8::1", ts("2024-01-10 00:00:00"), 100.0),
+      ("2001:db8::2", ts("2024-01-09 00:00:00"), 200.0),
+      ("2001:db9::1", ts("2024-01-10 00:00:00"), 7.0),     // other /32
+      ("not-an-ip", ts("2024-01-10 00:00:00"), 9999.0))    // dropped (null)
+      .toDF("host", "ts", "value")
+    val out = Baseline.hostgroups6(e6, cfg,
+      Seq(graft.functions.Ip6Expressions.Cidr6.parse("2001:db8::/32")))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("network") == "2001:db8::/32")
+    assert(r.getAs[Long]("n_rows") == 2L)
+    assert(r.getAs[Long]("packets") == 150L)
+    assert(r.getAs[Long]("threshold_pps") == 300L)
+    assert(r.getAs[String]("hostgroup") == "2001_db8___32")
+  }
+
   test("unsupported aggregation rejected") {
     intercept[IllegalArgumentException] {
       Baseline.hostgroups(df, cfg.copy(aggregationFunction = "median"),
