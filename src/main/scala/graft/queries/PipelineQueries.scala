@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import graft.functions.{Hashing, HeavyHitters}
 import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
 import Shared._
 
@@ -99,6 +99,20 @@ object PipelineQueries {
     TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  // T5: per-language token heavy hitters via the custom Misra-Gries
+  // TypedImperativeAggregate. k=64 exceeds every group's distinct
+  // token count (31), so the sketch is exact here and the oracle can
+  // check it; under-k domains are where MG guarantees exactness.
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(HeavyHitters.heavyHitters(col("tok"), 64).as("hh"))
+      .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "e")))
+      .select(col("lang"), col("pos"),
+        col("e.item").as("item"), col("e.count").as("n"))
+      .orderBy("lang", "pos")
+
   // M1: multimodal metadata extraction over a binary media column
   // (payload synthesized from md5 so the oracle can derive the same
   // bytes; the decode itself is the documented stub).
@@ -151,7 +165,8 @@ object PipelineQueries {
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_mm_meta" -> qMmMeta,
-    "q_mm_frames" -> qMmFrames)
+    "q_mm_frames" -> qMmFrames,
+    "q_heavy_hitters" -> qHeavyHitters)
 
   // ---------------------------------------------------------------- oracle
 
@@ -200,6 +215,15 @@ object PipelineQueries {
   private val bpeRegexSql = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+        |  FROM documents),
+        |c AS (SELECT lang, item, count(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, item) - 1 AS pos FROM c)
+        |SELECT lang, CAST(pos AS INTEGER) AS pos, item, n
+        |FROM r ORDER BY lang, pos""".stripMargin,
     "q_pipeline" ->
       s"""WITH corpus AS ($dupCorpusSql),
          |kept AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
