@@ -143,6 +143,24 @@ object AnalyticsQueries {
         count(when(col("k") > 50, 1)).as("n_gt50"))
       .orderBy("event_type")
 
+  // A21: semi join — orders having at least one returned line item.
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    t(s, dir, "orders")
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  // A22: anti join — orders with no returned line item.
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    t(s, dir, "orders")
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   // A19: window-function suite — rank family, offsets, running and
   // frame aggregates in one pass per partition.
   def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
@@ -249,6 +267,8 @@ object AnalyticsQueries {
     "q_asof_join" -> qAsofJoin,
     "q_rollup" -> qRollup,
     "q_window_suite" -> qWindowSuite,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin,
     "q_gap_fill" -> qGapFill,
     "q_pivot" -> qPivot,
     "q_setops" -> qSetOps,
@@ -268,6 +288,26 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_suite" ->
       """SELECT event_type, event_id, round(value, 2) AS value,
         |  rank() OVER w AS rnk,
