@@ -63,6 +63,13 @@ class Ip6ExpressionsSpec extends SparkSuite {
     assert(got == rows.map(_._2))
   }
 
+  test("IPv6 functions registered in SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT graft_bytes_to_ip6(graft_ip6_to_bytes('2001:0db8::0001')) AS ip")
+      .collect().head
+    assert(r.getString(0) == "2001:db8::1")
+  }
+
   test("cidr normalization zeroes host bits") {
     val c = Cidr6.parse("2001:db8::dead:beef/64")
     assert(c.networkString == "2001:db8::/64")
