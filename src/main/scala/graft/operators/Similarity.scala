@@ -52,6 +52,29 @@ object Similarity {
         col(s"a.$blockCol").as(blockCol), round(col("cos"), 6).as("cos"))
   }
 
+  /** D5 at scale, label-free: block pairs by sign-random-projection
+    * bucket instead of a label column — candidates shuffle on the
+    * computed bucket, so the operator needs no prior clustering.
+    * Near-identical vectors share every sign bit, so exact duplicates
+    * are always co-bucketed; recall for milder near-dups is tuned by
+    * the plane count (fewer planes = bigger buckets = higher recall).
+    */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val n = withNorm(df, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val a = n.as("a")
+    val b = n.as("b")
+    val cos = cosine(dotD(col("a.v"), col("b.v")), col("a.nrm2"), col("b.nrm2"))
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.bucket").as("bucket"), round(col("cos"), 6).as("cos"))
+  }
+
   /** S1: brute-force cosine top-k — the exact baseline. The (small)
     * query set is broadcast; ranking is a per-query window.
     */

@@ -39,6 +39,16 @@ class SimilaritySpec extends SparkSuite {
     assert(out.contains(2L))
   }
 
+  test("cosinePairsLsh finds identical vectors without a label column") {
+    val out = Similarity.cosinePairsLsh(vecs, "vec_id", "embedding",
+        tau = 0.9, nPlanes = 8, dim = 4)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 1L)
+    assert(out.head.getAs[Long]("id_b") == 2L)
+    assert(out.head.getAs[Double]("cos") == 1.0)
+  }
+
   test("hyperplanes are deterministic") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)

@@ -38,6 +38,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(!read.contains("l_comment"))
   }
 
+  test("as-of join: bounded shuffle count (union+window, no range probe)") {
+    val plan = planOf(AnalyticsQueries.qAsofJoin(spark, dir))
+    // key shuffle(s) + final sort only — a naive range join would show
+    // a nested-loop or cartesian operator here
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"range-probe plan:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"expected <=3 key shuffles, got $shuffles")
+  }
+
   test("baseline hostgroups: single aggregation, networks broadcast") {
     val plan = planOf(ReferenceQueries.qThresholds(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
