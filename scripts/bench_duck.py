@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle SQL per query (single-node reference bar)
+and compare with a graft Bench JSON line. Usage:
+    python3 scripts/bench_duck.py /tmp/verify_out/oracle_sql.json \
+        /root/testdata/sf0.1 [bench.json]
+(Driver-side tooling only — the Scala library never depends on this.)
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(oracle_path, sf_dir, bench_path=None):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(oracle_path))
+    spark = {}
+    if bench_path:
+        b = json.load(open(bench_path))
+        spark = b.get("queries", {})
+    duck = {}
+    for name, sql in sorted(oracle.items()):
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            duck[name] = time.time() - t0
+        except Exception as e:
+            duck[name] = -1.0
+            print(f"{name}: duckdb error {e}", file=sys.stderr)
+    total_d = sum(v for v in duck.values() if v > 0)
+    print(f"{'query':22s} {'duckdb':>8s} {'spark':>8s} {'ratio':>7s}")
+    for name in sorted(duck):
+        d = duck[name]
+        s = spark.get(name)
+        ratio = f"{s / d:6.1f}x" if (s and d > 0) else "      -"
+        print(f"{name:22s} {d:8.2f} {s if s else float('nan'):8.2f} {ratio}")
+    if spark:
+        total_s = sum(v for k, v in spark.items() if k in duck and v > 0)
+        print(f"{'TOTAL (oracle set)':22s} {total_d:8.2f} {total_s:8.2f} "
+              f"{total_s / total_d:6.1f}x")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
