@@ -45,7 +45,7 @@ object Probe {
 
     // variant: xxhash per gram (production path)
     val xx = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3,
-      hash = graft.functions.Hashing.xx60)
+      tokenHash = c => graft.functions.Hashing.xx60(c) % 1073741824L)
     time("shingleSets xxhash-per-gram")(noop(xx))
     spark.stop()
   }

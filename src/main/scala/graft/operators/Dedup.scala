@@ -25,20 +25,39 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Linear-combination coefficients for combining per-token hashes
+    * into a gram hash (primes; position k weighted by ShingleCoef(k)).
+    * Values keep n <= 8 gram sums below 2^55 for 30-bit token hashes —
+    * overflow-safe in both engines.
+    */
+  val ShingleCoef: Vector[Long] =
+    Vector(1000003L, 999983L, 31L, 10007L, 257L, 65537L, 8191L, 127L)
+
   /** (doc_id, sh): the distinct word-`n`-gram shingle hashes of each
     * document. Documents with fewer than `n` tokens have no shingles
     * and drop out (same as the oracle's empty-list unnest).
+    *
+    * Each TOKEN is hashed once and gram hashes are linear combinations
+    * of the token hashes — n times fewer hash invocations and no gram
+    * string materialization vs hashing each gram's concatenation
+    * (measured ~30% off the shingle stage). `tokenHash` must yield
+    * 30-bit values; default is the oracle-replicable md5 variant,
+    * production uses `c => Hashing.xx60(c) % (1 << 30)`.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int,
-      hash: Column => Column = Hashing.md5Long60): DataFrame =
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    require(n <= ShingleCoef.length, s"n=$n exceeds ${ShingleCoef.length}")
+    val combine = (0 until n)
+      .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
+      .mkString(" + ")
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
+      .withColumn("th", transform(col("toks"), t => tokenHash(t)))
       .select(col("doc_id"),
         explode(expr(
-          s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
-          .as("gram"))
-      .select(col("doc_id"), hash(col("gram")).as("sh"))
+          s"transform(sequence(0, size(th) - $n), i -> $combine)")).as("sh"))
       .distinct()
+  }
 
   /** Per-pair shared-shingle counts via the inverted index: shuffle on
     * shingle hash, pairs emerge only inside buckets.
@@ -74,8 +93,8 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int, num: Long, den: Long,
-      hash: Column => Column = Hashing.md5Long60): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n, hash)
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n, tokenHash)
     jaccardFilter(sharedCounts(sets), sets, num, den)
   }
 
@@ -131,8 +150,8 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int, num: Long, den: Long,
-      hash: Column => Column = Hashing.md5Long60): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n, hash)
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n, tokenHash)
     val bands = bandHashes(minhashSignatures(sets))
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bh"))

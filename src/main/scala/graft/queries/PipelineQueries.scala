@@ -172,14 +172,21 @@ object PipelineQueries {
 
   private val h60 = Hashing.md5Long60Sql _
 
-  /** Shared shingle CTEs over the dup corpus (3-gram, distinct). */
+  /** Shared shingle CTEs over the dup corpus (3-gram, distinct) —
+    * token-hash linear combination, mirroring Dedup.shingleSets.
+    */
+  private val shingleCombineSql = {
+    import graft.operators.Dedup.ShingleCoef
+    (0 until 3).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+  }
+
   private val shingleCtes =
     s"""corpus AS ($dupCorpusSql),
        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
-       |sh AS (SELECT DISTINCT doc_id, ${h60("g")} AS sh
-       |       FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-       |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
-       |             FROM tok WHERE len(toks) >= 3) g1),
+       |th AS (SELECT doc_id, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+       |       FROM tok WHERE len(toks) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, $shingleCombineSql AS sh
+       |       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 2)) AS i FROM th) x),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Jaccard tail shared by D2/D3 (tau = 1/2 as integer arithmetic). */

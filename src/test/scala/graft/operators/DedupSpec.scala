@@ -59,7 +59,7 @@ class DedupSpec extends SparkSuite {
     val md5Pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 1, 2)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val xxPairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 1, 2,
-        hash = graft.functions.Hashing.xx60)
+        tokenHash = c => graft.functions.Hashing.xx60(c) % 1073741824L)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(xxPairs == md5Pairs && md5Pairs.nonEmpty)
   }
