@@ -278,6 +278,52 @@ object PipelineQueries {
          |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
          |       GROUP BY 1, 2)
          |$jaccardTail""".stripMargin,
+    "q_dedup_simhash" -> {
+      val bitSums = (0 until 30).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+        .mkString(",\n       ")
+      val simExpr = (0 until 30).map(j =>
+        s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $shingleCtes,
+         |hb AS (SELECT doc_id, sh % 1073741824 AS h FROM sh),
+         |bits AS (SELECT doc_id,
+         |       $bitSums
+         |  FROM hb GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $simExpr AS simhash FROM bits),
+         |bands AS (SELECT doc_id, simhash, band,
+         |       (simhash >> (10 * band)) & 1023 AS bv
+         |  FROM sims, (SELECT unnest(generate_series(0, 2)) AS band) b),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM pairs WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_dedup_simhash" -> {
+      val bitSums = (0 until 30).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+        .mkString(",\n       ")
+      val simExpr = (0 until 30).map(j =>
+        s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $shingleCtes,
+         |hb AS (SELECT doc_id, sh % 1073741824 AS h FROM sh),
+         |bits AS (SELECT doc_id,
+         |       $bitSums
+         |  FROM hb GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $simExpr AS simhash FROM bits),
+         |bands AS (SELECT doc_id, simhash, band,
+         |       (simhash >> (10 * band)) & 1023 AS bv
+         |  FROM sims, (SELECT unnest(generate_series(0, 2)) AS band) b),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM pairs WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_dedup_embed" ->
       s"""WITH $normCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
@@ -368,6 +414,6 @@ object PipelineQueries {
          |  list_sum(list_transform(generate_series(0, 15),
          |    i -> CAST('0x' || substr(h, 1 + 2*i, 2) AS INTEGER))) / 16.0 AS mean_byte
          |FROM m ORDER BY doc_id""".stripMargin)
-  // q_dedup_simhash and q_ann_lsh are rows-only (approximate/recall
-  // semantics, asserted against brute force in the ScalaTest suite).
+  // q_ann_lsh / q_ann_ivf / sketches are rows-only (approximate or
+  // engine-specific semantics, asserted in the ScalaTest suite).
 }
