@@ -42,14 +42,17 @@ object Multimodal {
     */
   def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
     val u = bytes.map(_ & 0xff)
+    // degenerate payloads decode to a 64x64 single frame instead of
+    // crashing the task (a real decoder would classify them corrupt)
+    def byteAt(i: Int): Int = if (u.length > i) u(i) else 0
     MediaMeta(
       doc_id = id,
       size_bytes = bytes.length,
       magic = bytes.take(2).map("%02x".format(_)).mkString,
-      width = 64 + (u(0) % 16) * 32,
-      height = 64 + (u(1) % 16) * 32,
-      n_frames = 1 + u(2) % 8,
-      mean_byte = u.sum.toDouble / u.length)
+      width = 64 + (byteAt(0) % 16) * 32,
+      height = 64 + (byteAt(1) % 16) * 32,
+      n_frames = 1 + byteAt(2) % 8,
+      mean_byte = if (u.isEmpty) 0.0 else u.sum.toDouble / u.length)
   }
 
   /** Frame sampling: one media payload -> several frame rows, the

@@ -44,6 +44,21 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("degenerate payloads decode safely instead of crashing tasks") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array.empty[Byte]),
+      (2L, Array[Byte](0x7f)),
+      (3L, Array[Byte](1, 2)))
+      .toDF("doc_id", "media")
+    val out = Multimodal.extractMeta(rows, "doc_id", "media")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 3)
+    assert(out(1L).getAs[Int]("size_bytes") == 0)
+    assert(out(1L).getAs[Double]("mean_byte") == 0.0)
+    assert(out(2L).getAs[Int]("width") == 64 + (0x7f % 16) * 32)
+  }
+
   test("decode runs per-partition in batches (no driver collect)") {
     // 200 rows over 2 partitions with batch 64 -> the plumbing iterates
     // grouped batches; correctness of the full set implies batching
