@@ -40,7 +40,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
-      (args: Seq[Expression]) => HeavyHittersAgg(args(0),
-        args(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+      (args: Seq[Expression]) => {
+        val k = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters k must be an integer literal, got $other")
+        }
+        HeavyHittersAgg(args(0), k).toAggregateExpression()
+      }))
   }
 }

@@ -45,5 +45,10 @@ class HeavyHittersSpec extends SparkSuite {
     assert(out.length == 2)
     assert(topItems(out(0).getSeq[Row](1)) == Seq(("x", 2L), ("y", 1L)))
     assert(topItems(out(1).getSeq[Row](1)) == Seq(("z", 1L)))
+    // bigint literal for k works too
+    val viaLong = spark.sql(
+      "SELECT graft_heavy_hitters(w, 4L) AS hh FROM hh_input")
+      .collect().head.getSeq[Row](0)
+    assert(topItems(viaLong).toMap == Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
   }
 }
