@@ -18,13 +18,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warm-up: JVM/codegen/scheduler spin-up and parquet
-    // footer reads, so the first timed query isn't charged for them
+    // untimed warm-up: JVM/codegen/scheduler spin-up, parquet reader
+    // init, and the decimal codegen paths, so the first timed query
+    // isn't charged for them
     spark.range(1000000).selectExpr("sum(id * 2)")
       .write.format("noop").mode("overwrite").save()
     graft.sources.Tables.all.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").schema catch { case _: Throwable => () }
     }
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(cast(l_extendedprice as decimal(12,2)))", "max(l_shipdate)")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/events.parquet").schema
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -2,10 +2,13 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampType}
 
 import graft.functions.IpFunctions.Cidr
 import graft.operators.{BanSettings, Baseline, ReferenceConfig}
+import graft.operators.Baseline.BaselineConfig
 
 /** The full reference user journey, end to end: the README's own
   * config file (/root/reference/README.md), a host_metrics-shaped
@@ -86,5 +89,39 @@ class ReferenceJourneySpec extends SparkSuite {
       p.getAs[Boolean]("ban_for_flows"))
     val json = p.getAs[String]("payload")
     assert(json.contains(""""threshold_mbps":48"""))
+  }
+
+  test("full 26-counter width aggregates in one pass (main.go:240-279)") {
+    val counters = Seq(
+      "packets", "bits", "flows", "tcp_packets", "tcp_bits",
+      "udp_packets", "udp_bits", "icmp_packets", "icmp_bits",
+      "fragmented_packets", "fragmented_bits", "tcp_syn_packets",
+      "tcp_syn_bits").flatMap(c => Seq(s"${c}_incoming", s"${c}_outgoing"))
+    assert(counters.length == 26)
+    // two in-window rows; counter k has values (k+1) and 3*(k+1)
+    val rows = Seq(
+      Seq("192.168.1.10", ts("2024-01-10 00:00:00")) ++
+        counters.indices.map(k => (k + 1).toDouble),
+      Seq("192.168.1.20", ts("2024-01-09 00:00:00")) ++
+        counters.indices.map(k => 3.0 * (k + 1)))
+    val schema = StructType(
+      StructField("host", StringType) ::
+        StructField("metricDateTime", TimestampType) ::
+        counters.map(c => StructField(c, DoubleType)).toList)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq)), schema)
+    val cfg = BaselineConfig(
+      hostCol = "host", tsCol = "metricDateTime",
+      aggregationFunction = "avg",
+      metrics = counters.map(c => c -> col(c)).toMap)
+    val out = Baseline.hostgroups(df, cfg,
+      Seq(Cidr.parse("192.168.1.0/24"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rows") == 2L)
+    // avg of (k+1, 3(k+1)) = 2(k+1)
+    counters.zipWithIndex.foreach { case (c, k) =>
+      assert(r.getAs[Long](c) == 2L * (k + 1), s"counter $c")
+    }
   }
 }
