@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,33 @@ object IvfIndex {
     val lc = array(c.map(lit).toIndexedSeq: _*)
     val c2 = c.map(x => x * x).sum
     nrm2 - lit(2.0) * Similarity.dotD(v, lc) + lit(c2)
+  }
+
+  /** Persist an index: cells as parquet bucketed by cell id (searches
+    * shuffle on cell, so reads are co-located), centroids as a small
+    * JSON sidecar. Amortizes the k-means fit across search sessions.
+    */
+  def save(index: Index, spark: SparkSession, table: String,
+      centroidPath: String, buckets: Int = 16): Unit = {
+    index.cells.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(table)
+    val json = index.centroids
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(centroidPath), json)
+  }
+
+  def load(spark: SparkSession, table: String,
+      centroidPath: String): Index = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(centroidPath))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val centroids = (0 until node.size()).map { i =>
+      val row = node.get(i)
+      (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+    }.toArray
+    Index(centroids, spark.table(table))
   }
 
   /** Top-k cosine neighbors per query, searching only the nprobe

@@ -52,6 +52,30 @@ class IvfIndexSpec extends SparkSuite {
   }
 }
 
+class IvfPersistenceSpec extends SparkSuite {
+
+  test("saved index reloads and searches identically") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS ivf_cells")
+    val wh = new java.io.File("/tmp/graft-warehouse/ivf_cells")
+    if (wh.exists()) { wh.listFiles().foreach(_.delete()); wh.delete() }
+
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+    val queries = vecs.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val index = IvfIndex.build(vecs, "vec_id", "embedding", nlist = 8)
+    IvfIndex.save(index, spark, "ivf_cells", "/tmp/graft-ivf-centroids.json")
+    val loaded = IvfIndex.load(spark, "ivf_cells", "/tmp/graft-ivf-centroids.json")
+    assert(loaded.centroids.length == 8)
+
+    def rows(ix: IvfIndex.Index) =
+      IvfIndex.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+          r.getAs[Long]("neighbor_id"))).toSet
+    assert(rows(loaded) == rows(index) && rows(index).nonEmpty)
+  }
+}
+
 class ReferenceConfigSpec extends SparkSuite {
 
   test("reference config JSON maps onto BaselineConfig") {
