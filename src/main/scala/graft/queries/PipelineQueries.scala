@@ -32,15 +32,24 @@ object PipelineQueries {
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(dupCorpus(s, dir), "doc_id", "text").orderBy("content_hash")
 
+  /** Token hash for the dedup queries: md5-derived by default (oracle
+    * parity); SPARK_GRAFT_FAST_HASH=1 switches to the xxhash64
+    * production path for benchmarking (same pair sets, no oracle).
+    */
+  private def tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    if (sys.env.get("SPARK_GRAFT_FAST_HASH").contains("1"))
+      c => Hashing.xx60(c) % 1073741824L
+    else Hashing.h30
+
   // D2: n-gram (3-shingle) Jaccard near-dup, tau = 1/2.
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2)
+    Dedup.ngramJaccard(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2, tokenHash)
       .orderBy("doc_a", "doc_b")
 
   // D3: MinHash+LSH near-dup, same threshold — candidates via band
   // buckets instead of the full inverted index.
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2)
+    Dedup.minhashLsh(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2, tokenHash)
       .orderBy("doc_a", "doc_b")
 
   // D4 (rows-only): SimHash Hamming<=3 pairs.
