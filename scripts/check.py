@@ -2,24 +2,40 @@
 """Local replica of the driver's correctness gate: run graft.Verify output
 against the DuckDB oracle and diff. Usage:
     python3 scripts/check.py /tmp/verify_out /root/testdata/sf0.01
+The compare is dtype-strict and bit-exact, like the driver's hash: a
+DuckDB HUGEINT sum arriving as float64 next to Spark's int64 FAILS here
+even though the values are numerically equal (Python `99111.0 == 99111`
+is true — that laxness masked 3 driver failures in round 1).
 (Driver-side tooling only — the Scala library never depends on this.)
 """
 import json
-import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+def strict_diff(exp, got):
+    """None if frames are dtype- and bit-identical up to row order,
+    else a human-readable reason."""
+    ed = {c: str(exp[c].dtype) for c in exp.columns}
+    gd = {c: str(got[c].dtype) for c in got.columns}
+    if ed != gd:
+        bad = {c: (ed[c], gd[c]) for c in ed if ed[c] != gd[c]}
+        return f"dtypes differ (oracle, spark): {bad}"
+    cols = list(exp.columns)
+    # driver-like: sorts the whole frame; unsortable cells (arrays) are
+    # a real failure mode there too, so let the exception propagate up
+    exp = exp.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    got = got.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(exp, got, check_exact=True)
+        return None
+    except AssertionError as e:
+        return str(e).split("\n")[0] + " (bit-exact compare)"
 
 
 def main(out_dir, sf_dir):
@@ -55,17 +71,15 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: rows differ oracle={len(exp)} spark={len(got)}")
             n_bad += 1
             continue
-        erows = sorted([tuple(norm(v) for v in r) for r in exp.itertuples(index=False)],
-                       key=repr)
-        grows = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)],
-                       key=repr)
-        bad = [(a, b) for a, b in zip(erows, grows) if a != b]
-        if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(erows)} rows differ; first:")
-            print(f"  oracle: {bad[0][0]}\n  spark:  {bad[0][1]}")
+        try:
+            reason = strict_diff(exp, got)
+        except Exception as e:
+            reason = f"unsortable output (driver would crash too): {e}"
+        if reason:
+            print(f"FAIL {name}: {reason}")
             n_bad += 1
         else:
-            print(f"ok   {name} ({len(erows)} rows)")
+            print(f"ok   {name} ({len(exp)} rows)")
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0

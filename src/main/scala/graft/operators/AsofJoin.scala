@@ -53,9 +53,14 @@ object AsofJoin {
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rCols.foldLeft(rTagged.union(lTagged)) { (acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).select((lCols ++ rCols).map(col): _*)
+    // Carry the right row as ONE struct (null on left-side rows), so a
+    // matched right row whose payload legitimately contains NULLs is
+    // forwarded atomically — per-column fills would stitch together
+    // fields from different right rows.
+    val rRow = when(col("__side") === 0, struct(rCols.map(col): _*))
+    val filled = rTagged.union(lTagged)
+      .withColumn("__r", last(rRow, ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(lCols.map(col) ++ rCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

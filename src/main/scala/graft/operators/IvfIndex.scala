@@ -98,7 +98,7 @@ object IvfIndex {
     broadcast(q).join(index.cells, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", cos)
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))

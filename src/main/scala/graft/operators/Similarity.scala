@@ -89,7 +89,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     broadcast(q).join(n, col("query_id") =!= col("vec_id"))
       .withColumn("cos", cos)
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
@@ -138,7 +138,7 @@ object Similarity {
     broadcast(q).join(n, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", cos)
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("bucket"), col("rnk"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))

@@ -28,7 +28,7 @@ object AnalyticsQueries {
           * (lit(1).cast("decimal(6,4)") + rate(col("l_tax"))))
           .as("sum_charge"),
         r4(avg(col("l_quantity"))).as("avg_qty"),
-        r4(avg(col("l_discount"))).as("avg_disc"),
+        avg4(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -76,7 +76,7 @@ object AnalyticsQueries {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(s, dir, "orders")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_custkey", "rn")
@@ -88,8 +88,8 @@ object AnalyticsQueries {
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        r2(sum(col("value"))).as("sum_value"),
-        r4(avg(col("value"))).as("avg_value"),
+        sum2(col("value")).as("sum_value"),
+        avg4(col("value")).as("avg_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("day", "event_type")
 
@@ -109,7 +109,7 @@ object AnalyticsQueries {
         count(lit(1)).as("n_events"),
         min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"),
-        r2(sum(col("value"))).as("sum_value"))
+        sum2(col("value")).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 
@@ -170,9 +170,9 @@ object AnalyticsQueries {
     t(s, dir, "events")
       .filter(col("user_id") < 10)
       .select(col("event_type"), col("event_id"), r2(col("value")).as("value"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        ntile(4).over(w).as("quartile"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
         r2(lag(col("value"), 1).over(w)).as("prev_value"),
         r2(lead(col("value"), 1).over(w)).as("next_value"),
         r2(sum(col("value")).over(wRun)).as("running_sum"),
@@ -186,7 +186,7 @@ object AnalyticsQueries {
     val e = t(s, dir, "events").filter(col("user_id") < 20)
       .withColumn("day", date_trunc("day", col("ts")).cast("date"))
     val daily = e.groupBy("day", "user_id")
-      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum2(col("value")).as("sum_value"))
     val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
       .crossJoin(e.select(col("user_id")).distinct())
@@ -213,7 +213,7 @@ object AnalyticsQueries {
       .withColumn("day", date_trunc("day", col("ts")).cast("date"))
       .groupBy("day")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(r2(sum(col("value"))))
+      .agg(sum2(col("value")))
       .orderBy("day")
 
   // A18: set operations — (user, day) pairs with a click but no
@@ -254,13 +254,19 @@ object AnalyticsQueries {
 
   // A11 (rows-only): quantile sketch (GK/KLL-style) next to exact
   // percentiles; sketch state is bounded by accuracy, not group size.
+  // Output is flattened to scalar columns — the driver's rows-only
+  // harness sorts the frame, and array cells aren't sortable there.
   def qSketchQuantile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("approx_p"),
-        expr("percentile(value, array(0.5, 0.99))").as("exact_p"),
+        expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("ap"),
+        expr("percentile(value, array(0.5, 0.99))").as("ep"),
         max(col("value")).as("max_value"))
+      .select(col("event_type"),
+        r4(col("ap")(0)).as("approx_p50"), r4(col("ap")(1)).as("approx_p99"),
+        r4(col("ep")(0)).as("exact_p50"), r4(col("ep")(1)).as("exact_p99"),
+        r4(col("max_value")).as("max_value"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -298,16 +304,6 @@ object AnalyticsQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |ORDER BY o_orderkey""".stripMargin,
-    "q_semi_join" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem
-        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-        |ORDER BY o_orderkey""".stripMargin,
-    "q_anti_join" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
-        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-        |ORDER BY o_orderkey""".stripMargin,
     "q_window_suite" ->
       """SELECT event_type, event_id, round(value, 2) AS value,
         |  rank() OVER w AS rnk,
@@ -323,32 +319,32 @@ object AnalyticsQueries {
         |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
         |ORDER BY event_type, rnk, event_id""".stripMargin,
     "q_gap_fill" ->
-      """WITH e AS (SELECT *, CAST(date_trunc('day', ts) AS DATE) AS day
-        |  FROM events WHERE user_id < 20),
-        |daily AS (SELECT day, user_id, count(*) AS n,
-        |    round(sum(value), 2) AS sum_value
-        |  FROM e GROUP BY day, user_id),
-        |spine AS (SELECT unnest(generate_series((SELECT min(day) FROM e),
-        |    (SELECT max(day) FROM e), INTERVAL 1 DAY))::DATE AS day),
-        |slots AS (SELECT day, user_id FROM spine
-        |  CROSS JOIN (SELECT DISTINCT user_id FROM e))
-        |SELECT s.day, s.user_id,
-        |  COALESCE(d.n, 0) AS n, COALESCE(d.sum_value, 0.0) AS sum_value
-        |FROM slots s LEFT JOIN daily d ON s.day = d.day AND s.user_id = d.user_id
-        |ORDER BY s.day, s.user_id""".stripMargin,
+      s"""WITH e AS (SELECT *, CAST(date_trunc('day', ts) AS DATE) AS day
+         |  FROM events WHERE user_id < 20),
+         |daily AS (SELECT day, user_id, count(*) AS n,
+         |    ${sum2Sql("value")} AS sum_value
+         |  FROM e GROUP BY day, user_id),
+         |spine AS (SELECT unnest(generate_series((SELECT min(day) FROM e),
+         |    (SELECT max(day) FROM e), INTERVAL 1 DAY))::DATE AS day),
+         |slots AS (SELECT day, user_id FROM spine
+         |  CROSS JOIN (SELECT DISTINCT user_id FROM e))
+         |SELECT s.day, s.user_id,
+         |  COALESCE(d.n, 0) AS n, COALESCE(d.sum_value, 0.0) AS sum_value
+         |FROM slots s LEFT JOIN daily d ON s.day = d.day AND s.user_id = d.user_id
+         |ORDER BY s.day, s.user_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-    "q_pivot" ->
-      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
-        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
-        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
-        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
-        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view")
+        .map(ty => s"  ${sum2Sql(s"CASE WHEN event_type = '$ty' THEN value END")} AS $ty")
+        .mkString(",\n")
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |$cols
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_setops" ->
       """SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
         |FROM events WHERE event_type = 'click'
@@ -375,7 +371,7 @@ object AnalyticsQueries {
          |  CAST(round(sum($discPrice), 2) AS DOUBLE) AS sum_disc_price,
          |  CAST(round(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
          |  round(avg(l_quantity), 4) AS avg_qty,
-         |  round(avg(l_discount), 4) AS avg_disc,
+         |  ${avg4Sql("l_discount")} AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -414,13 +410,13 @@ object AnalyticsQueries {
         |  FROM orders) WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
     "q_time_bucket" ->
-      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value,
-        |  round(avg(value), 4) AS avg_value,
-        |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         |  count(*) AS n, ${sum2Sql("value")} AS sum_value,
+         |  ${avg4Sql("value")} AS avg_value,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sessionize" ->
-      """WITH x AS (
+      s"""WITH x AS (
         |  SELECT user_id, ts, event_id, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
@@ -432,9 +428,10 @@ object AnalyticsQueries {
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM y)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-        |  round(sum(value), 2) AS sum_value
+        |  ${sum2Sql("value")} AS sum_value
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "q_distinct" ->
@@ -449,7 +446,7 @@ object AnalyticsQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_gt50
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)

@@ -258,7 +258,7 @@ object PipelineQueries {
          | FROM st)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(round(sum(CAST(quality AS DECIMAL(10,4))), 2) AS DOUBLE) AS sum_quality,
-         |  sum(n_tokens) AS sum_tokens
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM q WHERE quality >= 0.5 AND n_tokens >= 20
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_exact" ->
@@ -287,29 +287,6 @@ object PipelineQueries {
          |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
          |       GROUP BY 1, 2)
          |$jaccardTail""".stripMargin,
-    "q_dedup_simhash" -> {
-      val bitSums = (0 until 30).map(j =>
-        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
-        .mkString(",\n       ")
-      val simExpr = (0 until 30).map(j =>
-        s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH $shingleCtes,
-         |hb AS (SELECT doc_id, sh % 1073741824 AS h FROM sh),
-         |bits AS (SELECT doc_id,
-         |       $bitSums
-         |  FROM hb GROUP BY doc_id),
-         |sims AS (SELECT doc_id, $simExpr AS simhash FROM bits),
-         |bands AS (SELECT doc_id, simhash, band,
-         |       (simhash >> (10 * band)) & 1023 AS bv
-         |  FROM sims, (SELECT unnest(generate_series(0, 2)) AS band) b),
-         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |       bit_count(xor(x.simhash, y.simhash)) AS hamming
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-         |FROM pairs WHERE hamming <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
     "q_dedup_simhash" -> {
       val bitSums = (0 until 30).map(j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
@@ -398,14 +375,6 @@ object PipelineQueries {
          |      FROM d)
          |SELECT doc_id, count(*) AS n_tokens, bit_xor(v) AS fp
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_mm_frames" ->
-      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
-         |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx, h FROM m)
-         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-         |  substr(h, 1 + frame_idx * 8, 8) AS frame_hex,
-         |  list_sum(list_transform(generate_series(0, 3),
-         |    i -> CAST('0x' || substr(h, 1 + frame_idx * 8 + 2 * i, 2) AS INTEGER))) / 4.0 AS frame_mean
-         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_mm_frames" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
         |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx, h FROM m)

@@ -102,9 +102,9 @@ object ReferenceQueries {
       val v = when(col("event_type") === ty, col("value"))
       Seq(
         count(v).as(s"n_$ty"),
-        r4(avg(v)).as(s"avg_$ty"),
+        avg4(v).as(s"avg_$ty"),
         max(v).as(s"max_$ty"),
-        r2(sum(v)).as(s"sum_$ty"))
+        sum2(v).as(s"sum_$ty"))
     }
     windowed.groupBy(col("network"))
       .agg(count(lit(1)).as("n_total"), aggs: _*)
@@ -196,9 +196,9 @@ object ReferenceQueries {
         val v = s"CASE WHEN event_type = '$ty' THEN value END"
         Seq(
           s"count($v) AS n_$ty",
-          s"round(avg($v), 4) AS avg_$ty",
+          s"${avg4Sql(v)} AS avg_$ty",
           s"max($v) AS max_$ty",
-          s"round(sum($v), 2) AS sum_$ty")
+          s"${sum2Sql(v)} AS sum_$ty")
       }.mkString(", ")
       s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
          |n AS (SELECT *, ${numToIpSql("(ip_num & 4294967040)")} AS network FROM w)

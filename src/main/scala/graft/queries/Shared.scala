@@ -52,4 +52,28 @@ object Shared {
   /** Defensive rounding for double outputs built from float math. */
   def r4(c: Column): Column = round(c, 4)
   def r2(c: Column): Column = round(c, 2)
+
+  /** Order-independent `round(sum(double), 2)`: the double is decimal-cast
+    * first so the sum is exact (partition order can't move the result by an
+    * ulp the way a raw double sum can), rounded to scale 2 while still
+    * decimal, then double-cast (numerator < 2^53 → single correctly-rounded
+    * step, identical in DuckDB — same discipline as moneySum).
+    */
+  def sum2(c: Column): Column =
+    round(sum(c.cast("decimal(28,10)")), 2).cast("double")
+
+  /** Order-independent `round(avg(double), 4)`. DuckDB's avg(DECIMAL)
+    * returns DOUBLE while Spark's stays decimal, so avg is computed as
+    * exact-decimal-sum (rounded to scale 6 → exact double) divided by the
+    * non-null count in IEEE double: both engines then perform the identical
+    * single division and rounding on identical inputs.
+    */
+  def avg4(c: Column): Column =
+    round(round(sum(c.cast("decimal(28,10)")), 6).cast("double") / count(c), 4)
+
+  /** DuckDB oracle twins of sum2/avg4 (same arithmetic, same order). */
+  def sum2Sql(x: String): String =
+    s"CAST(round(sum(CAST(($x) AS DECIMAL(28,10))), 2) AS DOUBLE)"
+  def avg4Sql(x: String): String =
+    s"round(CAST(round(sum(CAST(($x) AS DECIMAL(28,10))), 6) AS DOUBLE) / count($x), 4)"
 }

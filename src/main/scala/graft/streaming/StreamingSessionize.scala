@@ -53,7 +53,10 @@ object StreamingSessionize {
           val us = e.ts.getTime * 1000L
           open match {
             case Some(s) if us - s.endUs <= gapUs =>
-              open = Some(s.copy(endUs = math.max(s.endUs, us),
+              // startUs can move DOWN: an out-of-order event (still
+              // inside the watermark) may predate the open session.
+              open = Some(s.copy(startUs = math.min(s.startUs, us),
+                endUs = math.max(s.endUs, us),
                 nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
             case Some(s) =>
               closed += ClosedSession(userId, s.startUs, s.endUs, s.nEvents, s.sumValue)

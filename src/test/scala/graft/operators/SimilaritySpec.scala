@@ -26,7 +26,7 @@ class SimilaritySpec extends SparkSuite {
     val q = vecs.filter("vec_id = 1")
     val out = Similarity.bruteTopK(vecs, q, "vec_id", "embedding", 3)
       .collect()
-      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id"),
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id"),
         r.getAs[Double]("cos")))
     assert(out.toSeq == Seq((1, 2L, 1.0), (2, 3L, 0.0), (3, 4L, -1.0)))
   }

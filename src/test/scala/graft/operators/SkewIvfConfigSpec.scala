@@ -70,7 +70,7 @@ class IvfPersistenceSpec extends SparkSuite {
     def rows(ix: IvfIndex.Index) =
       IvfIndex.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 4)
         .collect()
-        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
           r.getAs[Long]("neighbor_id"))).toSet
     assert(rows(loaded) == rows(index) && rows(index).nonEmpty)
   }

@@ -24,8 +24,8 @@ class SketchSpec extends SparkSuite {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[scala.collection.Seq[Double]]("approx_p")
-      val exact = r.getAs[scala.collection.Seq[Double]]("exact_p")
+      val approx = Seq(r.getAs[Double]("approx_p50"), r.getAs[Double]("approx_p99"))
+      val exact = Seq(r.getAs[Double]("exact_p50"), r.getAs[Double]("exact_p99"))
       val mx = r.getAs[Double]("max_value")
       assert(math.abs(approx(0) - exact(0)) <= math.abs(exact(0)) * 0.05 + 1e-9,
         s"p50 approx=${approx(0)} exact=${exact(0)}")
