@@ -36,13 +36,40 @@ object IvfIndex {
 
   /** Squared L2 distance of a vector column to a centroid literal:
     * |v|^2 - 2<v,c> + |c|^2 (nrm2 precomputed; <v,c> via the native
-    * dot expression).
+    * dot expression). |c|^2 is a sequential fold, same order as the
+    * dot expression, so external engines reproduce it bit-exactly.
     */
   private def distToCentroid(v: Column, nrm2: Column,
       c: Array[Double]): Column = {
     val lc = array(c.map(lit).toIndexedSeq: _*)
-    val c2 = c.map(x => x * x).sum
+    val c2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
     nrm2 - lit(2.0) * Similarity.dotD(v, lc) + lit(c2)
+  }
+
+  /** Deterministic IVF-flat build: centroids are the `nlist` vectors
+    * with the smallest ids (sampled centroids, zero Lloyd iterations —
+    * the standard IVF bootstrap before any refinement), and every
+    * vector goes to its L2-nearest centroid, ties to the lower cell.
+    * Unlike the k-means [[build]] (whose distributed float averaging
+    * is partition-order dependent), every number here is reproducible
+    * bit-exactly by an external engine — this is the variant the
+    * DuckDB oracle checks end-to-end.
+    */
+  def buildDeterministic(vecs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Index = {
+    val n = Similarity.withNorm(vecs, idCol, vecCol)
+    val centroids = n.orderBy(col("vec_id")).limit(nlist)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dists = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(distToCentroid(col("v"), col("nrm2"), c).as("d"),
+        lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val cells = n
+      .withColumn("__d", dists)
+      .withColumn("cell", expr("element_at(array_sort(__d), 1).cell"))
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm2"))
+    Index(centroids, cells)
   }
 
   /** Persist an index: cells as parquet bucketed by cell id (searches

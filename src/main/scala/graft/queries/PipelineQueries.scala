@@ -80,7 +80,9 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
-  // S2 (rows-only): LSH-bucketed ANN (8 sign-projection planes).
+  // S2: LSH-bucketed ANN (8 sign-projection planes). Fully
+  // deterministic (md5-derived hyperplanes), so oracle-checked
+  // end-to-end: bucket assignment, probe, and re-rank.
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id",
@@ -88,10 +90,13 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
-  // S3 (rows-only): IVF ANN — k-means cells, nprobe-cell search.
+  // S3: IVF ANN — deterministic sampled-centroid build (the variant an
+  // external engine can reproduce; the k-means build is exercised in
+  // the ScalaTest suite), nprobe-cell search, oracle-checked
+  // end-to-end.
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val index = IvfIndex.build(e, "vec_id", "embedding", nlist = 16)
+    val index = IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16)
     IvfIndex.search(index, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, nprobe = 4)
       .orderBy("query_id", "rnk")
@@ -233,6 +238,17 @@ object PipelineQueries {
       |       list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nrm2
       |     FROM embeddings)""".stripMargin
 
+  /** DuckDB twin of Similarity.lshBucket over column `v`: the plane
+    * literals come from the same md5-derived generator the Spark side
+    * uses, and list_dot_product matches the sequential-fold dot.
+    */
+  private def lshBucketSql(v: String): String =
+    graft.operators.Similarity.hyperplanes(8, 64).zipWithIndex.map {
+      case (p, j) =>
+        val arr = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product($v, $arr) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   private val tokCte =
     """d AS (SELECT doc_id, lang, source, text,
       |       regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin
@@ -345,6 +361,50 @@ object PipelineQueries {
          |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH $normCte,
+         |nb AS (SELECT vec_id, v, nrm2,
+         |         CAST(${lshBucketSql("v")} AS BIGINT) AS bucket
+         |       FROM n),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn, bucket
+         |      FROM nb WHERE vec_id < 10),
+         |s AS (SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.qv, c.v) / sqrt(q.qn * c.nrm2) AS cos
+         |      FROM q JOIN nb c USING (bucket) WHERE q.query_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, bucket, rnk, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH $normCte,
+         |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         v AS cv, nrm2 AS cn
+         |       FROM (SELECT vec_id, v, nrm2 FROM n ORDER BY vec_id LIMIT 16)),
+         |ad AS (SELECT n.vec_id, cc.cell,
+         |         n.nrm2 - 2.0 * list_dot_product(n.v, cc.cv) + cc.cn AS d
+         |       FROM n, cc),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d, cell) AS rn FROM ad)
+         |  WHERE rn = 1),
+         |cells AS (SELECT n.vec_id, a.cell, n.v, n.nrm2
+         |          FROM n JOIN asg a USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn
+         |      FROM n WHERE vec_id < 10),
+         |qp AS (SELECT query_id, qv, qn, cell FROM (
+         |    SELECT q.query_id, q.qv, q.qn, cc.cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY q.qn - 2.0 * list_dot_product(q.qv, cc.cv) + cc.cn,
+         |          cc.cell) AS pr
+         |    FROM q, cc)
+         |  WHERE pr <= 4),
+         |s AS (SELECT qp.query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(qp.qv, c.v) / sqrt(qp.qn * c.nrm2) AS cos
+         |      FROM qp JOIN cells c USING (cell) WHERE qp.query_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_text_stats" ->
       s"""WITH $tokCte,
          |s AS (SELECT doc_id,
@@ -410,6 +470,6 @@ object PipelineQueries {
          |  list_sum(list_transform(generate_series(0, 15),
          |    i -> CAST('0x' || substr(h, 1 + 2*i, 2) AS INTEGER))) / 16.0 AS mean_byte
          |FROM m ORDER BY doc_id""".stripMargin)
-  // q_ann_lsh / q_ann_ivf / sketches are rows-only (approximate or
-  // engine-specific semantics, asserted in the ScalaTest suite).
+  // Sketch queries stay rows-only (engine-specific sketch semantics,
+  // tolerance-asserted in the ScalaTest suite).
 }
