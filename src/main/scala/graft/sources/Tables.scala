@@ -13,21 +13,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-    // type for — read it as a long and truncate to a micros timestamp
-    // (identical to how DuckDB's TIMESTAMP_NS→TIMESTAMP truncation sees
-    // the same value, so both sides of the oracle compare agree).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) {
-      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        // `div` keeps the arithmetic integral (a double round-trip would
-        // lose precision above 2^53 — epoch nanos are ~1.7e18).
-        acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case (acc, _) => acc
-    }
-  }
+  // One logical plan per (session, table): file listing + footer schema
+  // inference run once per session instead of once per query — part of
+  // the per-query constant floor in a 42-query batch. DataFrames are
+  // immutable plans, so sharing one across queries is safe.
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, name), {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
+      // type for — read it as a long and truncate to a micros timestamp
+      // (identical to how DuckDB's TIMESTAMP_NS→TIMESTAMP truncation sees
+      // the same value, so both sides of the oracle compare agree).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.fields.foldLeft(df) {
+        case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+          // `div` keeps the arithmetic integral (a double round-trip would
+          // lose precision above 2^53 — epoch nanos are ~1.7e18).
+          acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case (acc, _) => acc
+      }
+    })
 
   /** Register all tables as temp views named after themselves (what the
     * DuckDB oracle side does too), so spark.sql(...) works symmetrically.
