@@ -39,4 +39,37 @@ object BanSettings {
     shaped.withColumn("payload",
       to_json(struct(shaped.columns.map(col).toIndexedSeq: _*)))
   }
+
+  /** Hostgroup lifecycle plan — the reference's reconciliation loop
+    * (main.go:153-208) as a declarative diff of `generated` (the
+    * [[fromHostgroups]] output, or anything with a `name` column)
+    * against `current` (the deployment's existing hostgroup names).
+    *
+    * removeExisting=true: every current group except `global` is
+    * removed, then every generated group is created (the reference's
+    * RemoveExistingHostgroups sweep). removeExisting=false: only
+    * same-named current groups are removed first (overwrite-by-name;
+    * the reference issues a tolerated-failure removal for EVERY
+    * generated name — the plan keeps just the removals that exist,
+    * the no-op ones having no effect).
+    *
+    * Output: (step, action, name) with step 0 = remove, 1 = create —
+    * consumers apply in step order. Generated payload columns (if
+    * present) ride along on create rows.
+    */
+  def lifecyclePlan(generated: DataFrame, current: DataFrame,
+      removeExisting: Boolean): DataFrame = {
+    val extras = generated.columns.filter(_ != "name").toSeq
+    def pad(df: DataFrame): DataFrame =
+      extras.foldLeft(df)((acc, c) =>
+        acc.withColumn(c, lit(null).cast(generated.schema(c).dataType)))
+    val cur = current.select(col("name"))
+    val removals =
+      if (removeExisting) cur.filter(col("name") =!= "global")
+      else cur.join(generated.select(col("name")), Seq("name"), "left_semi")
+    pad(removals.select(lit(0).as("step"), lit("remove").as("action"), col("name")))
+      .unionByName(generated.select(
+        Seq(lit(1).as("step"), lit("create").as("action"), col("name")) ++
+          extras.map(col): _*))
+  }
 }

@@ -111,6 +111,25 @@ object ReferenceQueries {
       .orderBy("network")
   }
 
+  /** Stand-in for the deployment's pre-existing hostgroups (the
+    * reference's GetAllHostgroups); shared with the oracle SQL.
+    */
+  val currentHostgroups: Seq[String] =
+    Seq("global", "10_0_0_0_26", "stale_group")
+
+  // R7 lifecycle: the reference's reconciliation sweep (main.go:153-208)
+  // — remove all current groups but `global`, create every generated one.
+  def qHostgroupLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val generated = Baseline.hostgroups(hostEvents(s, dir), baselineCfg("max"),
+        netList.map(Cidr.parse))
+      .select(col("hostgroup").as("name"))
+    val current = currentHostgroups.toDF("name")
+    graft.operators.BanSettings
+      .lifecyclePlan(generated, current, removeExisting = true)
+      .orderBy("step", "action", "name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ip_roundtrip" -> qIpRoundtrip,
     "q_cidr_filter" -> qCidrFilter,
@@ -118,6 +137,7 @@ object ReferenceQueries {
     "q_baseline_max" -> qBaselineMax,
     "q_thresholds" -> qThresholds,
     "q_hostgroups" -> qHostgroups,
+    "q_hostgroup_lifecycle" -> qHostgroupLifecycle,
     "q_metrics_wide" -> qMetricsWide)
 
   // ---------------------------------------------------------------- oracle
@@ -141,10 +161,10 @@ object ReferenceQueries {
        |FROM n GROUP BY network ORDER BY network""".stripMargin
   }
 
-  /** Shared CTE for hostgroup oracles: windowed events with network
+  /** Shared CTEs for hostgroup oracles: windowed events with network
     * assignment over the 6 /24s + the three stand-in metrics.
     */
-  private def hostgroupBaseSql(agg: String): String = {
+  private def hostgroupCtes(agg: String): String = {
     val cases = netList.map { n =>
       val c = Cidr.parse(n)
       s"WHEN ip_num BETWEEN ${c.start} AND ${c.end} THEN '${c.networkString}'"
@@ -160,7 +180,11 @@ object ReferenceQueries {
        |  packets_incoming * 2 AS raw_pps,
        |  CAST(floor((bits_incoming * 3) / 1048576) AS BIGINT) AS raw_mbps,
        |  flows_incoming + 200 AS raw_flows
-       |FROM a)
+       |FROM a)""".stripMargin
+  }
+
+  private def hostgroupBaseSql(agg: String): String =
+    s"""${hostgroupCtes(agg)}
        |SELECT network, n_rows, bits_incoming, flows_incoming, packets_incoming,
        |  CASE WHEN raw_pps > 0 THEN raw_pps END AS threshold_pps,
        |  raw_pps > 0 AS threshold_pps_active,
@@ -169,7 +193,6 @@ object ReferenceQueries {
        |  CASE WHEN raw_flows > 0 THEN raw_flows END AS threshold_flows,
        |  raw_flows > 0 AS threshold_flows_active,
        |  replace(replace(network, '.', '_'), '/', '_') AS hostgroup""".stripMargin
-  }
 
   val oracleSql: Map[String, String] = Map(
     "q_ip_roundtrip" ->
@@ -191,6 +214,17 @@ object ReferenceQueries {
       (hostgroupBaseSql("avg") + "\nFROM th ORDER BY network"),
     "q_hostgroups" ->
       (hostgroupBaseSql("max") + ", true AS enable_ban\nFROM th ORDER BY network"),
+    "q_hostgroup_lifecycle" -> {
+      val cur = currentHostgroups.map(n => s"('$n')").mkString(", ")
+      s"""${hostgroupCtes("max")},
+         |gen AS (SELECT replace(replace(network, '.', '_'), '/', '_') AS name FROM th),
+         |cur(name) AS (VALUES $cur)
+         |SELECT * FROM (
+         |  SELECT 0 AS step, 'remove' AS action, name FROM cur WHERE name <> 'global'
+         |  UNION ALL
+         |  SELECT 1 AS step, 'create' AS action, name FROM gen)
+         |ORDER BY step, action, name""".stripMargin
+    },
     "q_metrics_wide" -> {
       val per = eventTypes.flatMap { ty =>
         val v = s"CASE WHEN event_type = '$ty' THEN value END"

@@ -49,4 +49,31 @@ class BanSettingsSpec extends SparkSuite {
     // matching the reference's omitted zero-value field
     assert(!json.contains("threshold_flows"))
   }
+
+  private def plan(removeExisting: Boolean) = {
+    val generated = Seq(("10_0_0_0_24", "p1"), ("10_0_1_0_24", "p2"))
+      .toDF("name", "payload")
+    val current = Seq("global", "10_0_0_0_24", "stale_group").toDF("name")
+    BanSettings.lifecyclePlan(generated, current, removeExisting)
+      .collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("action"),
+        r.getAs[String]("name"), Option(r.getAs[String]("payload"))))
+      .sortBy(t => (t._1, t._3))
+  }
+
+  test("lifecycle plan, remove_existing=true: sweep all but global, then create") {
+    assert(plan(removeExisting = true).toSeq == Seq(
+      (0, "remove", "10_0_0_0_24", None),
+      (0, "remove", "stale_group", None),
+      (1, "create", "10_0_0_0_24", Some("p1")),
+      (1, "create", "10_0_1_0_24", Some("p2"))))
+  }
+
+  test("lifecycle plan, remove_existing=false: overwrite-by-name only") {
+    // stale_group survives; only the name collision is removed first
+    assert(plan(removeExisting = false).toSeq == Seq(
+      (0, "remove", "10_0_0_0_24", None),
+      (1, "create", "10_0_0_0_24", Some("p1")),
+      (1, "create", "10_0_1_0_24", Some("p2"))))
+  }
 }

@@ -36,4 +36,53 @@ class FormatRoundtripSpec extends SparkSuite {
     assert(fingerprints(fromCsv) == base)
     assert(fingerprints(fromJson) == base)
   }
+
+  // The reference reads its events from ClickHouse (main.go:96-104);
+  // here the SAME baseline->thresholds->hostgroups pipeline runs over
+  // events loaded from csv and json and must match the parquet run
+  // row for row — the "any source is a one-line swap" claim, load-bearing.
+  test("baseline hostgroup pipeline is source-agnostic (parquet == csv == json)") {
+    import graft.operators.Baseline
+    import graft.operators.Baseline.{BaselineConfig, ThresholdRule}
+    import graft.functions.IpFunctions.Cidr
+
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.load(spark, dir, "events")
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS" // keep micros through text
+    val csvPath = "/tmp/graft-events-csv"
+    val jsonPath = "/tmp/graft-events-json"
+    events.write.mode("overwrite").option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("timestampFormat", tsFmt).csv(csvPath)
+    events.write.mode("overwrite").option("timestampFormat", tsFmt).json(jsonPath)
+    val fromCsv = spark.read.option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("timestampFormat", tsFmt).schema(events.schema).csv(csvPath)
+    val fromJson = spark.read.option("timestampFormat", tsFmt)
+      .schema(events.schema).json(jsonPath)
+
+    val cfg = BaselineConfig(
+      hostCol = "host", tsCol = "ts", windowSeconds = 7L * 24 * 3600,
+      aggregationFunction = "max",
+      metrics = Map(
+        "packets_incoming" -> col("value"),
+        "bits_incoming" -> (col("value") * 1048576L),
+        "flows_incoming" -> (col("value") / 10)),
+      rules = Seq(
+        ThresholdRule("packets_incoming", "value * 2", "threshold_pps"),
+        ThresholdRule("bits_incoming", "value * 3", "threshold_mbps", divisor = 1048576L),
+        ThresholdRule("flows_incoming", "value + 200", "threshold_flows")))
+    val nets = graft.queries.Shared.netList.map(Cidr.parse)
+
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Baseline.hostgroups(
+          df.withColumn("host", graft.queries.Shared.hostOf(col("user_id"))),
+          cfg, nets)
+        .collect().map(_.toString).sorted.toSeq
+
+    val base = run(events)
+    assert(base.nonEmpty)
+    assert(run(fromCsv) == base)
+    assert(run(fromJson) == base)
+  }
 }
