@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+import org.apache.spark.sql.functions.{bitwise_not, coalesce, lit, pow, regexp_like}
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** The reference evaluates user-configured threshold math ("value * 2",
   * "value + 200") with the govaluate interpreter, once per aggregated row
@@ -10,17 +12,25 @@ import org.apache.spark.sql.functions.lit
   * inside whole-stage codegen, distributed, and constant-folds — a row
   * interpreter would be the non-Spark way.
   *
-  * Grammar (govaluate's expression language as far as threshold
-  * configs reach — arithmetic plus comparisons, boolean logic and the
-  * ternary):
-  *   expr   := or ('?' expr ':' expr)?
+  * Grammar — govaluate's expression language, precedence mirrored from
+  * its planner (tightest first: prefix, **, * / %, + -, << >>, & | ^,
+  * comparators incl. =~ !~, &&, ||, ?: / ??):
+  *   expr   := or (('?' expr ':' expr) | ('??' expr))?
   *   or     := and ('||' and)*
   *   and    := cmp ('&&' cmp)*
-  *   cmp    := sum (('=='|'!='|'<='|'>='|'<'|'>') sum)?
+  *   cmp    := bit (('=='|'!='|'<='|'>='|'<'|'>'|'=~'|'!~') bit)?
+  *   bit    := shift (('&'|'|'|'^') shift)*
+  *   shift  := sum (('<<'|'>>') sum)*
   *   sum    := term (('+'|'-') term)*
-  *   term   := unary (('*'|'/'|'%') unary)*
-  *   unary  := ('-'|'!') unary | atom
-  *   atom   := number | identifier | 'true' | 'false' | '(' expr ')'
+  *   term   := power (('*'|'/'|'%') power)*
+  *   power  := unary ('**' unary)*
+  *   unary  := ('-'|'!'|'~') unary | atom
+  *   atom   := number | string | identifier | 'true' | 'false' | '(' expr ')'
+  * Strings are single- or double-quoted with backslash escapes; =~ / !~
+  * are regex match (Spark regexp_like). Unsupported govaluate tails —
+  * date-string coercion, arrays and the 'in' operator, function calls —
+  * fail the parse with a position-carrying error rather than
+  * misevaluating.
   */
 object ThresholdExpr {
 
@@ -52,7 +62,10 @@ object ThresholdExpr {
     private def expr(): Column = {
       val cond = orExpr()
       skipWs()
-      if (peek == '?') {
+      if (peek2 == "??") { // govaluate nil-coalescing
+        pos += 2
+        coalesce(cond, expr())
+      } else if (peek == '?') {
         pos += 1
         val thenC = expr()
         skipWs()
@@ -86,17 +99,56 @@ object ThresholdExpr {
     }
 
     private def cmp(): Column = {
-      val left = sum()
+      val left = bit()
       skipWs()
       peek2 match {
-        case "==" => pos += 2; left === sum()
-        case "!=" => pos += 2; left =!= sum()
-        case "<=" => pos += 2; left <= sum()
-        case ">=" => pos += 2; left >= sum()
-        case _ if peek == '<' => pos += 1; left < sum()
-        case _ if peek == '>' => pos += 1; left > sum()
+        case "==" => pos += 2; left === bit()
+        case "!=" => pos += 2; left =!= bit()
+        case "<=" => pos += 2; left <= bit()
+        case ">=" => pos += 2; left >= bit()
+        case "=~" => pos += 2; regexp_like(left, bit())
+        case "!~" => pos += 2; !regexp_like(left, bit())
+        case _ if peek == '<' => pos += 1; left < bit()
+        case _ if peek == '>' => pos += 1; left > bit()
         case _ => left
       }
+    }
+
+    // one mixed level, left-assoc, as in govaluate's bitwise stage
+    private def bit(): Column = {
+      var left = shift()
+      var done = false
+      while (!done) {
+        skipWs()
+        if (peek2 == "&&" || peek2 == "||") done = true
+        else peek match {
+          case '&' => pos += 1; left = left.bitwiseAND(shift())
+          case '|' => pos += 1; left = left.bitwiseOR(shift())
+          case '^' => pos += 1; left = left.bitwiseXOR(shift())
+          case _ => done = true
+        }
+      }
+      left
+    }
+
+    private def shift(): Column = {
+      var left = sum()
+      var done = false
+      while (!done) {
+        skipWs()
+        peek2 match {
+          case "<<" =>
+            pos += 2
+            left = Bridge.column(
+              ShiftLeft(Bridge.expression(left), Bridge.expression(sum())))
+          case ">>" =>
+            pos += 2
+            left = Bridge.column(
+              ShiftRight(Bridge.expression(left), Bridge.expression(sum())))
+          case _ => done = true
+        }
+      }
+      left
     }
 
     private def skipWs(): Unit =
@@ -119,16 +171,28 @@ object ThresholdExpr {
     }
 
     private def term(): Column = {
-      var left = unary()
+      var left = power()
       var done = false
       while (!done) {
         skipWs()
         peek match {
-          case '*' => pos += 1; left = left * unary()
-          case '/' => pos += 1; left = left / unary()
-          case '%' => pos += 1; left = left % unary()
+          case '*' => pos += 1; left = left * power()
+          case '/' => pos += 1; left = left / power()
+          case '%' => pos += 1; left = left % power()
           case _ => done = true
         }
+      }
+      left
+    }
+
+    private def power(): Column = {
+      var left = unary()
+      var done = false
+      while (!done) {
+        skipWs()
+        // govaluate's ** is float math.Pow, left-assoc
+        if (peek2 == "**") { pos += 2; left = pow(left, unary()) }
+        else done = true
       }
       left
     }
@@ -137,6 +201,7 @@ object ThresholdExpr {
       skipWs()
       if (peek == '-') { pos += 1; lit(0) - unary() }
       else if (peek == '!') { pos += 1; !unary() }
+      else if (peek == '~') { pos += 1; bitwise_not(unary()) }
       else atom()
     }
 
@@ -150,6 +215,19 @@ object ThresholdExpr {
           require(peek == ')', s"expected ')' at $pos in '$input'")
           pos += 1
           c
+        case '\'' | '"' =>
+          val quote = peek
+          pos += 1
+          val sb = new StringBuilder
+          while (pos < input.length && input.charAt(pos) != quote) {
+            if (input.charAt(pos) == '\\' && pos + 1 < input.length) pos += 1
+            sb += input.charAt(pos)
+            pos += 1
+          }
+          require(pos < input.length,
+            s"unterminated string literal in threshold expression '$input'")
+          pos += 1
+          lit(sb.toString)
         case ch if ch.isDigit || ch == '.' =>
           val start = pos
           while (pos < input.length &&

@@ -59,4 +59,43 @@ class ThresholdExprSpec extends SparkSuite {
   test("trailing garbage rejected") {
     intercept[IllegalArgumentException](eval("value * 2 )", 1))
   }
+
+  test("bitwise operators and shifts (govaluate surface)") {
+    assert(eval("value & 12", 10) == 8.0)
+    assert(eval("value | 5", 10) == 15.0)
+    assert(eval("value ^ 6", 10) == 12.0)
+    assert(eval("value << 3", 5) == 40.0)
+    assert(eval("value >> 2", 40) == 10.0)
+    assert(eval("~value & 255", 0) == 255.0)
+    // shifts bind tighter than the mixed bitwise level (govaluate order)
+    assert(eval("1 | value << 2", 1) == 5.0)
+    // bitwise sits between arithmetic and comparators
+    assert(eval("value & 3 == 2 ? 1 : 0", 6) == 1.0)
+  }
+
+  test("exponent operator") {
+    assert(eval("value ** 2", 5) == 25.0)
+    assert(eval("2 ** value", 10) == 1024.0)
+    assert(eval("value * 2 ** 3", 5) == 40.0)
+  }
+
+  test("string literals, equality and regex match") {
+    def evalS(expr: String, s: String): Double =
+      Seq(s).toDF("v")
+        .select(ThresholdExpr.withValue(expr, col("v")).cast("double"))
+        .as[Double].head()
+    assert(evalS("value == 'alert' ? 1 : 0", "alert") == 1.0)
+    assert(evalS("value == \"alert\" ? 1 : 0", "calm") == 0.0)
+    assert(evalS("value =~ '^10\\.0\\.' ? 1 : 0", "10.0.3.7") == 1.0)
+    assert(evalS("value =~ '^10\\.0\\.' ? 1 : 0", "192.168.0.1") == 0.0)
+    assert(evalS("value !~ 'error' ? 1 : 0", "all good") == 1.0)
+  }
+
+  test("nil coalescing") {
+    val out = Seq[(java.lang.Long, Long)]((null, 1L), (7L, 2L))
+      .toDF("v", "id")
+      .select(ThresholdExpr.withValue("value ?? 42", col("v")).cast("long").as("r"))
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(7L, 42L))
+  }
 }
