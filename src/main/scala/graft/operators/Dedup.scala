@@ -55,9 +55,12 @@ object Dedup {
       .filter(size(col("toks")) >= n)
       .withColumn("th", transform(col("toks"), t => tokenHash(t)))
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, size(th) - $n), i -> $combine)")).as("sh"))
-      .distinct()
+        // distinct-within-doc happens on the in-row gram array
+        // (array_distinct), NOT via .distinct() after the explode:
+        // (doc_id, sh) is already unique across docs, so the global
+        // distinct was a full shuffle buying nothing
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(th) - $n), i -> $combine)"))).as("sh"))
   }
 
   /** Per-pair shared-shingle counts via the inverted index: shuffle on
