@@ -53,6 +53,24 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.length == 2 && out.forall(_.getAs[Double]("price") == 7.5))
   }
 
+  test("matched right row with NULL payload fields is carried atomically") {
+    // the 11:00 quote legitimately has a null venue; a per-column fill
+    // would backfill venue from the older 10:00 row, emitting a
+    // composite right row that never existed
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some("NYSE"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), None, 110.0))
+      .toDF("q_key", "q_ts", "venue", "price")
+    val trades = Seq((10L, 1L, ts("2024-01-01 11:30:00")))
+      .toDF("trade_id", "t_key", "t_ts")
+    val out = AsofJoin.leftAsof(trades, quotes,
+        "t_key", "q_key", "t_ts", "q_ts", rightTieBreak = "price")
+      .collect().head
+    assert(out.getAs[Double]("price") == 110.0)
+    assert(out.isNullAt(out.fieldIndex("venue")),
+      s"venue backfilled from an older right row: ${out.getAs[String]("venue")}")
+  }
+
   test("ties on (key, ts) resolve to the greatest tie-break") {
     val right = Seq(
       (1L, ts("2024-01-01 10:00:00"), 5L),
