@@ -28,6 +28,17 @@ final case class MediaMeta(
   * computes a deterministic fake "decode" from the payload bytes. At
   * deployment the stub body is replaced by a real codec call; nothing
   * else changes.
+  *
+  * mapInPandas equivalence: this is the same executor contract a
+  * Python decoder would use via `df.mapInPandas(fn, schema)` —
+  * iterator of fixed-size batches in, iterator of typed rows out,
+  * decoder state initialized once per partition, output schema
+  * declared up front (the case classes here play the role of the
+  * pandas UDF's schema string). A deployment whose codecs live in
+  * Python swaps `mapPartitions(decodeBatches)` for `mapInPandas`
+  * with a batch size set by `spark.sql.execution.arrow
+  * .maxRecordsPerBatch` — partitioning, schema, and the 1:N frame
+  * fanout shape carry over unchanged.
   */
 object Multimodal {
 
