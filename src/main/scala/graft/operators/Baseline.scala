@@ -58,7 +58,12 @@ object Baseline {
   }
 
   private[graft] def aggFor(fn: String)(c: Column): Column = fn match {
-    case "avg" => avg(c)
+    case "avg" =>
+      // order-independent avg: exact decimal sum → scale-6 round →
+      // one IEEE division. A raw double avg is partition-order
+      // dependent, and the downstream floor() sits on an integer
+      // boundary often enough to flap a reproducibility gate.
+      round(sum(c.cast("decimal(28,10)")), 6).cast("double") / count(c)
     case "max" => max(c)
     case other => throw new IllegalArgumentException(
       s"aggregation_function must be avg or max (main.go:88-91), got $other")

@@ -151,13 +151,22 @@ object ReferenceQueries {
   private val windowSql =
     "ts >= (SELECT max(ts) FROM events) - INTERVAL 604800 SECOND"
 
+  /** DuckDB twin of Baseline.aggFor: avg goes through the same
+    * exact-decimal-sum / single-division contract as the Spark side
+    * (a raw double avg is partition-order dependent under floor).
+    */
+  private def aggSql(agg: String, x: String): String =
+    if (agg == "avg")
+      s"(CAST(round(sum(CAST(($x) AS DECIMAL(28,10))), 6) AS DOUBLE) / count($x))"
+    else s"$agg($x)"
+
   private def baselineSql(agg: String): String = {
     val per = eventTypes.map(ty =>
-      s"CAST(floor($agg(CASE WHEN event_type = '$ty' THEN value END)) AS BIGINT) AS ${agg}_$ty").mkString(", ")
+      s"CAST(floor(${aggSql(agg, s"CASE WHEN event_type = '$ty' THEN value END")}) AS BIGINT) AS ${agg}_$ty").mkString(", ")
     s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
        |n AS (SELECT *, ${numToIpSql("(ip_num & 4294967040)")} AS network FROM w)
        |SELECT network, count(*) AS n_events,
-       |  CAST(floor($agg(value)) AS BIGINT) AS ${agg}_value, $per
+       |  CAST(floor(${aggSql(agg, "value")}) AS BIGINT) AS ${agg}_value, $per
        |FROM n GROUP BY network ORDER BY network""".stripMargin
   }
 
@@ -172,9 +181,9 @@ object ReferenceQueries {
     s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
        |n AS (SELECT *, CASE $cases END AS network FROM w),
        |a AS (SELECT network, count(*) AS n_rows,
-       |  CAST(floor($agg(value * 1048576)) AS BIGINT) AS bits_incoming,
-       |  CAST(floor($agg(value / 10)) AS BIGINT) AS flows_incoming,
-       |  CAST(floor($agg(value)) AS BIGINT) AS packets_incoming
+       |  CAST(floor(${aggSql(agg, "value * 1048576")}) AS BIGINT) AS bits_incoming,
+       |  CAST(floor(${aggSql(agg, "value / 10")}) AS BIGINT) AS flows_incoming,
+       |  CAST(floor(${aggSql(agg, "value")}) AS BIGINT) AS packets_incoming
        |FROM n WHERE network IS NOT NULL GROUP BY network),
        |th AS (SELECT *,
        |  packets_incoming * 2 AS raw_pps,
