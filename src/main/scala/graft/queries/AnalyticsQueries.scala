@@ -207,6 +207,36 @@ object AnalyticsQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  // A24: TPC-H Q9 shape — multi-fact star join (lineitem⋈orders plus
+  // three broadcast dims), profit rollup by nation and year.
+  def qProfitNation(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_name").contains("red"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        moneySum(money(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - rate(col("l_discount"))))
+          .as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("nation", "o_year")
+  }
+
+  // A25: cube — the full grouping-set lattice in one pass (rollup's
+  // superset: per-flag, per-status, both, and the grand total).
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        moneySum(money(col("l_extendedprice"))).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   // A17: pivot — event types to columns, one shuffle.
   def qPivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -290,6 +320,8 @@ object AnalyticsQueries {
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q5_join" -> q5Join,
+    "q_profit_nation" -> qProfitNation,
+    "q_cube" -> qCube,
     "q_topk_window" -> qTopkWindow,
     "q_time_bucket" -> qTimeBucket,
     "q_sessionize" -> qSessionize,
@@ -343,6 +375,23 @@ object AnalyticsQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_profit_nation" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  CAST(round(sum($discPrice), 2) AS DOUBLE) AS sum_profit,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_pivot" -> {
       val cols = Seq("click", "error", "purchase", "signup", "view")
