@@ -180,6 +180,24 @@ object AnalyticsQueries {
       .orderBy("event_type", "rnk", "event_id")
   }
 
+  // A26: event-time moving aggregate — trailing 1-hour count/sum per
+  // user evaluated at every event, via a RANGE frame over epoch
+  // micros (the ClickHouse moving-aggregate shape; ROWS frames can't
+  // express "last hour"). The windowed sum is decimal-exact so tied
+  // timestamps can't reorder a double sum.
+  def qMovingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value").cast("decimal(28,10)")).over(w), 2)
+          .cast("double").as("sum_1h"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
   // A20: date-spine gap filling (ClickHouse WITH FILL analog) — every
   // (day, user) slot over the observed range, zeros where silent.
   def qGapFill(s: SparkSession, dir: String): DataFrame = {
@@ -322,6 +340,7 @@ object AnalyticsQueries {
     "q5_join" -> q5Join,
     "q_profit_nation" -> qProfitNation,
     "q_cube" -> qCube,
+    "q_moving_window" -> qMovingWindow,
     "q_topk_window" -> qTopkWindow,
     "q_time_bucket" -> qTimeBucket,
     "q_sessionize" -> qSessionize,
@@ -401,6 +420,15 @@ object AnalyticsQueries {
          |$cols
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q_moving_window" ->
+      """SELECT user_id, event_id, us,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(round(sum(CAST(value AS DECIMAL(28,10))) OVER w, 2) AS DOUBLE) AS sum_1h
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |      FROM events WHERE user_id < 50)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
     "q_setops" ->
       """SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
         |FROM events WHERE event_type = 'click'
