@@ -165,6 +165,56 @@ object Dedup {
     jaccardFilter(shared, sets, num, den)
   }
 
+  /** D6: near-dup cluster resolution — connected components over the
+    * pair graph, labeling every doc with the minimum doc id of its
+    * component (the canonical "keep" id real dedup pipelines key on:
+    * keep one representative per near-dup cluster, not per pair).
+    *
+    * Hash-min label propagation: every doc starts as its own label;
+    * each round takes the min label across neighbors; converges in
+    * `diameter(component)` rounds. Near-dup clusters are shallow
+    * (duplicates of a common source), so the loop exits after 2-4
+    * rounds on real corpora; `maxIters` bounds adversarial chains.
+    * Each round is one join + one groupBy — all distributed; the
+    * driver only sequences rounds and checks the (scalar) convergence
+    * count. localCheckpoint truncates the iterative lineage so round
+    * N's plan doesn't replay rounds 1..N-1.
+    */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 10): DataFrame = {
+    // materialize the edge list ONCE: every round joins against it,
+    // and without this each round's fresh plan would re-run the whole
+    // upstream pair-generation pipeline
+    val edges = pairs
+      .select(col("doc_a").as("v"), col("doc_b").as("u"))
+      .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
+      .localCheckpoint(true)
+    var labels = df.select(col(idCol).as("v"), col(idCol).as("cluster_id"))
+      .localCheckpoint(true)
+    def labelSum(l: DataFrame): Long =
+      l.agg(sum(col("cluster_id"))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // one round = one shuffle: own label and neighbors' labels union
+      // into a single min-aggregation. Convergence detection is free:
+      // the label sum is strictly decreasing until the fixpoint.
+      val neighborLabels = edges
+        .join(labels.select(col("v").as("u"), col("cluster_id")), "u")
+        .select(col("v"), col("cluster_id"))
+      labels = labels.union(neighborLabels)
+        .groupBy("v")
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("cluster_id"))
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** Universal-hash family h_i(x) = (a_i*x + b_i) mod P over 30-bit

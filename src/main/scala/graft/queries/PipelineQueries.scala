@@ -66,6 +66,16 @@ object PipelineQueries {
         maxBucket = SimhashMaxBucket)
       .orderBy("doc_a", "doc_b")
 
+  // D6: near-dup cluster resolution — connected components over the
+  // MinHash+LSH pair graph; every doc labeled with its cluster's
+  // minimum doc id (singletons label themselves).
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 1, 2, tokenHash)
+      .select("doc_a", "doc_b")
+    Dedup.clusters(corpus, "doc_id", pairs).orderBy("doc_id")
+  }
+
   // D5: embedding cosine near-dup, label-blocked, tau = 0.3.
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -178,6 +188,7 @@ object PipelineQueries {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embed" -> qDedupEmbed,
     "q_ann_topk" -> qAnnTopk,
@@ -231,6 +242,25 @@ object PipelineQueries {
       .mkString(" || '_' || ")
     s"SELECT doc_id, $j AS band, md5($parts) AS bh FROM mh"
   }.mkString("\n  UNION ALL ")
+
+  /** Full MinHash candidate + shared-count CTE chain (through `pr` and
+    * `sz`), shared by the pair query and the cluster query.
+    */
+  private lazy val minhashPrCtes =
+    s"""$shingleCtes,
+       |mh AS (SELECT doc_id,
+       |       $minhashSelect
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandUnion),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |          AND x.doc_id < y.doc_id),
+       |pr AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |       FROM cand c
+       |       JOIN sh a ON a.doc_id = c.doc_a
+       |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |       GROUP BY 1, 2)""".stripMargin
 
   /** Embeddings + squared norms, double-cast once (mirrors withNorm). */
   private val normCte =
@@ -303,21 +333,22 @@ object PipelineQueries {
          |       GROUP BY 1, 2)
          |$jaccardTail""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH $shingleCtes,
-         |mh AS (SELECT doc_id,
-         |       $minhashSelect
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandUnion),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
-         |          AND x.doc_id < y.doc_id),
-         |pr AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
-         |       FROM cand c
-         |       JOIN sh a ON a.doc_id = c.doc_a
-         |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-         |       GROUP BY 1, 2)
+      s"""WITH $minhashPrCtes
          |$jaccardTail""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPrCtes,
+         |jp AS (SELECT p.doc_a, p.doc_b
+         |       FROM pr p JOIN sz sa ON p.doc_a = sa.doc_id
+         |       JOIN sz sb ON p.doc_b = sb.doc_id
+         |       WHERE 3 * p.shared >= sa.n + sb.n),
+         |edges AS (SELECT doc_a AS v, doc_b AS u FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(v, m) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.v, r.m FROM edges e JOIN reach r ON r.v = e.u)
+         |SELECT v AS doc_id, min(m) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> {
       val bitSums = (0 until 30).map(j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")

@@ -73,4 +73,25 @@ class DedupSpec extends SparkSuite {
     val rows = sig.filter("doc_id IN (1, 2)").drop("doc_id").collect()
     assert(rows(0) == rows(1))
   }
+
+  test("cluster resolution labels transitive components with the min id") {
+    // chain 1-2, 2-5 (transitive: 5 never paired with 1 directly),
+    // isolated pair 7-9, singleton 8
+    val ids = Seq(1L, 2L, 5L, 7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(ids, "doc_id", pairs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 8L, 9L -> 7L))
+  }
+
+  test("cluster resolution converges on a long chain within maxIters") {
+    val n = 12
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(ids, "doc_id", pairs, maxIters = 15)
+      .collect().map(r => r.getAs[Long]("cluster_id")).distinct
+    assert(out.toSeq == Seq(1L))
+  }
 }
