@@ -112,6 +112,19 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // P2: deterministic train/val/test split (80/10/10 by id hash).
+  def qSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", 80, 10)
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id")
+
+  // P3: stratified 10% sample — same rate per language stratum.
+  def qSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", 100)
+      .orderBy("doc_id")
+
   // T1: per-document quality stats.
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")
@@ -194,6 +207,8 @@ object PipelineQueries {
     "q_ann_topk" -> qAnnTopk,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_split" -> qSplit,
+    "q_sample" -> qSample,
     "q_text_stats" -> qTextStats,
     "q_langid" -> qLangid,
     "q_token_count" -> qTokenCount,
@@ -436,6 +451,20 @@ object PipelineQueries {
          |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_split" -> {
+      val b = graft.operators.Sampling.bucketOfSql("doc_id", "split", 100)
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $b < 80 THEN 'train'
+         |       WHEN $b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_sample" -> {
+      val b = graft.operators.Sampling.bucketOfSql(
+        "lang || '|' || CAST(doc_id AS VARCHAR)", "sample", 1000)
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $b < 100 ORDER BY doc_id""".stripMargin
+    },
     "q_text_stats" ->
       s"""WITH $tokCte,
          |s AS (SELECT doc_id,

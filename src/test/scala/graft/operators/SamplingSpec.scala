@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = (1L to 2000L).map(i => (i, s"lang${i % 4}"))
+    .toDF("doc_id", "lang")
+
+  test("hash split is deterministic, exhaustive, and near the target ratios") {
+    val out = Sampling.hashSplit(docs, "doc_id", 80, 10)
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(math.abs(counts("train") - 1600L) < 100, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 200L) < 60, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 200L) < 60, s"test=${counts("test")}")
+    // repartitioning must not move any row between splits (randomSplit
+    // does not survive this)
+    val again = Sampling.hashSplit(docs.repartition(7), "doc_id", 80, 10)
+    assert(out.select("doc_id", "split").except(
+      again.select("doc_id", "split")).isEmpty)
+  }
+
+  test("stratified sample keeps ~the same rate in every stratum") {
+    val kept = Sampling.stratifiedSample(docs, "lang", "doc_id", 100)
+    val rates = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 docs per stratum at 10% -> ~50 each
+    (0 until 4).foreach { i =>
+      val n = rates.getOrElse(s"lang$i", 0L)
+      assert(n > 20 && n < 90, s"lang$i kept $n of 500")
+    }
+    // growing the corpus never changes an existing row's fate
+    val keptSmall = Sampling.stratifiedSample(
+      docs.filter(col("doc_id") <= 1000), "lang", "doc_id", 100)
+    assert(keptSmall.except(kept.filter(col("doc_id") <= 1000)).isEmpty)
+  }
+
+  test("rejects invalid percentages") {
+    intercept[IllegalArgumentException](Sampling.hashSplit(docs, "doc_id", 80, 30))
+    intercept[IllegalArgumentException](Sampling.stratifiedSample(docs, "lang", "doc_id", 1500))
+  }
+}
