@@ -108,4 +108,68 @@ object TextAnalysis {
         expr("(shiftleft(h, s) | shiftright(h, 30 - s)) & 1073741823").as("v"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), expr("bit_xor(v)").as("fp"))
+
+  /** T5: intra-document repetition metrics (the Gopher-style filters
+    * real curation pipelines gate on): the fraction of tokens that are
+    * the single most frequent token, and the duplicate-2/3-gram
+    * fractions. Entirely in-row (higher-order lambdas over the token
+    * array) — zero shuffle, so per-row cost is bounded by document
+    * length and the operator is a pure map at any corpus size. The
+    * repetitive flag compares integer counts (n*top >= thr*total), so
+    * no float boundary can disagree with the oracle.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def dupFrac(n: Int): Column = {
+      val grams = expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+           |  i -> ${(0 until n).map(k => s"element_at(toks, i + $k)").mkString("concat_ws(' ', ", ", ", ")")})""".stripMargin)
+      val total = size(col("toks")) - (n - 1)
+      round((total - size(array_distinct(grams))) / total.cast("double"), 4)
+    }
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("top_n", expr(
+        "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+        .cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("top_n"),
+        round(col("top_n") / col("n_tokens"), 4).as("top_token_frac"),
+        dupFrac(2).as("dup_2gram_frac"),
+        dupFrac(3).as("dup_3gram_frac"),
+        // top token > 20% of the doc — integer-exact threshold
+        (col("top_n") * 5 > col("n_tokens")).as("is_repetitive"))
+  }
+
+  // -------------------------------------------------------------- T6: PII
+  // Patterns restricted to the syntax Java regex and RE2 share, so the
+  // oracle engine applies the identical automaton.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongNumRe = "\\b[0-9]{6,}\\b"
+
+  /** T6: PII detection + redaction — per-document match counts for
+    * email / IPv4 / long-number patterns and the scrubbed text
+    * (replaced in that order, so an address inside an email is counted
+    * once as email). Pure map: codegen'd regex over each row, no
+    * shuffle; `redacted_hash` lets an auditor verify the scrub without
+    * shipping the text.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+    val afterEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    df.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ipv4"),
+      size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0)))
+        .cast("long").as("n_longnum"),
+      scrubbed.as("redacted"),
+      md5(scrubbed).as("redacted_hash"))
+  }
 }

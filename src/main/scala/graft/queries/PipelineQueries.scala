@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Quantization, Sampling, Similarity, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -114,16 +114,31 @@ object PipelineQueries {
 
   // P2: deterministic train/val/test split (80/10/10 by id hash).
   def qSplit(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sampling.hashSplit(
+    Sampling.hashSplit(
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", 80, 10)
       .select("doc_id", "lang", "split")
       .orderBy("doc_id")
 
   // P3: stratified 10% sample — same rate per language stratum.
   def qSample(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sampling.stratifiedSample(
+    Sampling.stratifiedSample(
         t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", 100)
       .orderBy("doc_id")
+
+  // C1: train/test 5-gram contamination over the hash split — the
+  // decontamination audit a benchmark split goes through before its
+  // numbers are trusted.
+  def qContamination(s: SparkSession, dir: String): DataFrame =
+    Contamination.ngramOverlap(
+        Sampling.hashSplit(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", 80, 10),
+        "doc_id", "text", "split", n = 5)
+      .orderBy("doc_id")
+
+  // E1: int8 symmetric quantization report per embedding vector.
+  def qEmbedQuant(s: SparkSession, dir: String): DataFrame =
+    Quantization.int8Report(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
 
   // T1: per-document quality stats.
   def qTextStats(s: SparkSession, dir: String): DataFrame =
@@ -145,7 +160,30 @@ object PipelineQueries {
     TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
-  // T5: per-language token heavy hitters via the custom Misra-Gries
+  // T5: intra-document repetition metrics (Gopher-style filters).
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // T6: PII detection + redaction. The corpus is synthetic-clean, so
+  // the query plants deterministic PII (derived from doc_id) and the
+  // operator must find and scrub exactly that.
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), (col("doc_id") % 50).cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com from 10."),
+        (col("doc_id") % 200).cast("string"), lit(".3."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" ref "), (lit(7000000L) + col("doc_id") * 37L).cast("string"))
+        .as("text"))
+    TextAnalysis.piiScrub(injected, "doc_id", "text")
+      .drop("redacted")
+      .orderBy("doc_id")
+  }
+
+  // A16: per-language token heavy hitters via the custom Misra-Gries
   // TypedImperativeAggregate. k=64 exceeds every group's distinct
   // token count (31), so the sketch is exact here and the oracle can
   // check it; under-k domains are where MG guarantees exactness.
@@ -209,10 +247,14 @@ object PipelineQueries {
     "q_ann_ivf" -> qAnnIvf,
     "q_split" -> qSplit,
     "q_sample" -> qSample,
+    "q_contamination" -> qContamination,
+    "q_embed_quant" -> qEmbedQuant,
     "q_text_stats" -> qTextStats,
     "q_langid" -> qLangid,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
+    "q_repetition" -> qRepetition,
+    "q_pii_scrub" -> qPiiScrub,
     "q_mm_meta" -> qMmMeta,
     "q_mm_frames" -> qMmFrames,
     "q_heavy_hitters" -> qHeavyHitters)
@@ -465,6 +507,50 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $b < 100 ORDER BY doc_id""".stripMargin
     },
+    "q_contamination" -> {
+      val b = Sampling.bucketOfSql("doc_id", "split", 100)
+      val combine5 = {
+        import graft.operators.Dedup.ShingleCoef
+        (0 until 5).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+      }
+      s"""WITH d AS (SELECT doc_id, text,
+         |       CASE WHEN $b < 80 THEN 'train'
+         |            WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+         |     FROM documents),
+         |tok AS (SELECT doc_id, split,
+         |        regexp_split_to_array(trim(text), '\\s+') AS toks FROM d),
+         |th AS (SELECT doc_id, split, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |       FROM tok WHERE len(toks) >= 5),
+         |sh AS (SELECT DISTINCT doc_id, split, $combine5 AS sh
+         |       FROM (SELECT doc_id, split, th,
+         |             unnest(generate_series(1, len(th) - 4)) AS i FROM th) x),
+         |tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+         |te AS (SELECT doc_id, sh FROM sh WHERE split = 'test'),
+         |j AS (SELECT te.doc_id, count(*) AS n_shingles,
+         |        CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |      FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY te.doc_id)
+         |SELECT doc_id, n_shingles, n_hit,
+         |  round(n_hit / n_shingles, 4) AS overlap_frac,
+         |  (n_hit * 5 >= n_shingles * 1) AS contaminated
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
+    "q_embed_quant" -> {
+      val codeOf = (x: String) =>
+        s"greatest(-127.0, least(127.0, round(($x) / scale, 0)))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+         |sc AS (SELECT vec_id, v, amax, amax / 127.0 AS scale FROM a)
+         |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+         |  round(scale, 6) AS scale,
+         |  CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(len(list_filter(v, x -> abs(${codeOf("x")}) >= 127.0)) AS BIGINT)
+         |  END AS n_sat,
+         |  CASE WHEN amax = 0 THEN 0.0
+         |       ELSE round(list_max(list_transform(v,
+         |              x -> abs(x - ${codeOf("x")} * scale))), 6)
+         |  END AS max_abs_err
+         |FROM sc ORDER BY vec_id""".stripMargin
+    },
     "q_text_stats" ->
       s"""WITH $tokCte,
          |s AS (SELECT doc_id,
@@ -505,6 +591,43 @@ object PipelineQueries {
          |  CAST(sum(len(regexp_extract_all(text, '$bpeRegexSql'))) AS BIGINT) AS bpe_tokens,
          |  round(avg(len(regexp_extract_all(text, '$bpeRegexSql'))), 4) AS avg_bpe_per_doc
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_repetition" ->
+      s"""WITH $tokCte,
+         |s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 3),
+         |m AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(list_max(list_transform(list_distinct(toks),
+         |    t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_n,
+         |  list_transform(generate_series(1, n - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+         |  list_transform(generate_series(1, n - 2),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3,
+         |  n FROM s)
+         |SELECT doc_id, n_tokens, top_n,
+         |  round(top_n / n_tokens, 4) AS top_token_frac,
+         |  round((n - 1 - len(list_distinct(g2))) / CAST(n - 1 AS DOUBLE), 4) AS dup_2gram_frac,
+         |  round((n - 2 - len(list_distinct(g3))) / CAST(n - 2 AS DOUBLE), 4) AS dup_3gram_frac,
+         |  (top_n * 5 > n_tokens) AS is_repetitive
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" -> {
+      import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, LongNumRe}
+      s"""WITH p AS (SELECT doc_id, text
+         |    || ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+         |    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+         |    || '.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+         |    || '.3.' || CAST(doc_id % 100 AS VARCHAR)
+         |    || ' ref ' || CAST(7000000 + doc_id * 37 AS VARCHAR) AS text
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS after_email FROM p),
+         |r2 AS (SELECT *, regexp_replace(after_email, '$Ipv4Re', '<IP>', 'g') AS after_ip FROM r1),
+         |r3 AS (SELECT *, regexp_replace(after_ip, '$LongNumRe', '<NUM>', 'g') AS redacted FROM r2)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(after_email, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(after_ip, '$LongNumRe')) AS BIGINT) AS n_longnum,
+         |  md5(redacted) AS redacted_hash
+         |FROM r3 ORDER BY doc_id""".stripMargin
+    },
     "q_fingerprint" ->
       s"""WITH $tokCte,
          |r AS (SELECT doc_id, unnest(list_transform(toks, (t, i) ->

@@ -45,4 +45,42 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fps(1L) == fps(3L))
     assert(fps(1L) != fps(2L))
   }
+
+  test("repetition flags the degenerate doc and passes the varied one") {
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),          // top token 4/5
+      (2L, "one two three four five six"),      // all distinct
+      (3L, "a b a b a b a b"))                  // dup 2-grams
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Boolean]("is_repetitive"))
+    assert(m(1L).getAs[Double]("top_token_frac") == 0.8)
+    assert(!m(2L).getAs[Boolean]("is_repetitive"))
+    assert(m(2L).getAs[Double]("dup_2gram_frac") == 0.0)
+    // "a b a b a b a b": 7 2-grams, 2 distinct -> 5/7
+    assert(m(3L).getAs[Double]("dup_2gram_frac") == math.rint(5.0 / 7.0 * 1e4) / 1e4)
+    assert(m(3L).getAs[Long]("top_n") == 4L)
+  }
+
+  test("repetition drops docs shorter than 3 tokens") {
+    val docs = Seq((1L, "one two"), (2L, "x y z")).toDF("doc_id", "text")
+    assert(TextAnalysis.repetition(docs, "doc_id", "text").count() == 1L)
+  }
+
+  test("piiScrub counts and redacts emails, IPs, long numbers in order") {
+    val docs = Seq(
+      (1L, "mail bob.smith@corp.example.com from 10.1.2.34 ref 1234567 ok"),
+      (2L, "clean text with short 123 number"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_email") == 1L)
+    assert(m(1L).getAs[Long]("n_ipv4") == 1L)
+    assert(m(1L).getAs[Long]("n_longnum") == 1L)
+    assert(m(1L).getAs[String]("redacted") ==
+      "mail <EMAIL> from <IP> ref <NUM> ok")
+    assert(m(2L).getAs[Long]("n_email") == 0L)
+    assert(m(2L).getAs[String]("redacted") == "clean text with short 123 number")
+  }
 }
