@@ -51,4 +51,35 @@ object Sampling {
       col(idCol).cast("string"))
     df.filter(bucketOf(key, salt, 1000) < permille)
   }
+
+  /** P5: source mixing — downsample each source toward a target mix.
+    * `shares(source)` is the share of the output each source should
+    * contribute (missing sources get `defaultShare`), `totalFrac` the
+    * output size as a fraction of the corpus. Per-source keep
+    * threshold: min(1, totalFrac * N * share / n_source), applied as a
+    * deterministic id-hash cut — so the kept set is reproducible,
+    * retry-stable, and stable under repartitioning. Oversubscribed
+    * sources (share asking for more rows than exist) cap at keep-all
+    * rather than upsampling.
+    *
+    * Scale shape: the per-source counts are one partial-aggregated
+    * groupBy producing a sources-sized table that broadcast-joins back
+    * onto the corpus — no shuffle of the data rows at all.
+    */
+  def mixSample(df: DataFrame, idCol: String, sourceCol: String,
+      shares: Seq[(String, Double)], defaultShare: Double,
+      totalFrac: Double, salt: String = "mix"): DataFrame = {
+    val shareExpr = shares.foldLeft(lit(defaultShare)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val total = df.select(count(lit(1)).as("__total"))
+    df.join(broadcast(counts), sourceCol)
+      .crossJoin(broadcast(total))
+      .withColumn("__thr", least(lit(1000000L),
+        floor(lit(1e6) * lit(totalFrac) * col("__total") * shareExpr / col("__n"))
+          .cast("long")))
+      .filter(bucketOf(col(idCol), salt, 1000000) < col("__thr"))
+      .drop("__n", "__total", "__thr")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Quantization, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -140,6 +140,27 @@ object PipelineQueries {
     Quantization.int8Report(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  // P4: concat-and-chunk sequence packing, 128-token blocks per source
+  // shard.
+  def qSeqPack(s: SparkSession, dir: String): DataFrame =
+    Packing.concatChunk(t(s, dir, "documents"), "doc_id", "text", "source", 128L)
+      .orderBy("doc_id")
+
+  /** Source-mix literals shared by the Spark query and its oracle —
+    * boost three sources, spread the rest; the same Scala doubles are
+    * printed into the SQL so both engines multiply identical values.
+    */
+  val MixShares: Seq[(String, Double)] =
+    Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1)
+  val MixDefaultShare: Double = 0.4 / 17.0
+  val MixTotalFrac: Double = 0.5
+
+  // P5: deterministic source mixing toward target shares.
+  def qSourceMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixSample(t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", MixShares, MixDefaultShare, MixTotalFrac)
+      .orderBy("doc_id")
+
   // T1: per-document quality stats.
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")
@@ -249,6 +270,8 @@ object PipelineQueries {
     "q_sample" -> qSample,
     "q_contamination" -> qContamination,
     "q_embed_quant" -> qEmbedQuant,
+    "q_seq_pack" -> qSeqPack,
+    "q_source_mix" -> qSourceMix,
     "q_text_stats" -> qTextStats,
     "q_langid" -> qLangid,
     "q_token_count" -> qTokenCount,
@@ -591,6 +614,32 @@ object PipelineQueries {
          |  CAST(sum(len(regexp_extract_all(text, '$bpeRegexSql'))) AS BIGINT) AS bpe_tokens,
          |  round(avg(len(regexp_extract_all(text, '$bpeRegexSql'))), 4) AS avg_bpe_per_doc
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_seq_pack" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |     FROM documents),
+         |w AS (SELECT doc_id, source AS shard, n_tokens,
+         |       CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS end_off
+         |     FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  end_off - n_tokens AS start_off,
+         |  (end_off - n_tokens) // 128 AS first_pack,
+         |  (end_off - 1) // 128 AS last_pack,
+         |  (end_off - n_tokens) % 128 AS pack_offset
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "q_source_mix" -> {
+      val caseExpr = MixShares
+        .map { case (s, w) => s"WHEN '$s' THEN CAST($w AS DOUBLE)" }
+        .mkString("CASE d.source ", " ", s" ELSE CAST($MixDefaultShare AS DOUBLE) END")
+      val b = Sampling.bucketOfSql("doc_id", "mix", 1000000)
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |t AS (SELECT count(*) AS total FROM documents),
+         |s AS (SELECT d.doc_id, d.source AS source, c.n, t.total, $caseExpr AS share
+         |      FROM documents d JOIN c ON c.source = d.source CROSS JOIN t)
+         |SELECT doc_id, source FROM s
+         |WHERE $b < least(1000000, CAST(floor(1e6 * $MixTotalFrac * total * share / n) AS BIGINT))
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_repetition" ->
       s"""WITH $tokCte,
          |s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 3),

@@ -44,4 +44,23 @@ class SamplingSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sampling.hashSplit(docs, "doc_id", 80, 30))
     intercept[IllegalArgumentException](Sampling.stratifiedSample(docs, "lang", "doc_id", 1500))
   }
+
+  test("mixSample hits target shares and caps oversubscribed sources") {
+    // lang0..lang3 with 500 docs each; boost lang0 far beyond its size
+    val kept = Sampling.mixSample(docs, "doc_id", "lang",
+      Seq("lang0" -> 0.9), defaultShare = 0.1 / 3.0, totalFrac = 0.5)
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // lang0 threshold = min(1, 0.5*2000*0.9/500) = 1 -> keep all 500
+    assert(counts("lang0") == 500L)
+    // others: keep rate 0.5*2000*(0.1/3)/500 = 1/15 of 500 ~ 33
+    (1 to 3).foreach { i =>
+      val n = counts.getOrElse(s"lang$i", 0L)
+      assert(n > 10 && n < 60, s"lang$i kept $n")
+    }
+    // deterministic under repartitioning
+    val again = Sampling.mixSample(docs.repartition(7), "doc_id", "lang",
+      Seq("lang0" -> 0.9), defaultShare = 0.1 / 3.0, totalFrac = 0.5)
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+  }
 }
