@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, IntervalJoin}
 import Shared._
 
 /** SURVEY.md §2.2 — the general-analytics surface ClickHouse gave the
@@ -324,7 +324,25 @@ object AnalyticsQueries {
         r4(col("max_value")).as("max_value"))
       .orderBy("event_type")
 
+  // A23: interval join — purchases within an hour of a click, per
+  // user, via the bucketized window equi-join (never a per-key
+  // cartesian product).
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    IntervalJoin.forwardWindow(clicks, buys, "user_id",
+        "click_ts", "buy_ts", 3600000000L)
+      .select("user_id", "click_id", "buy_id", "delta_us")
+      .orderBy("click_id", "buy_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> qIntervalJoin,
     "q_asof_join" -> qAsofJoin,
     "q_rollup" -> qRollup,
     "q_window_suite" -> qWindowSuite,
@@ -436,6 +454,15 @@ object AnalyticsQueries {
         |SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin,
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id,
+        |  b.us - a.us AS delta_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.us >= a.us AND b.us - a.us <= 3600000000
+        |ORDER BY click_id, buy_id""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (
         |  SELECT * FROM (
