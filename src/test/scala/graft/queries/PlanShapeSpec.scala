@@ -57,4 +57,33 @@ class PlanShapeSpec extends SparkSuite {
     // (plus none keyed by anything but network)
     assert("HashAggregate".r.findAllIn(plan).length >= 2)
   }
+
+  test("interval join: equi-join on (key, bin), never a cartesian/range probe") {
+    val plan = planOf(AnalyticsQueries.qIntervalJoin(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"range-probe plan:\n$plan")
+  }
+
+  test("contamination: one hash-keyed overlap join, event filters stay cheap") {
+    val plan = planOf(PipelineQueries.qContamination(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"test x train blowup:\n$plan")
+  }
+
+  test("quantization and repetition are pure maps: zero exchanges before the sort") {
+    for ((name, q) <- Seq(
+        ("q_embed_quant", PipelineQueries.qEmbedQuant _),
+        ("q_repetition", PipelineQueries.qRepetition _),
+        ("q_pii_scrub", PipelineQueries.qPiiScrub _))) {
+      // the only exchange allowed is the final presentation orderBy
+      val plan = planOf(q(spark, dir))
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 0, s"$name gained a keyed shuffle:\n$plan")
+    }
+  }
+
+  test("source mix: counts broadcast back, data rows never shuffled by key") {
+    val plan = planOf(PipelineQueries.qSourceMix(spark, dir))
+    assert(plan.contains("BroadcastExchange"), s"counts not broadcast:\n$plan")
+  }
 }
