@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{IpFunctions, Ip6Expressions}
@@ -148,6 +149,46 @@ object Baseline {
     withThresholds
       .withColumn("hostgroup",
         regexp_replace(regexp_replace(col("network"), "\\.", "_"), "/", "_"))
+  }
+
+  /** R14 (beyond the reference's avg/max): exact percentile baseline
+    * per fixed-prefix network — the p95-style threshold detectors
+    * prefer over avg because a single traffic spike cannot drag it.
+    * The percentile `num/den` selects the first value whose rank
+    * covers it, via INTEGER arithmetic (rank*den >= num*n): both
+    * engines pick the identical data element — no interpolation, no
+    * float boundary to disagree on. Duplicate values are safe (the
+    * k-th smallest value is unique even when row_number ties are not).
+    *
+    * Scale: one rank window per network (sort shuffle keyed by
+    * network). This is the exact-training counterpart; the
+    * constant-memory serving path at 100 TB is the quantile sketch
+    * (AnalyticsQueries.qSketchQuantile).
+    */
+  def percentileByPrefix(
+      df: DataFrame,
+      hostCol: String,
+      valueCol: String,
+      tsCol: String,
+      windowSeconds: Long,
+      prefix: Int,
+      num: Long,
+      den: Long): DataFrame = {
+    require(num > 0 && den >= num, s"invalid percentile $num/$den")
+    val windowed = trailingWindow(df, tsCol, windowSeconds)
+    val w = Window.partitionBy(col("network"))
+    val assigned = windowed
+      .withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
+      .select(col("network"), col(valueCol).as("__v"))
+      .withColumn("__rk", row_number().over(w.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(w))
+    assigned
+      .filter(col("__rk") * den >= lit(num) * col("__n"))
+      .groupBy(col("network"))
+      .agg(max(col("__n")).as("n_events"),
+        toInt64(min(col("__v"))).as("p_value"))
   }
 
   /** IPv6 variant — beyond the reference, which skips IPv6 networks

@@ -130,11 +130,20 @@ object ReferenceQueries {
       .orderBy("step", "action", "name")
   }
 
+  // R14: exact p95 baseline per /24 — rank selection by integer
+  // arithmetic, so both engines pick the identical element.
+  def qBaselineP95(s: SparkSession, dir: String): DataFrame =
+    Baseline.percentileByPrefix(hostEvents(s, dir), "host", "value", "ts",
+        week, 24, num = 19, den = 20)
+      .withColumnRenamed("p_value", "p95_value")
+      .orderBy("network")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ip_roundtrip" -> qIpRoundtrip,
     "q_cidr_filter" -> qCidrFilter,
     "q_baseline_avg" -> qBaselineAvg,
     "q_baseline_max" -> qBaselineMax,
+    "q_baseline_p95" -> qBaselineP95,
     "q_thresholds" -> qThresholds,
     "q_hostgroups" -> qHostgroups,
     "q_hostgroup_lifecycle" -> qHostgroupLifecycle,
@@ -219,6 +228,17 @@ object ReferenceQueries {
          |ORDER BY event_id""".stripMargin,
     "q_baseline_avg" -> baselineSql("avg"),
     "q_baseline_max" -> baselineSql("max"),
+    "q_baseline_p95" ->
+      s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
+         |n AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network, value FROM w),
+         |r AS (SELECT network, value,
+         |        row_number() OVER (PARTITION BY network ORDER BY value) AS rk,
+         |        count(*) OVER (PARTITION BY network) AS n
+         |      FROM n)
+         |SELECT network, max(n) AS n_events,
+         |  CAST(floor(min(value)) AS BIGINT) AS p95_value
+         |FROM r WHERE rk * 20 >= 19 * n
+         |GROUP BY network ORDER BY network""".stripMargin,
     "q_thresholds" ->
       (hostgroupBaseSql("avg") + "\nFROM th ORDER BY network"),
     "q_hostgroups" ->
