@@ -151,6 +151,34 @@ object Baseline {
         regexp_replace(regexp_replace(col("network"), "\\.", "_"), "/", "_"))
   }
 
+  /** R15 (beyond the reference): seasonality-aware baseline — metrics
+    * aggregated per (network, season bucket), where the bucket is any
+    * derivation of the timestamp (hour-of-day, day-of-week). A flat
+    * 7-day avg flags every rush hour as an anomaly and sleeps through
+    * a 3 a.m. flood; the seasonal profile compares traffic to the same
+    * hour's history. Plan shape is unchanged from the flat baseline:
+    * one scan, one hash aggregation — the key is just wider by one
+    * small integer, so 100 TB scaling is identical.
+    */
+  def seasonalByPrefix(
+      df: DataFrame,
+      cfg: BaselineConfig,
+      prefix: Int,
+      seasonOf: Column => Column,
+      seasonName: String = "season"): DataFrame = {
+    val windowed = trailingWindow(df, cfg.tsCol, cfg.windowSeconds)
+    val aggs = cfg.metrics.toSeq.sortBy(_._1).map { case (name, c) =>
+      toInt64(aggFor(cfg.aggregationFunction)(c)).as(name)
+    }
+    windowed
+      .withColumn("__ip_num", IpFunctions.ip4ToNum(col(cfg.hostCol)))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
+      .withColumn(seasonName, seasonOf(col(cfg.tsCol)).cast("long"))
+      .groupBy(col("network"), col(seasonName))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   /** R14 (beyond the reference's avg/max): exact percentile baseline
     * per fixed-prefix network — the p95-style threshold detectors
     * prefer over avg because a single traffic spike cannot drag it.

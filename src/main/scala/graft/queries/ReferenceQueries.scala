@@ -138,12 +138,26 @@ object ReferenceQueries {
       .withColumnRenamed("p_value", "p95_value")
       .orderBy("network")
 
+  // R15: hour-of-day seasonal baseline per /24 — the diurnal profile a
+  // flat weekly avg cannot express.
+  def qBaselineSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val cfg = BaselineConfig(
+      hostCol = "host", tsCol = "ts", windowSeconds = week,
+      aggregationFunction = "avg",
+      metrics = Map("avg_value" -> col("value")))
+    Baseline.seasonalByPrefix(hostEvents(s, dir), cfg, 24,
+        ts => hour(ts), seasonName = "hour_of_day")
+      .withColumnRenamed("n_rows", "n_events")
+      .orderBy("network", "hour_of_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ip_roundtrip" -> qIpRoundtrip,
     "q_cidr_filter" -> qCidrFilter,
     "q_baseline_avg" -> qBaselineAvg,
     "q_baseline_max" -> qBaselineMax,
     "q_baseline_p95" -> qBaselineP95,
+    "q_baseline_seasonal" -> qBaselineSeasonal,
     "q_thresholds" -> qThresholds,
     "q_hostgroups" -> qHostgroups,
     "q_hostgroup_lifecycle" -> qHostgroupLifecycle,
@@ -239,6 +253,14 @@ object ReferenceQueries {
          |  CAST(floor(min(value)) AS BIGINT) AS p95_value
          |FROM r WHERE rk * 20 >= 19 * n
          |GROUP BY network ORDER BY network""".stripMargin,
+    "q_baseline_seasonal" ->
+      s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
+         |n AS (SELECT *, ${numToIpSql("(ip_num & 4294967040)")} AS network,
+         |        CAST(hour(ts) AS BIGINT) AS hour_of_day FROM w)
+         |SELECT network, hour_of_day, count(*) AS n_events,
+         |  CAST(floor(${aggSql("avg", "value")}) AS BIGINT) AS avg_value
+         |FROM n GROUP BY network, hour_of_day
+         |ORDER BY network, hour_of_day""".stripMargin,
     "q_thresholds" ->
       (hostgroupBaseSql("avg") + "\nFROM th ORDER BY network"),
     "q_hostgroups" ->
