@@ -219,6 +219,86 @@ object Baseline {
         toInt64(min(col("__v"))).as("p_value"))
   }
 
+  /** Exact `num/den`-percentile of `valCol` per `keyCol` via integer
+    * rank selection (see [[percentileByPrefix]]): returns one row per
+    * key with the selected element as `sel` plus the group size `n`.
+    */
+  private[graft] def rankSelect(df: DataFrame, keyCol: String,
+      valCol: String, num: Long, den: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    df.select(col(keyCol), col(valCol).as("__v"))
+      .withColumn("__rk", row_number().over(w.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") * den >= lit(num) * col("__n"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"), min(col("__v")).as("sel"))
+  }
+
+  /** R16 (beyond the reference): robust anomaly scoring — flag
+    * networks whose CURRENT traffic deviates from the historical
+    * median by more than `kNum/kDen` times the median absolute
+    * deviation (MAD). Median/MAD resist the spikes that drag an
+    * avg-based threshold into blindness; every selection is an exact
+    * data element (integer rank arithmetic) and the deviation test
+    * multiplies both sides instead of dividing, so no float boundary
+    * can disagree across engines.
+    *
+    * History = [max_ts - windowSeconds, max_ts - currentSeconds);
+    * current = [max_ts - currentSeconds, max_ts], both anchored at
+    * max(ts) for reproducibility on fixed data. Networks without rows
+    * in both windows drop out (no history -> nothing to compare).
+    *
+    * Scale: two rank windows keyed by network + one broadcast-sized
+    * join — the same shuffle family as the percentile baseline.
+    */
+  def madAnomaly(
+      df: DataFrame,
+      hostCol: String,
+      valueCol: String,
+      tsCol: String,
+      windowSeconds: Long,
+      currentSeconds: Long,
+      prefix: Int,
+      kNum: Long,
+      kDen: Long): DataFrame = {
+    require(currentSeconds > 0 && currentSeconds < windowSeconds,
+      s"invalid windows: $windowSeconds/$currentSeconds")
+    val assigned = trailingWindow(df, tsCol, windowSeconds)
+      .withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
+    val maxTs = df.agg(max(col(tsCol)).as("__end"))
+    val split = assigned.crossJoin(broadcast(maxTs))
+      .withColumn("__is_current",
+        col(tsCol) >= col("__end") - expr(s"INTERVAL $currentSeconds SECONDS"))
+    val hist = split.filter(!col("__is_current"))
+      .select(col("network"), col(valueCol).as("v"))
+    val cur = split.filter(col("__is_current"))
+      .groupBy(col("network"))
+      .agg(count(lit(1)).as("n_current"),
+        (round(sum(col(valueCol).cast("decimal(28,10)")), 6).cast("double") /
+          count(col(valueCol))).as("current_avg"))
+
+    val med = rankSelect(hist, "network", "v", 1, 2)
+      .select(col("network"), col("n").as("n_hist"), col("sel").as("med"))
+    val mad = rankSelect(
+        hist.join(med.select(col("network"), col("med")), "network")
+          .select(col("network"), abs(col("v") - col("med")).as("dev")),
+        "network", "dev", 1, 2)
+      .select(col("network"), col("sel").as("mad"))
+
+    // ONE rounded expression feeds both the output column and the flag
+    // (a col("current_avg") reference here would risk binding to the
+    // rounded select alias — the lateral-column-alias hazard)
+    val curAvg = round(col("current_avg"), 6)
+    med.join(mad, "network").join(cur, "network")
+      .select(col("network"), col("n_hist"), col("n_current"),
+        col("med"), col("mad"),
+        curAvg.as("current_avg"),
+        (abs(curAvg - col("med")) * kDen > lit(kNum) * col("mad"))
+          .as("is_anomaly"))
+  }
+
   /** IPv6 variant — beyond the reference, which skips IPv6 networks
     * (main.go:223). Identical plan shape: parse once at the join
     * boundary, broadcast range join on inclusive 16-byte bounds

@@ -151,7 +151,16 @@ object ReferenceQueries {
       .orderBy("network", "hour_of_day")
   }
 
+  // R16: robust MAD anomaly scoring — last hour vs 7-day median/MAD
+  // per /24, threshold 3x MAD.
+  def qMadAnomaly(s: SparkSession, dir: String): DataFrame =
+    Baseline.madAnomaly(hostEvents(s, dir), "host", "value", "ts",
+        windowSeconds = week, currentSeconds = 3600L, prefix = 24,
+        kNum = 3, kDen = 1)
+      .orderBy("network")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_anomaly" -> qMadAnomaly,
     "q_ip_roundtrip" -> qIpRoundtrip,
     "q_cidr_filter" -> qCidrFilter,
     "q_baseline_avg" -> qBaselineAvg,
@@ -253,6 +262,36 @@ object ReferenceQueries {
          |  CAST(floor(min(value)) AS BIGINT) AS p95_value
          |FROM r WHERE rk * 20 >= 19 * n
          |GROUP BY network ORDER BY network""".stripMargin,
+    "q_mad_anomaly" ->
+      s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
+         |n AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network, value,
+         |        ts >= (SELECT max(ts) FROM events) - INTERVAL 3600 SECOND AS is_current
+         |      FROM w),
+         |hist AS (SELECT network, value AS v FROM n WHERE NOT is_current),
+         |cur AS (SELECT network, count(*) AS n_current,
+         |          (CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE)
+         |            / count(value)) AS current_avg
+         |        FROM n WHERE is_current GROUP BY network),
+         |hr AS (SELECT network, v,
+         |         row_number() OVER (PARTITION BY network ORDER BY v) AS rk,
+         |         count(*) OVER (PARTITION BY network) AS cnt
+         |       FROM hist),
+         |med AS (SELECT network, max(cnt) AS n_hist, min(v) AS med
+         |        FROM hr WHERE rk * 2 >= cnt GROUP BY network),
+         |dev AS (SELECT h.network, abs(h.v - m.med) AS d
+         |        FROM hist h JOIN med m ON h.network = m.network),
+         |dr AS (SELECT network, d,
+         |         row_number() OVER (PARTITION BY network ORDER BY d) AS rk,
+         |         count(*) OVER (PARTITION BY network) AS cnt
+         |       FROM dev),
+         |mad AS (SELECT network, min(d) AS mad
+         |        FROM dr WHERE rk * 2 >= cnt GROUP BY network)
+         |SELECT m.network, m.n_hist, c.n_current, m.med, a.mad,
+         |  round(c.current_avg, 6) AS current_avg,
+         |  (abs(round(c.current_avg, 6) - m.med) * 1 > 3 * a.mad) AS is_anomaly
+         |FROM med m JOIN mad a ON m.network = a.network
+         |JOIN cur c ON m.network = c.network
+         |ORDER BY m.network""".stripMargin,
     "q_baseline_seasonal" ->
       s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
          |n AS (SELECT *, ${numToIpSql("(ip_num & 4294967040)")} AS network,
