@@ -93,6 +93,24 @@ object AnalyticsQueries {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("day", "event_type")
 
+  // A26: cohort retention — users grouped by first-activity week,
+  // counted per week-offset of later activity. One distinct + two
+  // aggregations, no self-join: the cohort table is the user-level
+  // aggregate joined back onto the (user, week) activity set.
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val weeks = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(week, cohort_week) DIV 7").cast("long").as("week_k"))
+      .groupBy(col("cohort_week"), col("week_k"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_k")
+  }
+
   // A6: gap-based sessionization (30 min) via lag + running sum.
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -342,6 +360,7 @@ object AnalyticsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> qRetention,
     "q_interval_join" -> qIntervalJoin,
     "q_asof_join" -> qAsofJoin,
     "q_rollup" -> qRollup,
@@ -454,6 +473,16 @@ object AnalyticsQueries {
         |SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin,
+    "q_retention" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |       date_trunc('week', CAST(ts AS TIMESTAMP)) AS week FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week
+        |            FROM weeks GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  datediff('day', c.cohort_week, w.week) // 7 AS week_k,
+        |  count(*) AS n_users
+        |FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_interval_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |       epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
