@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BytesToIp6, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6ToBytes, NumToIp4}
+import graft.functions.{BytesToIp6, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6ToBytes, NumToIp4, ZOrder2}
 
 /** Spark extension entry point: registers graft's native expressions
   * into the session's function registry, so the library's surface is
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bytes_to_ip6"),
       new ExpressionInfo(classOf[BytesToIp6].getName, "graft_bytes_to_ip6"),
       (args: Seq[Expression]) => BytesToIp6(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder2"),
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),

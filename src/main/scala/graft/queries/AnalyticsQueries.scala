@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, IntervalJoin}
+import graft.operators.{AsofJoin, Funnel, IntervalJoin}
 import Shared._
 
 /** SURVEY.md §2.2 — the general-analytics surface ClickHouse gave the
@@ -110,6 +110,13 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_week", "week_k")
   }
+
+  // A27: strict staged funnel — signup -> click -> purchase, each
+  // stage's first occurrence strictly after the previous stage.
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.strict(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .orderBy("depth")
 
   // A6: gap-based sessionization (30 min) via lag + running sum.
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -361,6 +368,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> qRetention,
+    "q_funnel" -> qFunnel,
     "q_interval_join" -> qIntervalJoin,
     "q_asof_join" -> qAsofJoin,
     "q_rollup" -> qRollup,
@@ -473,6 +481,24 @@ object AnalyticsQueries {
         |SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |       CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |       GROUP BY e.user_id)
+        |SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS depth,
+        |       count(*) AS n_entities FROM s1
+        |UNION ALL SELECT 'signup>click', 2, count(*) FROM s2
+        |UNION ALL SELECT 'signup>click>purchase', 3, count(*) FROM s3
+        |ORDER BY depth""".stripMargin,
     "q_retention" ->
       """WITH weeks AS (SELECT DISTINCT user_id,
         |       date_trunc('week', CAST(ts AS TIMESTAMP)) AS week FROM events),

@@ -53,4 +53,11 @@ class SqlSurfaceSpec extends SparkSuite {
 
     assert(sql == api && sql.nonEmpty)
   }
+
+  test("graft_zorder2 is callable from SQL and matches the kernel") {
+    val got = spark.sql("SELECT graft_zorder2(3L, 3L) AS z, graft_zorder2(1L, 0L) AS a")
+      .collect().head
+    assert(got.getAs[Long]("z") == 15L)
+    assert(got.getAs[Long]("a") == 1L)
+  }
 }
