@@ -146,6 +146,18 @@ object PipelineQueries {
     Packing.concatChunk(t(s, dir, "documents"), "doc_id", "text", "source", 128L)
       .orderBy("doc_id")
 
+  // A25: the z-order expression end-to-end — Morton value of
+  // (doc_id%256, n_chars%256) per doc; the oracle rebuilds the bit
+  // interleave arithmetically, so the codegen'd kernel is oracle-gated
+  // (the layout/pruning effect is asserted in ZOrderWriteSpec).
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.ZOrder.z2(
+          (col("doc_id") % 256L).cast("long"),
+          (col("n_chars") % 256L).cast("long")).as("z"))
+      .orderBy("doc_id")
+
   /** Source-mix literals shared by the Spark query and its oracle —
     * boost three sources, spread the rest; the same Scala doubles are
     * printed into the SQL so both engines multiply identical values.
@@ -272,6 +284,7 @@ object PipelineQueries {
     "q_embed_quant" -> qEmbedQuant,
     "q_seq_pack" -> qSeqPack,
     "q_source_mix" -> qSourceMix,
+    "q_zorder" -> qZorder,
     "q_text_stats" -> qTextStats,
     "q_langid" -> qLangid,
     "q_token_count" -> qTokenCount,
@@ -640,6 +653,12 @@ object PipelineQueries {
          |WHERE $b < least(1000000, CAST(floor(1e6 * $MixTotalFrac * total * share / n) AS BIGINT))
          |ORDER BY doc_id""".stripMargin
     },
+    "q_zorder" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 7), i ->
+        |    ((((doc_id % 256) >> i) & 1) << (2 * i)) +
+        |    ((((n_chars % 256) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH $tokCte,
          |s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 3),
