@@ -86,4 +86,25 @@ class PlanShapeSpec extends SparkSuite {
     val plan = planOf(PipelineQueries.qSourceMix(spark, dir))
     assert(plan.contains("BroadcastExchange"), s"counts not broadcast:\n$plan")
   }
+
+  test("funnel and retention: id-keyed equi-joins only, no cartesian") {
+    for (q <- Seq(AnalyticsQueries.qFunnel _, AnalyticsQueries.qRetention _)) {
+      val plan = planOf(q(spark, dir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"blowup:\n$plan")
+    }
+  }
+
+  test("p95/MAD baselines: rank windows keyed by network, no cartesian") {
+    for (q <- Seq(ReferenceQueries.qBaselineP95 _, ReferenceQueries.qMadAnomaly _)) {
+      val plan = planOf(q(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"blowup:\n$plan")
+      // every window must be partitioned by the network key (a scalar
+      // max(ts) SinglePartition reduction is fine; an unkeyed window
+      // spec would mean a global sort of the data rows)
+      val unkeyed = "windowspecdefinition\\((?!network)".r
+      assert(unkeyed.findFirstIn(plan).isEmpty,
+        s"window lost its network partitioning:\n$plan")
+    }
+  }
 }
