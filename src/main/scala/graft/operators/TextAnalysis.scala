@@ -129,8 +129,16 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 3)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // top token count via sorted-run lengths: O(n log n) per row.
+      // (The obvious filter-per-distinct-token is O(n^2) — a single
+      // 10^5-token document would cost 10^10 comparisons and straggle
+      // the whole task at corpus scale.)
+      .withColumn("__sorted", array_sort(col("toks")))
+      .withColumn("__starts", expr(
+        "filter(sequence(1, size(toks)), i -> i = 1 OR element_at(__sorted, i) != element_at(__sorted, i - 1))"))
+      .withColumn("__bounds", expr("concat(__starts, array(size(toks) + 1))"))
       .withColumn("top_n", expr(
-        "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+        "array_max(transform(sequence(1, size(__starts)), j -> element_at(__bounds, j + 1) - element_at(__bounds, j)))")
         .cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("top_n"),
         round(col("top_n") / col("n_tokens"), 4).as("top_token_frac"),

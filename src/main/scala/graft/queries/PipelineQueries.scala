@@ -661,15 +661,19 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH $tokCte,
-         |s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 3),
+         |s AS (SELECT doc_id, toks, len(toks) AS n,
+         |        list_sort(toks) AS srt FROM d WHERE len(toks) >= 3),
+         |b AS (SELECT *, list_concat(list_filter(generate_series(1, n),
+         |        i -> i = 1 OR srt[i] != srt[i - 1]), [n + 1]) AS bounds
+         |      FROM s),
          |m AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-         |  CAST(list_max(list_transform(list_distinct(toks),
-         |    t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_n,
+         |  CAST(list_max(list_transform(generate_series(1, len(bounds) - 1),
+         |    j -> bounds[j + 1] - bounds[j])) AS BIGINT) AS top_n,
          |  list_transform(generate_series(1, n - 1),
          |    i -> toks[i] || ' ' || toks[i + 1]) AS g2,
          |  list_transform(generate_series(1, n - 2),
          |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3,
-         |  n FROM s)
+         |  n FROM b)
          |SELECT doc_id, n_tokens, top_n,
          |  round(top_n / n_tokens, 4) AS top_token_frac,
          |  round((n - 1 - len(list_distinct(g2))) / CAST(n - 1 AS DOUBLE), 4) AS dup_2gram_frac,
