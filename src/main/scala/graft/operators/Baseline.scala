@@ -189,9 +189,11 @@ object Baseline {
     * k-th smallest value is unique even when row_number ties are not).
     *
     * Scale: one rank window per network (sort shuffle keyed by
-    * network). This is the exact-training counterpart; the
-    * constant-memory serving path at 100 TB is the quantile sketch
-    * (AnalyticsQueries.qSketchQuantile).
+    * network). A network holding a disproportionate share of the
+    * corpus sorts in a single task — for that regime use the quantile
+    * sketch (AnalyticsQueries.qSketchQuantile, constant memory per
+    * group) and reserve this operator for exact reporting over
+    * bounded groups.
     */
   def percentileByPrefix(
       df: DataFrame,

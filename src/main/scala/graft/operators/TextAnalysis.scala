@@ -150,7 +150,12 @@ object TextAnalysis {
 
   // -------------------------------------------------------------- T6: PII
   // Patterns restricted to the syntax Java regex and RE2 share, so the
-  // oracle engine applies the identical automaton.
+  // oracle engine applies the identical automaton. Note: on Java's
+  // backtracking engine a pathological input ('a@' + 'a'*10^6, no dot)
+  // degrades the email pattern to ~O(n^2); possessive quantifiers
+  // would fix it but RE2 rejects them, so keep documents length-capped
+  // upstream (the curation pipeline's n_chars filter) rather than
+  // diverging the two engines' patterns.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val LongNumRe = "\\b[0-9]{6,}\\b"
