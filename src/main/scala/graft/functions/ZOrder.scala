@@ -57,11 +57,17 @@ object ZOrder {
   def z2(a: Column, b: Column): Column =
     Bridge.column(ZOrder2(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Map `x` in [mn, mx] to a 16-bit bucket (integer arithmetic; a
-    * degenerate domain collapses to bucket 0).
+  /** Map `x` in [mn, mx] to a 16-bit bucket (degenerate domain
+    * collapses to bucket 0). The scale happens in DOUBLE: the integer
+    * form (x - mn) * 65535 overflows Long for domains wider than
+    * ~2^47 (epoch-micros spanning years, snowflake ids) and would
+    * silently wreck the clustering; double precision loss only blurs
+    * a bucket boundary, which layout clustering tolerates.
     */
   def bucket16(x: Column, mn: Column, mx: Column): Column =
     when(mx <= mn, 0L)
-      .otherwise((x.cast("long") - mn) * 65535L / (mx - mn))
+      .otherwise(
+        ((x.cast("double") - mn.cast("double")) /
+          (mx.cast("double") - mn.cast("double")) * 65535.0).cast("long"))
       .cast("long")
 }

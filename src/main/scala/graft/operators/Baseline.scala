@@ -205,20 +205,14 @@ object Baseline {
       num: Long,
       den: Long): DataFrame = {
     require(num > 0 && den >= num, s"invalid percentile $num/$den")
-    val windowed = trailingWindow(df, tsCol, windowSeconds)
-    val w = Window.partitionBy(col("network"))
-    val assigned = windowed
+    val assigned = trailingWindow(df, tsCol, windowSeconds)
       .withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
       .withColumn("network",
         IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
-      .select(col("network"), col(valueCol).as("__v"))
-      .withColumn("__rk", row_number().over(w.orderBy(col("__v"))))
-      .withColumn("__n", count(lit(1)).over(w))
-    assigned
-      .filter(col("__rk") * den >= lit(num) * col("__n"))
-      .groupBy(col("network"))
-      .agg(max(col("__n")).as("n_events"),
-        toInt64(min(col("__v"))).as("p_value"))
+      .select(col("network"), col(valueCol).as("__val"))
+    rankSelect(assigned, "network", "__val", num, den)
+      .select(col("network"), col("n").as("n_events"),
+        toInt64(col("sel")).as("p_value"))
   }
 
   /** Exact `num/den`-percentile of `valCol` per `keyCol` via integer
@@ -265,12 +259,16 @@ object Baseline {
       kDen: Long): DataFrame = {
     require(currentSeconds > 0 && currentSeconds < windowSeconds,
       s"invalid windows: $windowSeconds/$currentSeconds")
-    val assigned = trailingWindow(df, tsCol, windowSeconds)
+    // ONE max(ts) scan serves both the trailing-window filter and the
+    // history/current split (calling trailingWindow and then computing
+    // max(ts) again would scan the corpus twice for the same scalar)
+    val maxTs = df.agg(max(col(tsCol)).as("__end"))
+    val split = df.crossJoin(broadcast(maxTs))
+      .filter(col(tsCol) >=
+        col("__end") - expr(s"INTERVAL $windowSeconds SECONDS"))
       .withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
       .withColumn("network",
         IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
-    val maxTs = df.agg(max(col(tsCol)).as("__end"))
-    val split = assigned.crossJoin(broadcast(maxTs))
       .withColumn("__is_current",
         col(tsCol) >= col("__end") - expr(s"INTERVAL $currentSeconds SECONDS"))
     val hist = split.filter(!col("__is_current"))
@@ -278,8 +276,7 @@ object Baseline {
     val cur = split.filter(col("__is_current"))
       .groupBy(col("network"))
       .agg(count(lit(1)).as("n_current"),
-        (round(sum(col(valueCol).cast("decimal(28,10)")), 6).cast("double") /
-          count(col(valueCol))).as("current_avg"))
+        aggFor("avg")(col(valueCol)).as("current_avg"))
 
     val med = rankSelect(hist, "network", "v", 1, 2)
       .select(col("network"), col("n").as("n_hist"), col("sel").as("med"))

@@ -29,8 +29,11 @@ object Contamination {
       splitCol: String, n: Int, trainVal: String = "train",
       testVal: String = "test", thrNum: Long = 1, thrDen: Long = 5,
       tokenHash: Column => Column = Hashing.h30): DataFrame = {
-    val sets = Dedup.shingleSets(df, idCol, textCol, n, tokenHash)
-      .join(df.select(col(idCol).as("doc_id"), col(splitCol).as("__split")),
+    // only train/test docs are shingled — a 'val' split (or anything
+    // else) must not pay the tokenize+hash+explode pass at corpus scale
+    val relevant = df.filter(col(splitCol).isin(trainVal, testVal))
+    val sets = Dedup.shingleSets(relevant, idCol, textCol, n, tokenHash)
+      .join(relevant.select(col(idCol).as("doc_id"), col(splitCol).as("__split")),
         "doc_id")
     val trainSh = sets.filter(col("__split") === trainVal)
       .select("sh").distinct().withColumn("__hit", lit(1L))

@@ -22,7 +22,13 @@ object Packing {
   def concatChunk(df: DataFrame, idCol: String, textCol: String,
       shardCol: String, seqLen: Long): DataFrame = {
     require(seqLen > 0, s"invalid seqLen=$seqLen")
+    // explicit ROWS frame: the default RANGE frame treats equal
+    // doc_ids as peers and would hand both duplicates the combined
+    // end offset (overlapping spans). With the ROWS frame, placement
+    // is always non-overlapping; (shard, doc_id) should still be
+    // unique for the order itself to be deterministic.
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
         size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("end_off", sum(col("n_tokens")).over(w))

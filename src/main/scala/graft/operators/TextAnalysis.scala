@@ -168,13 +168,12 @@ object TextAnalysis {
     * shipping the text.
     */
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      LongNumRe, "<NUM>")
+    // one replace chain: counts and redaction derive from the SAME
+    // intermediate trees, so a pattern/order edit can never
+    // desynchronize them
     val afterEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
     val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val scrubbed = regexp_replace(afterIp, LongNumRe, "<NUM>")
     df.select(col(idCol).as("doc_id"),
       size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
         .cast("long").as("n_email"),

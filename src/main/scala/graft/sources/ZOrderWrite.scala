@@ -30,6 +30,10 @@ object ZOrderWrite {
       min(col(colA)).cast("long").as("amn"), max(col(colA)).cast("long").as("amx"),
       min(col(colB)).cast("long").as("bmn"), max(col(colB)).cast("long").as("bmx"))
       .head()
+    // empty input (or all-null cluster columns): the global min/max row
+    // is all nulls — nothing to cluster, hand back the frame unchanged
+    // (a periodic compaction job hitting an empty table must not crash)
+    if (r.isNullAt(0) || r.isNullAt(2)) return df
     val z = ZOrder.z2(
       ZOrder.bucket16(col(colA), lit(r.getLong(0)), lit(r.getLong(1))),
       ZOrder.bucket16(col(colB), lit(r.getLong(2)), lit(r.getLong(3))))

@@ -42,8 +42,10 @@ object StreamingAnomaly {
       .groupBy(window(col(tsCol), windowDuration, slideDuration),
         col("network"))
       .agg(count(lit(1)).as("n_current"),
-        (round(sum(col(valueCol).cast("decimal(28,10)")), 6).cast("double") /
-          count(col(valueCol))).as("current_avg"))
+        // the SAME decimal-exact avg contract as the batch scorer —
+        // one definition, zero drift between train and serve
+        graft.operators.Baseline.aggFor("avg")(col(valueCol))
+          .as("current_avg"))
     cur.join(broadcast(profile), "network")
       .select(col("window"), col("network"), col("n_current"),
         round(col("current_avg"), 6).as("current_avg"),

@@ -42,6 +42,21 @@ class PackingSpec extends SparkSuite {
     assert(s("s2").getAs[Long]("pad_tokens") == 2L)
   }
 
+  test("duplicate ids get non-overlapping spans (ROWS frame, not RANGE)") {
+    val dup = Seq((1L, "a b c", "s1"), (1L, "d e", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = Packing.concatChunk(dup, "doc_id", "text", "source", 4L)
+      .orderBy("start_off")
+      .collect()
+    // RANGE framing would give BOTH rows end_off = 5; ROWS framing
+    // places them back to back
+    assert(out.map(_.getAs[Long]("start_off")).toSeq == Seq(0L, 3L) ||
+      out.map(_.getAs[Long]("start_off")).toSeq == Seq(0L, 2L))
+    val spans = out.map(r =>
+      (r.getAs[Long]("start_off"), r.getAs[Long]("start_off") + r.getAs[Long]("n_tokens")))
+    assert(spans(0)._2 == spans(1)._1) // contiguous, non-overlapping
+  }
+
   test("adding a shard never moves another shard's placements") {
     val base = Packing.concatChunk(docs, "doc_id", "text", "source", 4L)
     val more = docs.union(Seq((20L, "p q r s t u", "s3")).toDF("doc_id", "text", "source"))

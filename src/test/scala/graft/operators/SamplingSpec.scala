@@ -63,4 +63,25 @@ class SamplingSpec extends SparkSuite {
       Seq("lang0" -> 0.9), defaultShare = 0.1 / 3.0, totalFrac = 0.5)
     assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
   }
+
+  test("null strata and sources are sampled, not silently dropped") {
+    val withNulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 600L).map(i => org.apache.spark.sql.Row(
+          i, if (i % 3 == 0) null else s"lang${i % 2}"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType))))
+    // stratified: null stratum keeps ~half at 500 permille
+    val kept = Sampling.stratifiedSample(withNulls, "lang", "doc_id", 500)
+      .filter(col("lang").isNull).count()
+    assert(kept > 50 && kept < 150, s"null stratum kept $kept of 200")
+    // mix: null source sampled at defaultShare, not dropped by the join
+    val mixed = Sampling.mixSample(withNulls, "doc_id", "lang",
+      Seq("lang0" -> 0.4), defaultShare = 0.3, totalFrac = 0.5)
+    assert(mixed.filter(col("lang").isNull).count() > 0)
+    assert(mixed.count() < 600)
+  }
 }

@@ -23,6 +23,19 @@ class ZOrderWriteSpec extends SparkSuite {
   private def grid = (0L until 4096L)
     .map(i => (i, i % 64L, i / 64L)).toDF("id", "x", "y")
 
+  test("cluster survives an empty input and huge domains") {
+    val empty = grid.filter(col("id") < 0)
+    assert(ZOrderWrite.cluster(empty, "x", "y", 4).count() == 0L)
+    // domain wider than 2^47: the integer scale would overflow Long
+    val wide = (0L until 256L)
+      .map(i => (i, i * (1L << 50), i * 3L)).toDF("id", "x", "y")
+    val buckets = ZOrderWrite.cluster(wide, "x", "y", 4)
+      .select(graft.functions.ZOrder.bucket16(col("x"), lit(0L),
+        lit(255L * (1L << 50))).as("b"))
+      .agg(min("b"), max("b")).head()
+    assert(buckets.getLong(0) >= 0L && buckets.getLong(1) <= 65535L)
+  }
+
   test("z-clustering bounds BOTH dimensions per partition; single-sort does not") {
     val spans = ZOrderWrite.cluster(grid, "x", "y", 16)
       .select(col("x"), col("y"), spark_partition_id().as("p"))
