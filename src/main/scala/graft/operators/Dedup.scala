@@ -215,6 +215,68 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("cluster_id"))
   }
 
+  /** D7: duplicated-passage detection — the token-span analogue of
+    * suffix-array substring dedup (the "dedup repeated passages, not
+    * whole documents" pass large-scale training pipelines run after
+    * document-level dedup): any word-`n`-gram occurring in >= `minDocs`
+    * distinct documents marks its token range as duplicated; runs of
+    * overlapping/adjacent marked ranges merge into maximal spans.
+    *
+    * Per qualifying doc (>= 1 duplicated passage): span count, covered
+    * token count/fraction, and `keep_hash` — the content hash of the
+    * doc with duplicated spans removed (what the cleaned corpus would
+    * contain).
+    *
+    * Scale shape: NO pair fanout anywhere — unlike the near-dup
+    * operators this never materializes doc pairs. One groupBy on the
+    * gram hash (partial-aggregated distinct-doc count), a semi-join
+    * back on the same key, then per-doc window/agg keyed on doc_id. A
+    * stop-phrase gram shared by 10^6 docs costs one counter, not
+    * O(df^2) pairs, so no df-cap is needed for safety — `minDocs`
+    * only tunes sensitivity.
+    */
+  def dupPassages(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minDocs: Long = 2, tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    require(n <= ShingleCoef.length, s"n=$n exceeds ${ShingleCoef.length}")
+    val combine = (0 until n)
+      .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
+      .mkString(" + ")
+    val base = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .withColumn("th", transform(col("toks"), t => tokenHash(t)))
+    // positions are 1-based (pos p covers tokens [p, p+n-1]); grams
+    // keep duplicates here — positions matter, and the distinct-doc
+    // count below dedups per doc on its own
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(th) - $n), i -> $combine)"))
+          .as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
+    val dupSh = grams.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("sh")
+    val covered = grams.join(dupSh, Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
+    val spans = covered
+      .withColumn("__new",
+        when(lag(col("tp"), 1).over(w).isNull ||
+          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_tokens"), sum(col("__new")).as("n_spans"),
+        collect_list(col("tp")).as("__cov"))
+    spans.join(base, "doc_id")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("dup_tokens"), col("n_spans"),
+        round(col("dup_tokens") / size(col("toks")), 4).as("dup_frac"),
+        md5(concat_ws(" ", filter(col("toks"),
+          (t, i) => !array_contains(col("__cov"), i + 1)))).as("keep_hash"))
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** Universal-hash family h_i(x) = (a_i*x + b_i) mod P over 30-bit

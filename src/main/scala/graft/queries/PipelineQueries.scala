@@ -76,6 +76,15 @@ object PipelineQueries {
     Dedup.clusters(corpus, "doc_id", pairs).orderBy("doc_id")
   }
 
+  // D7: duplicated-passage detection over the raw corpus — 5-gram
+  // spans occurring in >= 2 docs, merged and reported per doc with the
+  // cleaned-content hash. Runs on the UN-duplicated corpus: the
+  // operator's point is finding shared passages inside otherwise
+  // distinct documents.
+  def qDupPassages(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupPassages(t(s, dir, "documents"), "doc_id", "text", 5, 2, tokenHash)
+      .orderBy("doc_id")
+
   // D5: embedding cosine near-dup, label-blocked, tau = 0.3.
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -274,6 +283,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dup_passages" -> qDupPassages,
     "q_dedup_embed" -> qDedupEmbed,
     "q_ann_topk" -> qAnnTopk,
     "q_ann_lsh" -> qAnnLsh,
@@ -467,6 +477,34 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
          |FROM pairs WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_dup_passages" -> {
+      val combine5 = {
+        import graft.operators.Dedup.ShingleCoef
+        (0 until 5).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+      }
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |th AS (SELECT doc_id, toks, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |       FROM tok WHERE len(toks) >= 5),
+         |sh AS (SELECT doc_id, i AS pos, $combine5 AS sh
+         |       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 4)) AS i FROM th) x),
+         |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tp
+         |       FROM sh s JOIN dup USING (sh),
+         |            (SELECT unnest(generate_series(0, 4)) AS o) o),
+         |sp AS (SELECT doc_id, tp,
+         |         CASE WHEN lag(tp) OVER w IS NULL OR tp > lag(tp) OVER w + 1
+         |              THEN 1 ELSE 0 END AS new_span
+         |       FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY tp)),
+         |agg AS (SELECT doc_id, count(*) AS dup_tokens,
+         |          CAST(sum(new_span) AS BIGINT) AS n_spans, list(tp) AS cov
+         |        FROM sp GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  a.dup_tokens, a.n_spans,
+         |  round(a.dup_tokens / len(t.toks), 4) AS dup_frac,
+         |  md5(coalesce(array_to_string(
+         |    list_filter(t.toks, (x, i) -> NOT list_contains(a.cov, i)), ' '), '')) AS keep_hash
+         |FROM agg a JOIN th t USING (doc_id) ORDER BY doc_id""".stripMargin
     },
     "q_dedup_embed" ->
       s"""WITH $normCte

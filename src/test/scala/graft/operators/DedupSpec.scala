@@ -94,4 +94,55 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => r.getAs[Long]("cluster_id")).distinct
     assert(out.toSeq == Seq(1L))
   }
+
+  test("dup passages: shared 8-token passage marked as one span, removal hash exact") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val fillA1 = "one two three four five six"
+    val fillA2 = "seven eight nine ten eleven"
+    val corpus = Seq(
+      (1L, s"$fillA1 $passage $fillA2"),
+      (2L, s"red green blue $passage yellow purple orange pink brown"),
+      (3L, "totally unrelated words with nothing repeated anywhere around here today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupPassages(corpus, "doc_id", "text", 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val a = out(1L)
+    // grams fully inside the passage cover exactly its 8 tokens
+    assert(a.getAs[Long]("dup_tokens") == 8L)
+    assert(a.getAs[Long]("n_spans") == 1L)
+    assert(a.getAs[Long]("n_tokens") == 19L)
+    val expectedKept = org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.lit(s"$fillA1 $fillA2"))
+    val expectedHash = corpus.sparkSession.range(1)
+      .select(expectedKept.as("h")).head.getString(0)
+    assert(a.getAs[String]("keep_hash") == expectedHash)
+  }
+
+  test("dup passages: identical docs are fully covered and hash to empty content") {
+    val corpus = Seq(
+      (1L, "mirror copy of this exact sentence here"),
+      (2L, "mirror copy of this exact sentence here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupPassages(corpus, "doc_id", "text", 5).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") == r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("dup_frac") == 1.0)
+      // md5 of the empty string: every token was inside a dup span
+      assert(r.getAs[String]("keep_hash") == "d41d8cd98f00b204e9800998ecf8427e")
+    }
+  }
+
+  test("dup passages: empty corpus and no-overlap corpus yield no rows") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docs.schema)
+    assert(Dedup.dupPassages(empty, "doc_id", "text", 5).count() == 0)
+    val distinctCorpus = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "hh ii jj kk ll mm nn"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupPassages(distinctCorpus, "doc_id", "text", 5).count() == 0)
+  }
 }
