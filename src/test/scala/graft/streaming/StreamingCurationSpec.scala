@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+import graft.operators.Sampling
+
+final case class MixDoc(doc_id: Long, source: String)
+
+class StreamingCurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val shares = Seq("a" -> 0.5, "b" -> 0.3)
+  private val rows = (0L until 300L).map(i => MixDoc(i, s"${('a' + (i % 3).toInt).toChar}"))
+
+  test("streaming mix filter equals batch mixSample under the same profile") {
+    implicit val ctx = spark.sqlContext
+    val batch = rows.toDF()
+    val profile = Sampling.mixProfile(batch, "source", shares, 0.2, 0.5)
+
+    val in = MemoryStream[MixDoc]
+    val query = StreamingCuration.mixFilter(in.toDF(), "doc_id", "source", profile)
+      .writeStream.format("memory").queryName("mix_stream").outputMode("append")
+      .start()
+    try {
+      in.addData(rows.take(150): _*)
+      in.addData(rows.drop(150): _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("mix_stream")
+        .select("doc_id").as[Long].collect().toSet
+      val batched = Sampling.mixSample(batch, "doc_id", "source", shares, 0.2, 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batched && batched.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("sources missing from the profile follow defaultThr") {
+    implicit val ctx = spark.sqlContext
+    val profile = Seq(("a", 1000000L)).toDF("__src", "__thr")
+
+    val in = MemoryStream[MixDoc]
+    val query = StreamingCuration
+      .mixFilter(in.toDF(), "doc_id", "source", profile, defaultThr = 0L)
+      .writeStream.format("memory").queryName("mix_default").outputMode("append")
+      .start()
+    try {
+      in.addData(MixDoc(1L, "a"), MixDoc(2L, "zzz"), MixDoc(3L, "a"))
+      query.processAllAvailable()
+      val got = spark.table("mix_default").select("doc_id").as[Long].collect().toSet
+      // thr=1000000 keeps every 'a' row; the unknown source drops at thr=0
+      assert(got == Set(1L, 3L))
+    } finally query.stop()
+  }
+}
