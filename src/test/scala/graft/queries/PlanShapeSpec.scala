@@ -95,6 +95,20 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("dup passages: no pair fanout — every join is sh- or doc-keyed") {
+    val plan = planOf(PipelineQueries.qDupPassages(spark, dir))
+    // the operator's whole point: candidate generation with ZERO doc-pair
+    // joins — a cartesian/nested-loop here means the scale property died
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair blowup:\n$plan")
+    // the df-filter reaches the gram stream as a semi join, not an inner
+    // join that would duplicate gram rows per matching dup entry
+    assert(plan.contains("LeftSemi"), s"semi join lost:\n$plan")
+    // distinct-doc counting must partial-aggregate before the sh shuffle
+    assert("partial_count".r.findFirstIn(plan).nonEmpty ||
+      "HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
+  }
+
   test("p95/MAD baselines: rank windows keyed by network, no cartesian") {
     for (q <- Seq(ReferenceQueries.qBaselineP95 _, ReferenceQueries.qMadAnomaly _)) {
       val plan = planOf(q(spark, dir))
