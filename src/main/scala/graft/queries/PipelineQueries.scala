@@ -149,6 +149,14 @@ object PipelineQueries {
     Quantization.int8Report(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  // E2: embedding cartography — per-label centroid + compactness
+  // (exact-decimal centroid, sequential-fold cosines).
+  def qEmbedCartography(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cartography
+      .centroidStats(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .withColumnRenamed("grp", "label")
+      .orderBy("label")
+
   // P4: concat-and-chunk sequence packing, 128-token blocks per source
   // shard.
   def qSeqPack(s: SparkSession, dir: String): DataFrame =
@@ -292,6 +300,7 @@ object PipelineQueries {
     "q_sample" -> qSample,
     "q_contamination" -> qContamination,
     "q_embed_quant" -> qEmbedQuant,
+    "q_embed_cartography" -> qEmbedCartography,
     "q_seq_pack" -> qSeqPack,
     "q_source_mix" -> qSourceMix,
     "q_zorder" -> qZorder,
@@ -608,6 +617,25 @@ object PipelineQueries {
          |  (n_hit * 5 >= n_shingles * 1) AS contaminated
          |FROM j ORDER BY doc_id""".stripMargin
     },
+    "q_embed_cartography" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT label, i - 1 AS dim, v[i] AS x
+        |      FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM v) t),
+        |c AS (SELECT label, dim,
+        |        CAST(round(sum(CAST(x AS DECIMAL(28,10))), 6) AS DOUBLE) / count(x) AS comp
+        |      FROM d GROUP BY 1, 2),
+        |cent AS (SELECT label, list(comp ORDER BY dim) AS cv FROM c GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |        round(sqrt(list_dot_product(cv, cv)), 6) AS centroid_norm FROM cent),
+        |m AS (SELECT v.label, round(list_dot_product(v.v, cn.cv)
+        |          / sqrt(list_dot_product(v.v, v.v) * list_dot_product(cn.cv, cn.cv)), 6) AS cos,
+        |        len(v.v) AS dim, cn.centroid_norm
+        |      FROM v JOIN cn USING (label))
+        |SELECT label, count(*) AS n_vecs, CAST(max(dim) AS BIGINT) AS dim,
+        |  max(centroid_norm) AS centroid_norm,
+        |  round(CAST(round(sum(CAST(cos AS DECIMAL(28,10))), 6) AS DOUBLE) / count(cos), 4) AS avg_cos,
+        |  min(cos) AS min_cos
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q_embed_quant" -> {
       val codeOf = (x: String) =>
         s"greatest(-127.0, least(127.0, round(($x) / scale, 0)))"
