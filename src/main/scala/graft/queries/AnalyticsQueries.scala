@@ -280,6 +280,22 @@ object AnalyticsQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  // A28: explicit GROUPING SETS — the general form behind
+  // rollup/cube: an arbitrary set of grouping combinations computed in
+  // one pass over the fact table (here: by flag, by status, and the
+  // grand total — NOT the full cube).
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        moneySum(money(col("l_extendedprice"))).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   // A17: pivot — event types to columns, one shuffle.
   def qPivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -385,6 +401,7 @@ object AnalyticsQueries {
     "q5_join" -> q5Join,
     "q_profit_nation" -> qProfitNation,
     "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
     "q_moving_window" -> qMovingWindow,
     "q_topk_window" -> qTopkWindow,
     "q_time_bucket" -> qTimeBucket,
@@ -439,6 +456,13 @@ object AnalyticsQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_profit_nation" ->
       s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
