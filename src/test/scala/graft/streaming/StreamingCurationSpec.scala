@@ -35,6 +35,27 @@ class StreamingCurationSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("hashSplit and stratifiedSample apply to a stream verbatim (row-local ops)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[MixDoc]
+    val query = Sampling.stratifiedSample(
+        Sampling.hashSplit(in.toDF(), "doc_id", 80, 10),
+        "source", "doc_id", 500)
+      .writeStream.format("memory").queryName("split_stream").outputMode("append")
+      .start()
+    try {
+      in.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("split_stream")
+        .select("doc_id", "split").as[(Long, String)].collect().toSet
+      val batched = Sampling.stratifiedSample(
+          Sampling.hashSplit(rows.toDF(), "doc_id", 80, 10),
+          "source", "doc_id", 500)
+        .select("doc_id", "split").as[(Long, String)].collect().toSet
+      assert(streamed == batched && batched.nonEmpty)
+    } finally query.stop()
+  }
+
   test("sources missing from the profile follow defaultThr") {
     implicit val ctx = spark.sqlContext
     val profile = Seq(("a", 1000000L)).toDF("__src", "__thr")
