@@ -298,6 +298,55 @@ object Baseline {
           .as("is_anomaly"))
   }
 
+  /** R18 (beyond the reference): incremental baseline maintenance.
+    * The reference recomputes its whole profile window per run
+    * (main.go:275 re-queries the full trailing week); at 100 TB that
+    * is a full-history scan per day. This state table is the mergeable
+    * alternative: (count, exact decimal sum, max) per network — each
+    * ingest slice profiles once, and merging slice states is
+    * BIT-IDENTICAL to a full recompute (decimal sums are exact and
+    * associative; count/max trivially so), verified in
+    * `BaselineSpec` and against the DuckDB full recompute by
+    * `q_baseline_incremental`.
+    *
+    * Windowing is the caller's job (one anchor for all slices —
+    * anchoring each slice at its own max(ts) would break equality);
+    * the natural unit is the ingest partition (day/hour), retiring a
+    * slice = subtracting nothing: rebuild the merged profile from the
+    * still-live slice states.
+    */
+  def profileState(df: DataFrame, hostCol: String, valueCol: String,
+      prefix: Int): DataFrame =
+    df.withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
+      .groupBy(col("network"))
+      .agg(count(col(valueCol)).as("n_rows"),
+        sum(col(valueCol).cast("decimal(28,10)")).as("sum_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Merge profile states (all built by [[profileState]] with the same
+    * prefix): counts and sums add, maxes max. Result rows are
+    * bit-identical to profiling the concatenated inputs.
+    */
+  def mergeProfiles(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "no states to merge")
+    states.reduce(_ unionByName _)
+      .groupBy(col("network"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"),
+        max(col("max_v")).as("max_v"))
+  }
+
+  /** Render a (merged) profile state as the avg/max baseline report —
+    * same arithmetic as `aggFor("avg")`/`toInt64`, so the report of a
+    * merged state equals the one-shot baseline of the same rows.
+    */
+  def profileReport(state: DataFrame): DataFrame =
+    state.select(col("network"), col("n_rows").as("n_events"),
+      toInt64(round(col("sum_v"), 6).cast("double") / col("n_rows"))
+        .as("avg_value"),
+      toInt64(col("max_v")).as("max_value"))
+
   /** IPv6 variant — beyond the reference, which skips IPv6 networks
     * (main.go:223). Identical plan shape: parse once at the join
     * boundary, broadcast range join on inclusive 16-byte bounds

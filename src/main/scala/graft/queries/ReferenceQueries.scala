@@ -151,6 +151,20 @@ object ReferenceQueries {
       .orderBy("network", "hour_of_day")
   }
 
+  // R18: incremental baseline maintenance — profile two ingest slices
+  // independently (split by user-id parity; any partition works),
+  // merge the mergeable states, render. The oracle recomputes the
+  // baseline in ONE pass over everything: passing the gate proves
+  // merge(sliceA, sliceB) is bit-identical to the full recompute.
+  def qBaselineIncremental(s: SparkSession, dir: String): DataFrame = {
+    val windowed = Baseline.trailingWindow(hostEvents(s, dir), "ts", week)
+    val parity = pmod(coalesce(col("user_id"), lit(0L)), lit(2L))
+    val slices = Seq(
+      Baseline.profileState(windowed.filter(parity === 0), "host", "value", 24),
+      Baseline.profileState(windowed.filter(parity === 1), "host", "value", 24))
+    Baseline.profileReport(Baseline.mergeProfiles(slices)).orderBy("network")
+  }
+
   // R16: robust MAD anomaly scoring — last hour vs 7-day median/MAD
   // per /24, threshold 3x MAD.
   def qMadAnomaly(s: SparkSession, dir: String): DataFrame =
@@ -166,6 +180,7 @@ object ReferenceQueries {
     "q_baseline_avg" -> qBaselineAvg,
     "q_baseline_max" -> qBaselineMax,
     "q_baseline_p95" -> qBaselineP95,
+    "q_baseline_incremental" -> qBaselineIncremental,
     "q_baseline_seasonal" -> qBaselineSeasonal,
     "q_thresholds" -> qThresholds,
     "q_hostgroups" -> qHostgroups,
@@ -251,6 +266,13 @@ object ReferenceQueries {
          |ORDER BY event_id""".stripMargin,
     "q_baseline_avg" -> baselineSql("avg"),
     "q_baseline_max" -> baselineSql("max"),
+    "q_baseline_incremental" ->
+      s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
+         |n AS (SELECT *, ${numToIpSql("(ip_num & 4294967040)")} AS network FROM w)
+         |SELECT network, count(value) AS n_events,
+         |  CAST(floor(${aggSql("avg", "value")}) AS BIGINT) AS avg_value,
+         |  CAST(floor(max(value)) AS BIGINT) AS max_value
+         |FROM n GROUP BY network ORDER BY network""".stripMargin,
     "q_baseline_p95" ->
       s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
          |n AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network, value FROM w),

@@ -85,4 +85,32 @@ class BaselineSpec extends SparkSuite {
         Seq(Cidr.parse("10.0.0.0/24"))).collect()
     }
   }
+
+  test("incremental profile: merged slice states equal the full recompute bit-for-bit") {
+    // values chosen so the avg has a non-terminating binary expansion
+    // (the case where a float re-aggregation would drift)
+    val rows = (1 to 30).map { i =>
+      (s"10.0.${i % 3}.${i % 7}", ts("2024-01-10 00:00:00"), i * 0.1 + 1.0 / 3.0)
+    }
+    val all = rows.toDF("host", "ts", "value")
+    val full = Baseline.profileReport(
+      Baseline.profileState(all, "host", "value", 24))
+      .orderBy("network").collect().toSeq
+    // arbitrary 3-way split (by index mod 3)
+    val slices = (0 until 3).map { k =>
+      val part = rows.zipWithIndex.collect { case (r, i) if i % 3 == k => r }
+        .toDF("host", "ts", "value")
+      Baseline.profileState(part, "host", "value", 24)
+    }
+    val merged = Baseline.profileReport(Baseline.mergeProfiles(slices))
+      .orderBy("network").collect().toSeq
+    assert(merged == full)
+    // merging with an empty state is the identity
+    val empty = Baseline.profileState(
+      all.filter(lit(false)), "host", "value", 24)
+    val withEmpty = Baseline.profileReport(
+      Baseline.mergeProfiles(slices :+ empty))
+      .orderBy("network").collect().toSeq
+    assert(withEmpty == full)
+  }
 }
