@@ -160,6 +160,36 @@ object TextAnalysis {
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val LongNumRe = "\\b[0-9]{6,}\\b"
 
+  /** URL pattern + the capture that isolates its host. Scheme + host
+    * only (query strings and paths vary too wildly for a portable
+    * regex; the host is what domain policy keys on).
+    */
+  val UrlRe = "https?://[A-Za-z0-9.-]+"
+  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** T7: URL/domain analysis — the domain-policy pass of web-corpus
+    * curation (C4/RefinedWeb-style: count per-domain document reach,
+    * then allow/block by domain). Per registrable domain (last two
+    * host labels): URL mentions, distinct documents reached, and the
+    * blocklist verdict. One explode of per-doc matches, one
+    * partial-aggregated groupBy on domain; the blocklist is a literal
+    * IN — at real scale a broadcast semi/anti join against a domain
+    * table.
+    */
+  def urlDomains(df: DataFrame, idCol: String, textCol: String,
+      blocked: Seq[String]): DataFrame = {
+    val hosts = df.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlHostRe), lit(1)))
+          .as("host"))
+      // registrable domain = last two dot labels of the host
+      .withColumn("domain", regexp_extract(col("host"),
+        "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1))
+    hosts.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("blocked", col("domain").isInCollection(blocked))
+  }
+
   /** T6: PII detection + redaction — per-document match counts for
     * email / IPv4 / long-number patterns and the scrubbed text
     * (replaced in that order, so an address inside an email is counted

@@ -233,6 +233,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Blocklist shared by the T7 query and its oracle. */
+  val BlockedDomains: Seq[String] = Seq("site3.example", "assets7.net")
+
+  // T7: URL/domain analysis. The corpus has no URLs, so the query
+  // plants two per document (derived from doc_id) and the operator
+  // must extract hosts, reduce them to registrable domains, and apply
+  // the blocklist verdict.
+  def qUrlDomains(s: SparkSession, dir: String): DataFrame = {
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://w"), (col("doc_id") % 7).cast("string"),
+        lit(".site"), (col("doc_id") % 23).cast("string"),
+        lit(".example/page"),
+        lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
+        lit(".assets"), (col("doc_id") % 11).cast("string"),
+        lit(".net/x")).as("text"))
+    TextAnalysis.urlDomains(injected, "doc_id", "text", BlockedDomains)
+      .orderBy("domain")
+  }
+
   // A16: per-language token heavy hitters via the custom Misra-Gries
   // TypedImperativeAggregate. k=64 exceeds every group's distinct
   // token count (31), so the sketch is exact here and the oracle can
@@ -310,6 +330,7 @@ object PipelineQueries {
     "q_fingerprint" -> qFingerprint,
     "q_repetition" -> qRepetition,
     "q_pii_scrub" -> qPiiScrub,
+    "q_url_domains" -> qUrlDomains,
     "q_mm_meta" -> qMmMeta,
     "q_mm_frames" -> qMmFrames,
     "q_heavy_hitters" -> qHeavyHitters)
@@ -765,6 +786,25 @@ object PipelineQueries {
          |  CAST(len(regexp_extract_all(after_ip, '$LongNumRe')) AS BIGINT) AS n_longnum,
          |  md5(redacted) AS redacted_hash
          |FROM r3 ORDER BY doc_id""".stripMargin
+    },
+    "q_url_domains" -> {
+      val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
+      s"""WITH p AS (SELECT doc_id, text
+         |    || ' see https://w' || CAST(doc_id % 7 AS VARCHAR)
+         |    || '.site' || CAST(doc_id % 23 AS VARCHAR) || '.example/page'
+         |    || ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+         |    || '.assets' || CAST(doc_id % 11 AS VARCHAR) || '.net/x' AS text
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |        unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+         |      FROM p),
+         |d AS (SELECT doc_id,
+         |        regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1) AS domain
+         |      FROM h)
+         |SELECT domain, count(*) AS n_urls,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  domain IN ($blocked) AS blocked
+         |FROM d GROUP BY domain ORDER BY domain""".stripMargin
     },
     "q_fingerprint" ->
       s"""WITH $tokCte,

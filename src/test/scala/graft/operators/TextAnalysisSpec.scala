@@ -83,4 +83,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(m(2L).getAs[Long]("n_email") == 0L)
     assert(m(2L).getAs[String]("redacted") == "clean text with short 123 number")
   }
+
+  test("url domains: host extraction, registrable-domain reduction, blocklist") {
+    val docs = Seq(
+      (1L, "read https://a.news.example/story and https://b.news.example/x too"),
+      (2L, "mirror at http://cdn.files.net/y plus https://c.news.example"),
+      (3L, "no links here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomains(docs, "doc_id", "text", Seq("files.net"))
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out.keySet == Set("news.example", "files.net"))
+    val news = out("news.example")
+    assert(news.getAs[Long]("n_urls") == 3L)
+    assert(news.getAs[Long]("n_docs") == 2L)
+    assert(!news.getAs[Boolean]("blocked"))
+    assert(out("files.net").getAs[Boolean]("blocked"))
+  }
 }
