@@ -190,6 +190,36 @@ object TextAnalysis {
       .withColumn("blocked", col("domain").isInCollection(blocked))
   }
 
+  /** T8: linear classifier scoring — the fasttext-shaped model-based
+    * filtering pass (hash each token into a weight table, score = mean
+    * token weight, gate on a threshold), with the weight lookup
+    * replaced by a deterministic hash-derived weight in [-1, 1]: the
+    * container has no model artifacts, and the PLUMBING — vocabulary
+    * hashing, in-row weighted mean, threshold gate — is exactly what a
+    * learned weight table drops into (swap `weightOf` for an
+    * element_at into a broadcast array).
+    *
+    * Everything is integer arithmetic until one final division
+    * (per-token weights are integers in [-1000, 1000]; their sum is an
+    * exact long), so scores are bit-identical on any engine and under
+    * any partition order. Pure map: zero shuffles.
+    */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    // integer weight of one token: md5-derived, uniform over [-1000, 1000]
+    def weightOf(t: Column): Column =
+      Hashing.md5Long60(t) % 2001L - 1000L
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(transform(col("toks"), weightOf(_)), lit(0L), (acc, x) => acc + x)
+          .as("__wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__wsum") / (col("n_tokens") * 1000.0), 6).as("score"))
+      .withColumn("pass", col("score") > threshold)
+  }
+
   /** T6: PII detection + redaction — per-document match counts for
     * email / IPv4 / long-number patterns and the scrubbed text
     * (replaced in that order, so an address inside an email is counted

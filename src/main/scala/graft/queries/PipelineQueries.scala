@@ -233,6 +233,12 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // T8: hash-linear classifier scoring — model-based filtering
+  // plumbing with a deterministic stand-in weight table.
+  def qLinearScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.linearScore(t(s, dir, "documents"), "doc_id", "text", 0.0)
+      .orderBy("doc_id")
+
   /** Blocklist shared by the T7 query and its oracle. */
   val BlockedDomains: Seq[String] = Seq("site3.example", "assets7.net")
 
@@ -331,6 +337,7 @@ object PipelineQueries {
     "q_repetition" -> qRepetition,
     "q_pii_scrub" -> qPiiScrub,
     "q_url_domains" -> qUrlDomains,
+    "q_linear_score" -> qLinearScore,
     "q_mm_meta" -> qMmMeta,
     "q_mm_frames" -> qMmFrames,
     "q_heavy_hitters" -> qHeavyHitters)
@@ -787,6 +794,15 @@ object PipelineQueries {
          |  md5(redacted) AS redacted_hash
          |FROM r3 ORDER BY doc_id""".stripMargin
     },
+    "q_linear_score" ->
+      s"""WITH $tokCte,
+         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        round(list_sum(list_transform(toks,
+         |            t -> (${Hashing.md5Long60Sql("t")} % 2001 - 1000)))
+         |          / (len(toks) * 1000.0), 6) AS score
+         |      FROM d WHERE len(toks) >= 1)
+         |SELECT doc_id, n_tokens, score, score > 0.0 AS pass
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_url_domains" -> {
       val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
       s"""WITH p AS (SELECT doc_id, text

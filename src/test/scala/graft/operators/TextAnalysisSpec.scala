@@ -84,6 +84,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(m(2L).getAs[String]("redacted") == "clean text with short 123 number")
   }
 
+  test("linear scorer: exact mean of integer token weights, stable under repartition") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "alpha alpha"), (2L, "alpha beta gamma"), (3L, ""))
+      .toDF("doc_id", "text")
+    // reference weight of a single token, computed through the same
+    // hash the operator uses
+    def w(tok: String): Long = spark.range(1)
+      .select((graft.functions.Hashing.md5Long60(lit(tok)) % 2001L - 1000L).as("w"))
+      .head.getLong(0)
+    val out = TextAnalysis.linearScore(docs, "doc_id", "text", 0.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 3 ("" -> one empty token after split) still scores; no doc drops
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).getAs[Double]("score") ==
+      math.rint(w("alpha") / 1000.0 * 1e6) / 1e6)
+    val expected2 = (w("alpha") + w("beta") + w("gamma")) / (3 * 1000.0)
+    assert(math.abs(out(2L).getAs[Double]("score") - expected2) < 1e-6)
+    val repart = TextAnalysis.linearScore(docs.repartition(5), "doc_id", "text", 0.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out.forall { case (id, r) => repart(id) == r.getAs[Double]("score") })
+  }
+
   test("url domains: host extraction, registrable-domain reduction, blocklist") {
     val docs = Seq(
       (1L, "read https://a.news.example/story and https://b.news.example/x too"),
