@@ -199,10 +199,14 @@ object TextAnalysis {
     * learned weight table drops into (swap `weightOf` for an
     * element_at into a broadcast array).
     *
-    * Everything is integer arithmetic until one final division
-    * (per-token weights are integers in [-1000, 1000]; their sum is an
-    * exact long), so scores are bit-identical on any engine and under
-    * any partition order. Pure map: zero shuffles.
+    * Everything is integer arithmetic THROUGH the rounding step:
+    * per-token weights are integers in [-1000, 1000], their sum is an
+    * exact long, and the mean is rounded to 6 decimals as an integer
+    * micro-score (half away from zero) before ONE exact IEEE division
+    * by 10^6. Rounding the double quotient instead is a trap: a doc
+    * whose mean lands exactly on a half boundary (e.g. -0.0648125)
+    * rounds differently across engines (decimal-string half-up vs
+    * binary-value nearest). Pure map: zero shuffles.
     */
   def linearScore(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
@@ -215,8 +219,13 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         aggregate(transform(col("toks"), weightOf(_)), lit(0L), (acc, x) => acc + x)
           .as("__wsum"))
+      // score * 1e6 = wsum * 1000 / n_tokens, rounded half away from zero
+      .withColumn("__a", abs(col("__wsum")) * 1000L)
+      .withColumn("__e6",
+        when(col("__wsum") < 0, -1L).otherwise(1L) *
+          expr("(2 * __a + n_tokens) DIV (2 * n_tokens)"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("__wsum") / (col("n_tokens") * 1000.0), 6).as("score"))
+        (col("__e6") / 1000000.0).as("score"))
       .withColumn("pass", col("score") > threshold)
   }
 

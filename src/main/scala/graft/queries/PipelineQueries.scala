@@ -796,13 +796,17 @@ object PipelineQueries {
     },
     "q_linear_score" ->
       s"""WITH $tokCte,
-         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |        round(list_sum(list_transform(toks,
-         |            t -> (${Hashing.md5Long60Sql("t")} % 2001 - 1000)))
-         |          / (len(toks) * 1000.0), 6) AS score
-         |      FROM d WHERE len(toks) >= 1)
-         |SELECT doc_id, n_tokens, score, score > 0.0 AS pass
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(list_sum(list_transform(toks,
+         |            t -> (${Hashing.md5Long60Sql("t")} % 2001 - 1000))) AS BIGINT) AS wsum
+         |      FROM d WHERE len(toks) >= 1),
+         |e AS (SELECT doc_id, n_tokens,
+         |        (CASE WHEN wsum < 0 THEN -1 ELSE 1 END)
+         |          * ((2 * abs(wsum) * 1000 + n_tokens) // (2 * n_tokens)) AS e6
+         |      FROM w)
+         |SELECT doc_id, n_tokens, e6 / 1000000.0 AS score,
+         |  e6 / 1000000.0 > 0.0 AS pass
+         |FROM e ORDER BY doc_id""".stripMargin,
     "q_url_domains" -> {
       val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
       s"""WITH p AS (SELECT doc_id, text
