@@ -269,12 +269,19 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dup_tokens"), sum(col("__new")).as("n_spans"),
         collect_list(col("tp")).as("__cov"))
+    // kept positions via array_except (hash-set membership, O(n + dup)
+    // per doc) instead of filter+array_contains (a linear scan of the
+    // covered list PER TOKEN, O(n * dup) — a 100k-token doc that is 90%
+    // duplicated costs ~9e9 comparisons in one task). array_except
+    // preserves the order of its left argument, so the surviving tokens
+    // stay in document order and the hash is unchanged.
     spans.join(base, "doc_id")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         col("dup_tokens"), col("n_spans"),
         round(col("dup_tokens") / size(col("toks")), 4).as("dup_frac"),
-        md5(concat_ws(" ", filter(col("toks"),
-          (t, i) => !array_contains(col("__cov"), i + 1)))).as("keep_hash"))
+        md5(concat_ws(" ", transform(
+          array_except(sequence(lit(1), size(col("toks"))), col("__cov")),
+          p => element_at(col("toks"), p)))).as("keep_hash"))
   }
 
   // ------------------------------------------------------------ MinHash

@@ -147,15 +147,29 @@ object AnalyticsQueries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  // A8: exact percentiles (p50/p90/p99) of value per event_type.
-  def qPercentile(s: SparkSession, dir: String): DataFrame =
+  // A8: exact percentiles (p50/p90/p99) of value per event_type via
+  // integer rank selection (rank*den >= num*n picks the k-th smallest
+  // element — same trick as Baseline.rankSelect): one sort-window pass
+  // with CONSTANT per-row state, then a plain hash aggregate. The
+  // buffering `percentile()` built-in (ObjectHashAggregate) holds every
+  // distinct value of a group in one buffer — a hot group at 100 TB
+  // concentrates the distribution in a single executor's memory, while
+  // this plan only ever sorts (spillable) and keeps three counters.
+  // For groups too large even to sort in one task, qSketchQuantile is
+  // the constant-memory companion.
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
     t(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .withColumn("__rk", row_number().over(w.orderBy(col("value"))))
+      .withColumn("__n", count(lit(1)).over(w))
       .groupBy(col("event_type"))
       .agg(
-        r4(expr("percentile(value, 0.5)")).as("p50"),
-        r4(expr("percentile(value, 0.9)")).as("p90"),
-        r4(expr("percentile(value, 0.99)")).as("p99"))
+        r4(min(when(col("__rk") * 2 >= col("__n"), col("value")))).as("p50"),
+        r4(min(when(col("__rk") * 10 >= col("__n") * 9, col("value")))).as("p90"),
+        r4(min(when(col("__rk") * 100 >= col("__n") * 99, col("value")))).as("p99"))
       .orderBy("event_type")
+  }
 
   // A9: JSON field extraction from events.props.
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -629,11 +643,16 @@ object AnalyticsQueries {
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentile" ->
-      """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 4) AS p50,
-        |  round(quantile_cont(value, 0.9), 4) AS p90,
-        |  round(quantile_cont(value, 0.99), 4) AS p99
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  round(min(CASE WHEN rk * 2 >= n THEN value END), 4) AS p50,
+        |  round(min(CASE WHEN rk * 10 >= 9 * n THEN value END), 4) AS p90,
+        |  round(min(CASE WHEN rk * 100 >= 99 * n THEN value END), 4) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -134,6 +134,35 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("dup passages: 100k-token doc with 90% duplication stays linear") {
+    // adversarial shape for the span-removal step: the old
+    // filter+array_contains was O(n_tokens * dup_tokens) per doc —
+    // ~9e9 comparisons here, a straggler task measured in hours. The
+    // array_except mask is O(n) and this completes in seconds.
+    val shared = (0 until 90000).map(i => s"s$i").mkString(" ")
+    val docA = ((0 until 5000).map(i => s"a$i") ++ Seq(shared) ++
+      (5000 until 10000).map(i => s"a$i")).mkString(" ")
+    val docB = ((0 until 5000).map(i => s"b$i") ++ Seq(shared) ++
+      (5000 until 10000).map(i => s"b$i")).mkString(" ")
+    val corpus = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val out = Dedup.dupPassages(corpus, "doc_id", "text", 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    for (r <- out.values) {
+      assert(r.getAs[Long]("n_tokens") == 100000L)
+      assert(r.getAs[Long]("dup_tokens") == 90000L)
+      assert(r.getAs[Long]("n_spans") == 1L)
+      assert(r.getAs[Double]("dup_frac") == 0.9)
+    }
+    // removal keeps exactly the per-doc unique tokens, in order
+    val expected = corpus.sparkSession.range(1)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lit(
+          (0 until 10000).map(i => s"a$i").mkString(" "))).as("h"))
+      .head.getString(0)
+    assert(out(1L).getAs[String]("keep_hash") == expected)
+  }
+
   test("dup passages: empty corpus and no-overlap corpus yield no rows") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

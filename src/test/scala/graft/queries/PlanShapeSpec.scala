@@ -109,6 +109,17 @@ class PlanShapeSpec extends SparkSuite {
       "HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
   }
 
+  test("percentile: rank-select window pass, no buffering ObjectHashAggregate") {
+    val plan = planOf(AnalyticsQueries.qPercentile(spark, dir))
+    // the buffering percentile() built-in collects every group value in
+    // one aggregation buffer — the exact hot-group OOM this rewrite kills
+    assert(!plan.contains("ObjectHashAggregate"), s"buffering agg is back:\n$plan")
+    assert(plan.contains("Window"), s"rank window lost:\n$plan")
+    // one keyed shuffle for the window; the groupBy reuses its partitioning
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"expected <=2 keyed shuffles, got $shuffles:\n$plan")
+  }
+
   test("p95/MAD baselines: rank windows keyed by network, no cartesian") {
     for (q <- Seq(ReferenceQueries.qBaselineP95 _, ReferenceQueries.qMadAnomaly _)) {
       val plan = planOf(q(spark, dir))
