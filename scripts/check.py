@@ -21,6 +21,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def strict_diff(exp, got):
     """None if frames are dtype- and bit-identical up to row order,
     else a human-readable reason."""
+    # column sets first: a column present on only one side used to
+    # KeyError inside the error-reporting path below, mislabeling the
+    # failure as a crash instead of a schema diff
+    if set(exp.columns) != set(got.columns):
+        return ("column sets differ: "
+                f"oracle-only={sorted(set(exp.columns) - set(got.columns))} "
+                f"spark-only={sorted(set(got.columns) - set(exp.columns))}")
     ed = {c: str(exp[c].dtype) for c in exp.columns}
     gd = {c: str(got[c].dtype) for c in got.columns}
     if ed != gd:

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -15,36 +15,51 @@ import graft.functions.{BytesToIp6, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6To
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Wrong arity must surface as the standard analyzer error, not an
+    * IndexOutOfBounds escaping from the builder lambda.
+    */
+  private def arity(name: String, expected: Int, args: Seq[Expression]): Unit =
+    if (args.length != expected) {
+      throw new AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.EliminateIpRoundtrips)
     ext.injectFunction((
       FunctionIdentifier("graft_ip4_to_num"),
       new ExpressionInfo(classOf[Ip4ToNum].getName, "graft_ip4_to_num"),
-      (args: Seq[Expression]) => Ip4ToNum(args.head)))
+      (args: Seq[Expression]) => { arity("graft_ip4_to_num", 1, args); Ip4ToNum(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("graft_num_to_ip4"),
       new ExpressionInfo(classOf[NumToIp4].getName, "graft_num_to_ip4"),
-      (args: Seq[Expression]) => NumToIp4(args.head)))
+      (args: Seq[Expression]) => { arity("graft_num_to_ip4", 1, args); NumToIp4(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("graft_dot", 2, args); DotProduct(args(0), args(1)) }))
     ext.injectFunction((
       FunctionIdentifier("graft_ip6_to_bytes"),
       new ExpressionInfo(classOf[Ip6ToBytes].getName, "graft_ip6_to_bytes"),
-      (args: Seq[Expression]) => Ip6ToBytes(args.head)))
+      (args: Seq[Expression]) => { arity("graft_ip6_to_bytes", 1, args); Ip6ToBytes(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("graft_bytes_to_ip6"),
       new ExpressionInfo(classOf[BytesToIp6].getName, "graft_bytes_to_ip6"),
-      (args: Seq[Expression]) => BytesToIp6(args.head)))
+      (args: Seq[Expression]) => { arity("graft_bytes_to_ip6", 1, args); BytesToIp6(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("graft_zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder2"),
-      (args: Seq[Expression]) => ZOrder2(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("graft_zorder2", 2, args); ZOrder2(args(0), args(1)) }))
     ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
       (args: Seq[Expression]) => {
+        arity("graft_heavy_hitters", 2, args)
         val k = args(1).eval() match {
           case i: Int => i
           case l: Long => l.toInt

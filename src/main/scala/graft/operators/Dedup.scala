@@ -182,6 +182,15 @@ object Dedup {
     */
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
+    // the label-sum convergence test needs an integral id: min()
+    // labels and exact sums are only well-defined there, and a float
+    // id would make "sum unchanged" a rounding accident
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"clusters requires an integral id column, got $idCol: $idType")
     // materialize the edge list ONCE: every round joins against it,
     // and without this each round's fresh plan would re-run the whole
     // upstream pair-generation pipeline
@@ -191,8 +200,10 @@ object Dedup {
       .localCheckpoint(true)
     var labels = df.select(col(idCol).as("v"), col(idCol).as("cluster_id"))
       .localCheckpoint(true)
+    // coalesce: sum() over an EMPTY corpus is NULL, not 0 — without it
+    // the scalar fetch NPEs before the loop even starts
     def labelSum(l: DataFrame): Long =
-      l.agg(sum(col("cluster_id"))).head.getLong(0)
+      l.agg(coalesce(sum(col("cluster_id")), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

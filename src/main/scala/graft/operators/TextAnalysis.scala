@@ -180,10 +180,17 @@ object TextAnalysis {
       blocked: Seq[String]): DataFrame = {
     val hosts = df.select(col(idCol).as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit(UrlHostRe), lit(1)))
-          .as("host"))
+          .as("__raw_host"))
+      // root-qualified hosts ("example.com.") are legal URL syntax —
+      // strip trailing dots BEFORE domain extraction, or every such
+      // host lands in a bogus empty-string domain group
+      .withColumn("host", regexp_replace(col("__raw_host"), "\\.+$", ""))
       // registrable domain = last two dot labels of the host
       .withColumn("domain", regexp_extract(col("host"),
         "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1))
+      // single-label hosts (localhost, bare machine names) have no
+      // registrable domain — drop rather than pool under ""
+      .filter(col("domain") =!= "")
     hosts.groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("doc_id")).as("n_docs"))

@@ -613,8 +613,13 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q_sample" -> {
+      // coalesce mirrors Sampling.keyOf's NUL-sentinel: a null stratum
+      // must sample like any other, and a null-propagating || would
+      // silently drop it (green today only because the corpus has no
+      // null lang — the mirror keeps the twin honest if that changes)
       val b = graft.operators.Sampling.bucketOfSql(
-        "lang || '|' || CAST(doc_id AS VARCHAR)", "sample", 1000)
+        "coalesce(lang, chr(0) || 'null') || '|' || CAST(doc_id AS VARCHAR)",
+        "sample", 1000)
       s"""SELECT doc_id, lang FROM documents
          |WHERE $b < 100 ORDER BY doc_id""".stripMargin
     },
@@ -816,7 +821,9 @@ object PipelineQueries {
          |    || '.assets' || CAST(doc_id % 11 AS VARCHAR) || '.net/x' AS text
          |  FROM documents),
          |h AS (SELECT doc_id,
-         |        unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+         |        regexp_replace(
+         |          unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)),
+         |          '\\.+$$', '') AS host
          |      FROM p),
          |d AS (SELECT doc_id,
          |        regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1) AS domain
@@ -824,7 +831,7 @@ object PipelineQueries {
          |SELECT domain, count(*) AS n_urls,
          |  count(DISTINCT doc_id) AS n_docs,
          |  domain IN ($blocked) AS blocked
-         |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+         |FROM d WHERE domain <> '' GROUP BY domain ORDER BY domain""".stripMargin
     },
     "q_fingerprint" ->
       s"""WITH $tokCte,

@@ -60,4 +60,16 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got.getAs[Long]("z") == 15L)
     assert(got.getAs[Long]("a") == 1L)
   }
+
+  test("wrong arity raises the analyzer error, not IndexOutOfBounds") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_zorder2(1L)").collect())
+    assert(e1.getMessage.contains("graft_zorder2"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_dot(array(1.0D))").collect())
+    assert(e2.getMessage.contains("graft_dot"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_ip4_to_num()").collect())
+    assert(e3.getMessage.contains("graft_ip4_to_num"))
+  }
 }

@@ -21,6 +21,17 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.exact(empty, "doc_id", "text").count() == 0)
     assert(Dedup.ngramJaccard(empty, "doc_id", "text", 3, 1, 2).count() == 0)
     assert(Dedup.minhashLsh(empty, "doc_id", "text", 3, 1, 2).count() == 0)
+    // clusters: sum(cluster_id) over zero rows is NULL — the scalar
+    // convergence fetch must not NPE
+    val emptyIds = Seq.empty[Long].toDF("doc_id")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(emptyIds, "doc_id", emptyPairs).count() == 0)
+  }
+
+  test("cluster resolution rejects non-integral id columns") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](
+      Dedup.clusters(Seq("a", "b").toDF("doc_id"), "doc_id", emptyPairs))
   }
 
   test("exact dedup groups identical texts") {

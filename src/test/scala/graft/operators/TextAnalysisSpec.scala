@@ -121,4 +121,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!news.getAs[Boolean]("blocked"))
     assert(out("files.net").getAs[Boolean]("blocked"))
   }
+
+  test("url domains: trailing-dot hosts normalize; single-label hosts drop") {
+    val docs = Seq(
+      // root-qualified host — legal URL syntax, same registrable domain
+      (1L, "see https://a.news.example./story for more"),
+      // single-label hosts have no registrable domain: must not pool
+      // under a bogus empty-string group
+      (2L, "local http://localhost/admin and https://intranet/x"),
+      (3L, "normal https://b.news.example/y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomains(docs, "doc_id", "text", Nil)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out.keySet == Set("news.example"))
+    assert(out("news.example").getAs[Long]("n_urls") == 2L)
+    assert(out("news.example").getAs[Long]("n_docs") == 2L)
+  }
 }
