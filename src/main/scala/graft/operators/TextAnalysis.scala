@@ -167,17 +167,60 @@ object TextAnalysis {
   val UrlRe = "https?://[A-Za-z0-9.-]+"
   val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
 
+  /** Curated subset of the Public Suffix List (publicsuffix.org —
+    * public data): the common multi-label suffixes under which sites
+    * register one level down ("bbc.co.uk" registers under "co.uk").
+    * `urlDomains` takes the list as a parameter, so a deployment ships
+    * the full ~9k-entry PSL through the identical plan shape — two
+    * broadcast hash joins don't care whether the build side holds 50
+    * rows or 9k.
+    */
+  val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "act.edu.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "gob.mx", "org.mx",
+    "co.in", "net.in", "org.in", "gen.in",
+    "co.kr", "or.kr", "go.kr",
+    "co.za", "org.za", "web.za",
+    "com.sg", "com.tr", "com.ar", "com.tw", "com.hk", "com.my",
+    "co.nz", "org.nz", "govt.nz")
+
+  /** Last `n` dot-labels of `host`, or NULL when the host has fewer —
+    * the oracle twin is NULLIF(regexp_extract(host, same, 1), '').
+    */
+  private def lastLabels(host: Column, n: Int): Column = {
+    val re = s"((?:[^.]+\\.){${n - 1}}[^.]+)$$"
+    val m = regexp_extract(host, re, 1)
+    when(m =!= "", m)
+  }
+
   /** T7: URL/domain analysis — the domain-policy pass of web-corpus
     * curation (C4/RefinedWeb-style: count per-domain document reach,
-    * then allow/block by domain). Per registrable domain (last two
-    * host labels): URL mentions, distinct documents reached, and the
-    * blocklist verdict. One explode of per-doc matches, one
-    * partial-aggregated groupBy on domain; the blocklist is a literal
-    * IN — at real scale a broadcast semi/anti join against a domain
-    * table.
+    * then allow/block by domain). Registrable domain = longest
+    * matching public suffix plus one label (PSL semantics; default
+    * rule when nothing matches = last two labels). Per domain: URL
+    * mentions, distinct documents reached, and the blocklist verdict.
+    *
+    * Scale shape: one explode of per-doc matches, two BROADCAST left
+    * joins against the suffix table (3-label suffixes, then 2-label),
+    * one partial-aggregated groupBy on domain; the blocklist is a
+    * literal IN — at real scale a broadcast semi/anti join against a
+    * domain table.
     */
   def urlDomains(df: DataFrame, idCol: String, textCol: String,
-      blocked: Seq[String]): DataFrame = {
+      blocked: Seq[String],
+      suffixes: Seq[String] = PublicSuffixes): DataFrame = {
+    val spark = df.sparkSession
+    val (three, two) = suffixes.partition(_.count(_ == '.') == 2)
+    require(suffixes.forall(s => Set(1, 2).contains(s.count(_ == '.'))),
+      "suffix table entries must have 2 or 3 labels")
+    val psl3 = broadcast(
+      spark.createDataFrame(three.map(Tuple1.apply)).toDF("__sfx3"))
+    val psl2 = broadcast(
+      spark.createDataFrame(two.map(Tuple1.apply)).toDF("__sfx2"))
     val hosts = df.select(col(idCol).as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit(UrlHostRe), lit(1)))
           .as("__raw_host"))
@@ -185,12 +228,19 @@ object TextAnalysis {
       // strip trailing dots BEFORE domain extraction, or every such
       // host lands in a bogus empty-string domain group
       .withColumn("host", regexp_replace(col("__raw_host"), "\\.+$", ""))
-      // registrable domain = last two dot labels of the host
-      .withColumn("domain", regexp_extract(col("host"),
-        "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1))
-      // single-label hosts (localhost, bare machine names) have no
-      // registrable domain — drop rather than pool under ""
-      .filter(col("domain") =!= "")
+      .withColumn("__l2", lastLabels(col("host"), 2))
+      .withColumn("__l3", lastLabels(col("host"), 3))
+      .withColumn("__l4", lastLabels(col("host"), 4))
+      .join(psl3, col("__l3") === col("__sfx3"), "left")
+      .join(psl2, col("__l2") === col("__sfx2"), "left")
+      .withColumn("domain",
+        when(col("__sfx3").isNotNull, col("__l4"))
+          .when(col("__sfx2").isNotNull, col("__l3"))
+          .otherwise(col("__l2")))
+      // NULL domain = single-label host (localhost), or a host that IS
+      // a public suffix — neither has a registrable domain; drop
+      // rather than pool under a bogus group
+      .filter(col("domain").isNotNull)
     hosts.groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("doc_id")).as("n_docs"))

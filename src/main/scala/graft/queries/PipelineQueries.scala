@@ -243,9 +243,10 @@ object PipelineQueries {
   val BlockedDomains: Seq[String] = Seq("site3.example", "assets7.net")
 
   // T7: URL/domain analysis. The corpus has no URLs, so the query
-  // plants two per document (derived from doc_id) and the operator
-  // must extract hosts, reduce them to registrable domains, and apply
-  // the blocklist verdict.
+  // plants three per document (derived from doc_id) and the operator
+  // must extract hosts, reduce them to registrable domains — the third
+  // URL sits under a public suffix (co.uk), exercising the PSL path —
+  // and apply the blocklist verdict.
   def qUrlDomains(s: SparkSession, dir: String): DataFrame = {
     val injected = t(s, dir, "documents").select(col("doc_id"),
       concat(col("text"),
@@ -254,7 +255,9 @@ object PipelineQueries {
         lit(".example/page"),
         lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
         lit(".assets"), (col("doc_id") % 11).cast("string"),
-        lit(".net/x")).as("text"))
+        lit(".net/x"),
+        lit(" or https://shop"), (col("doc_id") % 13).cast("string"),
+        lit(".co.uk/p")).as("text"))
     TextAnalysis.urlDomains(injected, "doc_id", "text", BlockedDomains)
       .orderBy("domain")
   }
@@ -814,24 +817,36 @@ object PipelineQueries {
          |FROM e ORDER BY doc_id""".stripMargin,
     "q_url_domains" -> {
       val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
+      val (sfx3, sfx2) = TextAnalysis.PublicSuffixes
+        .partition(_.count(_ == '.') == 2)
+      val in3 = sfx3.map(d => s"'$d'").mkString(", ")
+      val in2 = sfx2.map(d => s"'$d'").mkString(", ")
       s"""WITH p AS (SELECT doc_id, text
          |    || ' see https://w' || CAST(doc_id % 7 AS VARCHAR)
          |    || '.site' || CAST(doc_id % 23 AS VARCHAR) || '.example/page'
          |    || ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR)
-         |    || '.assets' || CAST(doc_id % 11 AS VARCHAR) || '.net/x' AS text
+         |    || '.assets' || CAST(doc_id % 11 AS VARCHAR) || '.net/x'
+         |    || ' or https://shop' || CAST(doc_id % 13 AS VARCHAR) || '.co.uk/p' AS text
          |  FROM documents),
          |h AS (SELECT doc_id,
          |        regexp_replace(
          |          unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)),
          |          '\\.+$$', '') AS host
          |      FROM p),
+         |l AS (SELECT doc_id, host,
+         |        NULLIF(regexp_extract(host, '((?:[^.]+\\.){1}[^.]+)$$', 1), '') AS l2,
+         |        NULLIF(regexp_extract(host, '((?:[^.]+\\.){2}[^.]+)$$', 1), '') AS l3,
+         |        NULLIF(regexp_extract(host, '((?:[^.]+\\.){3}[^.]+)$$', 1), '') AS l4
+         |      FROM h),
          |d AS (SELECT doc_id,
-         |        regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1) AS domain
-         |      FROM h)
+         |        CASE WHEN l3 IN ($in3) THEN l4
+         |             WHEN l2 IN ($in2) THEN l3
+         |             ELSE l2 END AS domain
+         |      FROM l)
          |SELECT domain, count(*) AS n_urls,
          |  count(DISTINCT doc_id) AS n_docs,
          |  domain IN ($blocked) AS blocked
-         |FROM d WHERE domain <> '' GROUP BY domain ORDER BY domain""".stripMargin
+         |FROM d WHERE domain IS NOT NULL GROUP BY domain ORDER BY domain""".stripMargin
     },
     "q_fingerprint" ->
       s"""WITH $tokCte,

@@ -122,6 +122,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out("files.net").getAs[Boolean]("blocked"))
   }
 
+  test("url domains: public-suffix aware registrable domains") {
+    val docs = Seq(
+      // both hosts register under co.uk -> one registrable domain
+      (1L, "see https://www.bbc.co.uk/news and https://news.bbc.co.uk/x"),
+      // 2-label suffix com.au, deep host
+      (2L, "buy https://shop.example.com.au/item now"),
+      // a host that IS a public suffix has no registrable domain
+      (3L, "bare https://co.uk/ suffix-only host"),
+      // 3-label suffix act.edu.au beats the 2-label edu.au match
+      (4L, "deep https://a.b.act.edu.au/page"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomains(docs, "doc_id", "text", Nil)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out.keySet == Set("bbc.co.uk", "example.com.au", "b.act.edu.au"))
+    assert(out("bbc.co.uk").getAs[Long]("n_urls") == 2L)
+    assert(out("bbc.co.uk").getAs[Long]("n_docs") == 1L)
+  }
+
   test("url domains: trailing-dot hosts normalize; single-label hosts drop") {
     val docs = Seq(
       // root-qualified host — legal URL syntax, same registrable domain

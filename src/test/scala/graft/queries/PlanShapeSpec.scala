@@ -120,6 +120,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles <= 2, s"expected <=2 keyed shuffles, got $shuffles:\n$plan")
   }
 
+  test("url domains: suffix table resolves via broadcast joins, no shuffle join") {
+    val plan = planOf(PipelineQueries.qUrlDomains(spark, dir))
+    assert(plan.contains("BroadcastExchange"), s"PSL table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"suffix lookup shuffled:\n$plan")
+  }
+
   test("p95/MAD baselines: rank windows keyed by network, no cartesian") {
     for (q <- Seq(ReferenceQueries.qBaselineP95 _, ReferenceQueries.qMadAnomaly _)) {
       val plan = planOf(q(spark, dir))
