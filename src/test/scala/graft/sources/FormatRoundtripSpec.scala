@@ -37,15 +37,36 @@ class FormatRoundtripSpec extends SparkSuite {
     assert(fingerprints(fromJson) == base)
   }
 
+  import graft.operators.Baseline
+  import graft.operators.Baseline.{BaselineConfig, ThresholdRule}
+  import graft.functions.IpFunctions.Cidr
+
+  private val pipelineCfg = BaselineConfig(
+    hostCol = "host", tsCol = "ts", windowSeconds = 7L * 24 * 3600,
+    aggregationFunction = "max",
+    metrics = Map(
+      "packets_incoming" -> col("value"),
+      "bits_incoming" -> (col("value") * 1048576L),
+      "flows_incoming" -> (col("value") / 10)),
+    rules = Seq(
+      ThresholdRule("packets_incoming", "value * 2", "threshold_pps"),
+      ThresholdRule("bits_incoming", "value * 3", "threshold_mbps", divisor = 1048576L),
+      ThresholdRule("flows_incoming", "value + 200", "threshold_flows")))
+
+  /** The reference's full events pipeline (baseline -> thresholds ->
+    * hostgroups) over an arbitrarily-loaded events frame.
+    */
+  private def runPipeline(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    Baseline.hostgroups(
+        df.withColumn("host", graft.queries.Shared.hostOf(col("user_id"))),
+        pipelineCfg, graft.queries.Shared.netList.map(Cidr.parse))
+      .collect().map(_.toString).sorted.toSeq
+
   // The reference reads its events from ClickHouse (main.go:96-104);
   // here the SAME baseline->thresholds->hostgroups pipeline runs over
   // events loaded from csv and json and must match the parquet run
   // row for row — the "any source is a one-line swap" claim, load-bearing.
   test("baseline hostgroup pipeline is source-agnostic (parquet == csv == json)") {
-    import graft.operators.Baseline
-    import graft.operators.Baseline.{BaselineConfig, ThresholdRule}
-    import graft.functions.IpFunctions.Cidr
-
     val dir = "/root/testdata/sf0.001"
     val events = Tables.load(spark, dir, "events")
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS" // keep micros through text
@@ -61,28 +82,31 @@ class FormatRoundtripSpec extends SparkSuite {
     val fromJson = spark.read.option("timestampFormat", tsFmt)
       .schema(events.schema).json(jsonPath)
 
-    val cfg = BaselineConfig(
-      hostCol = "host", tsCol = "ts", windowSeconds = 7L * 24 * 3600,
-      aggregationFunction = "max",
-      metrics = Map(
-        "packets_incoming" -> col("value"),
-        "bits_incoming" -> (col("value") * 1048576L),
-        "flows_incoming" -> (col("value") / 10)),
-      rules = Seq(
-        ThresholdRule("packets_incoming", "value * 2", "threshold_pps"),
-        ThresholdRule("bits_incoming", "value * 3", "threshold_mbps", divisor = 1048576L),
-        ThresholdRule("flows_incoming", "value + 200", "threshold_flows")))
-    val nets = graft.queries.Shared.netList.map(Cidr.parse)
-
-    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      Baseline.hostgroups(
-          df.withColumn("host", graft.queries.Shared.hostOf(col("user_id"))),
-          cfg, nets)
-        .collect().map(_.toString).sorted.toSeq
-
-    val base = run(events)
+    val base = runPipeline(events)
     assert(base.nonEmpty)
-    assert(run(fromCsv) == base)
-    assert(run(fromJson) == base)
+    assert(runPipeline(fromCsv) == base)
+    assert(runPipeline(fromJson) == base)
+  }
+
+  // The last untested leg of the any-source claim: a LIVE JDBC
+  // connection, the transport the reference actually uses for
+  // ClickHouse (main.go:96-104, database/sql). Embedded Derby stands
+  // in for the warehouse — the spark.read.jdbc surface is identical;
+  // a cluster deployment adds partitionColumn/numPartitions for a
+  // parallel fetch, nothing else changes.
+  test("baseline hostgroup pipeline reads from a live JDBC source") {
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.load(spark, dir, "events")
+    events.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", "events")
+      .option("driver", driver).save()
+    val fromJdbc = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "events")
+      .option("driver", driver).load()
+    assert(fromJdbc.count() == events.count())
+    assert(runPipeline(fromJdbc) == runPipeline(events))
   }
 }
