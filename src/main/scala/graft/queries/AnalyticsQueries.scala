@@ -200,6 +200,82 @@ object AnalyticsQueries {
       .orderBy("o_orderkey")
   }
 
+  // A30: TPC-H Q13 shape — customer order-count distribution INCLUDING
+  // zero-order customers: the left-outer + two-level aggregation shape
+  // an inner join silently gets wrong. Scale: one custkey-keyed shuffle
+  // for the outer join + first agg; the histogram re-agg is tiny
+  // (distinct order counts, not customers).
+  def q13Custdist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  // A31: TPC-H Q17 shape — rows below a per-group average threshold
+  // (small-quantity orders for one brand). The correlated scalar
+  // subquery decorrelates into a self-agg equi-join; the brand filter
+  // broadcasts as a semi join so only its lineitems shuffle. The
+  // threshold predicate is integer-exact (qty*n*5 < sum instead of
+  // qty < 0.2*sum/n): quantities are integral, so no float division
+  // boundary can disagree between engines.
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val partAvg = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("__sum_qty"), count(lit(1)).as("__n"))
+    li.join(partAvg, "l_partkey")
+      .filter(col("l_quantity") * col("__n") * 5 < col("__sum_qty"))
+      .agg(r2(sum2(col("l_extendedprice")) / 7).as("avg_yearly"))
+  }
+
+  // A32: TPC-H Q18 shape — HAVING-filtered aggregate joined back to
+  // its dimensions (orders whose total quantity clears a threshold).
+  // The sum is exact (integral quantities), so the long cast and the
+  // threshold agree bit-for-bit with the oracle. Scale: the HAVING
+  // output is tiny relative to lineitem — AQE turns the join-back into
+  // a broadcast at runtime.
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  // A33: TPC-H Q22 shape — anti join against facts plus a scalar
+  // aggregate subquery (customers with above-average positive balance
+  // and no urgent order). The average threshold compares in integer
+  // cents (cents*n > sum_cents), never dividing, so both engines pick
+  // the identical customer set. Scale: the scalar broadcasts; the
+  // anti join's selective filter pushes to the fact scan and its
+  // custkey shuffle is the only keyed exchange.
+  def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .withColumn("__cents", round(col("c_acctbal") * 100).cast("long"))
+    val posAvg = cust.filter(col("__cents") > 0)
+      .agg(sum(col("__cents")).as("__s"), count(lit(1)).as("__n"))
+    cust.crossJoin(broadcast(posAvg))
+      .filter(col("__cents") * col("__n") > col("__s"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), sum2(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   // A19: window-function suite — rank family, offsets, running and
   // frame aggregates in one pass per partition.
   def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
@@ -422,7 +498,11 @@ object AnalyticsQueries {
     "q_sessionize" -> qSessionize,
     "q_distinct" -> qDistinct,
     "q_percentile" -> qPercentile,
-    "q_json_extract" -> qJsonExtract)
+    "q_json_extract" -> qJsonExtract,
+    "q13_custdist" -> q13Custdist,
+    "q17_small_qty" -> q17SmallQty,
+    "q18_large_orders" -> q18LargeOrders,
+    "q22_idle_balance" -> q22IdleBalance)
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
@@ -653,6 +733,40 @@ object AnalyticsQueries {
         |  round(min(CASE WHEN rk * 10 >= 9 * n THEN value END), 4) AS p90,
         |  round(min(CASE WHEN rk * 100 >= 99 * n THEN value END), 4) AS p99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_qty" ->
+      s"""WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+         |li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+         |       WHERE l_partkey IN (SELECT p_partkey FROM bp)),
+         |pa AS (SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS n
+         |       FROM li GROUP BY 1)
+         |SELECT round(${sum2Sql("l_extendedprice")} / 7, 2) AS avg_yearly
+         |FROM li JOIN pa USING (l_partkey)
+         |WHERE l_quantity * n * 5 < sq""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q22_idle_balance" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+         |       CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+         |p AS (SELECT sum(cents) AS s, count(*) AS n FROM c WHERE cents > 0)
+         |SELECT c_mktsegment, count(*) AS n_cust,
+         |  ${sum2Sql("c_acctbal")} AS total_bal
+         |FROM c, p
+         |WHERE c.cents * p.n > p.s
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -126,6 +126,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), s"suffix lookup shuffled:\n$plan")
   }
 
+  test("Q17/Q22 shapes: brand semi join broadcasts; urgent filter pushed to scan") {
+    val p17 = planOf(AnalyticsQueries.q17SmallQty(spark, dir))
+    assert(p17.contains("BroadcastExchange"), s"brand parts not broadcast:\n$p17")
+    assert(!p17.contains("CartesianProduct"), s"pair blowup:\n$p17")
+    val p22 = planOf(AnalyticsQueries.q22IdleBalance(spark, dir))
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p22).map(_.group(1)).mkString(";")
+    assert(pushed.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"urgent filter not pushed; PushedFilters=[$pushed]")
+  }
+
   test("p95/MAD baselines: rank windows keyed by network, no cartesian") {
     for (q <- Seq(ReferenceQueries.qBaselineP95 _, ReferenceQueries.qMadAnomaly _)) {
       val plan = planOf(q(spark, dir))
