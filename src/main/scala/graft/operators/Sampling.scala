@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -85,6 +86,37 @@ object Sampling {
         "__src")
       .filter(bucketOf(col(idCol), salt, 1000000) < col("__thr"))
       .drop("__src", "__thr")
+  }
+
+  /** P6: deterministic corpus shuffle — training-order randomization
+    * as a pure function of (salt, id): every run, engine, and
+    * partition layout produces the identical permutation; re-shuffling
+    * between epochs is just a new salt. `shuffle_rank` is the 0-based
+    * position in the permuted order.
+    *
+    * Scale shape: a global row_number needs a total order, but an
+    * unpartitioned window is a one-task sort of the corpus. Instead
+    * the md5 key's first byte ranges rows into 256 buckets:
+    * rank = bucket offset (exclusive running sum over the 256-row
+    * bucket histogram — the only unpartitioned window, and it runs on
+    * 256 rows) + row_number within the bucket (a keyed, distributed
+    * window). The same plan shape holds at 500 rows or 100 TB — the
+    * TeraSort range-partition trick in DataFrame ops.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      salt: String = "shuffle"): DataFrame = {
+    val keyed = df.withColumn("__key",
+        md5(concat(lit(salt), lit("_"), col(idCol).cast("string"))))
+      .withColumn("__b", substring(col("__key"), 1, 2))
+    val offsets = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__key"), col(idCol))
+    keyed.join(broadcast(offsets), "__b")
+      .withColumn("shuffle_rank", col("__off") + row_number().over(w) - 1)
+      .drop("__key", "__b", "__off")
   }
 
   /** The per-source keep-threshold table behind [[mixSample]]:

@@ -310,4 +310,43 @@ object TextAnalysis {
       scrubbed.as("redacted"),
       md5(scrubbed).as("redacted_hash"))
   }
+
+  /** T9: text normalization — the C4-style cleanup pass every web
+    * corpus runs before dedup/tokenization: lowercase, en/em dashes to
+    * ASCII hyphen, control characters stripped, all whitespace runs
+    * (including NBSP) collapsed to single spaces, edges trimmed. Pure
+    * codegen'd map, zero shuffle; deterministic, so dedup hashes
+    * computed after normalization are stable across runs and engines.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(translate(lower(text), "—–", "--"),
+        "[\\x00-\\x1f\\x7f]", " "),
+      "[\\s ]+", " "))
+
+  /** T10: frequency vocabulary build — the token table a tokenizer /
+    * feature hasher ships: every token with count >= `minCount`,
+    * densely ranked by (count desc, token) into `token_id`.
+    *
+    * Scale shape: one explode + one partial-aggregated groupBy on
+    * token. The ranking avoids a global one-task sort the same way
+    * [[Sampling.deterministicShuffle]] does: offsets come from the
+    * count histogram (distinct counts — small under Zipf; the only
+    * unpartitioned window runs on it), and token_id = offset +
+    * row_number within the count group (keyed, distributed window).
+    */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val hist = counts.groupBy(col("n")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.orderBy(col("n").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n"), col("__off"))
+    val w = Window.partitionBy(col("n")).orderBy(col("token"))
+    counts.join(broadcast(hist), "n")
+      .withColumn("token_id", col("__off") + row_number().over(w) - 1)
+      .select(col("token"), col("n"), col("token_id"))
+  }
 }

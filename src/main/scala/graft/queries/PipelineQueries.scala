@@ -134,6 +134,38 @@ object PipelineQueries {
         t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", 100)
       .orderBy("doc_id")
 
+  // T9: text normalization. The corpus is already clean, so the query
+  // plants deterministic mess per doc — uppercase, tab, control char,
+  // NBSP, em/en dashes — and the operator must produce the canonical
+  // form; lengths and hash make the whole normalized string gate-checked.
+  def qNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("  NOISY\t—Block "),
+          (col("doc_id") % 7).cast("string"),
+          lit("–END  "), col("text")).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("raw_len"),
+        TextAnalysis.normalize(col("raw")).as("__norm"))
+      .select(col("doc_id"), col("raw_len"),
+        length(col("__norm")).cast("long").as("norm_len"),
+        md5(col("__norm")).as("norm_hash"))
+      .orderBy("doc_id")
+
+  // T10: frequency vocabulary build over the corpus (token_id ranked
+  // by count desc, token asc; histogram-offset rank — no global sort).
+  def qVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(t(s, dir, "documents"), "text", minCount = 2)
+      .orderBy("token_id")
+
+  // P6: deterministic corpus shuffle — the training-order permutation,
+  // reproducible from (salt, id) alone; rank assembled from the
+  // 256-bucket offset + per-bucket row_number (no one-task sort).
+  def qShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("shuffle_rank"))
+      .orderBy("shuffle_rank")
+
   // C1: train/test 5-gram contamination over the hash split — the
   // decontamination audit a benchmark split goes through before its
   // numbers are trusted.
@@ -327,6 +359,9 @@ object PipelineQueries {
     "q_ann_ivf" -> qAnnIvf,
     "q_split" -> qSplit,
     "q_sample" -> qSample,
+    "q_shuffle" -> qShuffle,
+    "q_normalize" -> qNormalize,
+    "q_vocab" -> qVocab,
     "q_contamination" -> qContamination,
     "q_embed_quant" -> qEmbedQuant,
     "q_embed_cartography" -> qEmbedCartography,
@@ -615,6 +650,33 @@ object PipelineQueries {
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_normalize" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    '  NOISY' || chr(9) || '—Block' || chr(160)
+         |      || CAST(doc_id % 7 AS VARCHAR)
+         |      || '–END' || chr(1) || '  ' || text AS raw
+         |  FROM documents),
+         |n AS (SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len,
+         |    trim(regexp_replace(regexp_replace(
+         |      translate(lower(raw), '—–', '--'),
+         |      '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+         |      '[\\s ]+', ' ', 'g')) AS norm
+         |  FROM r)
+         |SELECT doc_id, raw_len, CAST(length(norm) AS BIGINT) AS norm_len,
+         |  md5(norm) AS norm_hash
+         |FROM n ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT token, n, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        |FROM c ORDER BY token_id""".stripMargin,
+    "q_shuffle" ->
+      """SELECT doc_id, lang,
+        |  row_number() OVER (
+        |    ORDER BY md5('shuffle_' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS shuffle_rank
+        |FROM documents ORDER BY shuffle_rank""".stripMargin,
     "q_sample" -> {
       // coalesce mirrors Sampling.keyOf's NUL-sentinel: a null stratum
       // must sample like any other, and a null-propagating || would

@@ -84,4 +84,26 @@ class SamplingSpec extends SparkSuite {
     assert(mixed.filter(col("lang").isNull).count() > 0)
     assert(mixed.count() < 600)
   }
+
+  test("deterministic shuffle is an exact permutation, layout-stable, salt-sensitive") {
+    import spark.implicits._
+    val docs = (1L to 777L).toDF("doc_id")
+    val ranks = Sampling.deterministicShuffle(docs, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_rank"))
+      .toMap
+    // exact permutation: every rank 0..n-1 exactly once
+    assert(ranks.values.toSeq.sorted == (0L until 777L))
+    // not the identity order (it's a shuffle)
+    assert((1L to 777L).map(ranks) != (0L until 777L))
+    // identical under a different partition layout
+    val again = Sampling.deterministicShuffle(docs.repartition(13), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_rank"))
+      .toMap
+    assert(again == ranks)
+    // a new salt is a fresh epoch permutation
+    val epoch2 = Sampling.deterministicShuffle(docs, "doc_id", salt = "epoch2")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_rank"))
+      .toMap
+    assert(epoch2 != ranks && epoch2.values.toSeq.sorted == (0L until 777L))
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
 class TextAnalysisSpec extends SparkSuite {
@@ -120,6 +122,30 @@ class TextAnalysisSpec extends SparkSuite {
     assert(news.getAs[Long]("n_docs") == 2L)
     assert(!news.getAs[Boolean]("blocked"))
     assert(out("files.net").getAs[Boolean]("blocked"))
+  }
+
+  test("normalize canonicalizes case, dashes, control chars, and whitespace") {
+    val out = Seq((1L, "  Mixed\tCASE text—with–dashes and  runs  "))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.normalize(col("text")).as("n"))
+      .head.getString(0)
+    assert(out == "mixed case text-with-dashes and runs")
+    // idempotent: normalizing a normalized string is a no-op
+    val again = Seq(Tuple1(out)).toDF("text")
+      .select(TextAnalysis.normalize(col("text")).as("n")).head.getString(0)
+    assert(again == out)
+  }
+
+  test("vocabulary ranks by count desc then token, honors minCount") {
+    val docs = Seq(
+      (1L, "b b b a a c unique"),
+      (2L, "a b c c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "text", minCount = 2)
+      .collect().map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("n"), r.getAs[Long]("token_id")))
+    // b:4 a:3 c:3 (count desc, token asc); 'unique' filtered by minCount
+    assert(out.sortBy(_._3).toSeq ==
+      Seq(("b", 4L, 0L), ("a", 3L, 1L), ("c", 3L, 2L)))
   }
 
   test("url domains: public-suffix aware registrable domains") {

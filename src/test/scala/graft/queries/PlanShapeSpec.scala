@@ -137,6 +137,15 @@ class PlanShapeSpec extends SparkSuite {
       s"urgent filter not pushed; PushedFilters=[$pushed]")
   }
 
+  test("shuffle rank: data window keyed by bucket, offsets broadcast") {
+    val plan = planOf(PipelineQueries.qShuffle(spark, dir))
+    // the corpus-sized window must be partitioned by the hash bucket —
+    // an unpartitioned window here would be a one-task sort of the data
+    assert(plan.contains("windowspecdefinition(__b"),
+      s"bucket-keyed window lost:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"offsets not broadcast:\n$plan")
+  }
+
   test("p95/MAD baselines: rank windows keyed by network, no cartesian") {
     for (q <- Seq(ReferenceQueries.qBaselineP95 _, ReferenceQueries.qMadAnomaly _)) {
       val plan = planOf(q(spark, dir))
