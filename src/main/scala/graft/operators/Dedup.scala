@@ -358,6 +358,63 @@ object Dedup {
     jaccardFilter(exactShared(cand, sets), sets, num, den)
   }
 
+  /** D8: incremental dedup — classify an INCOMING batch against an
+    * EXISTING corpus without ever pairing the corpus with itself: the
+    * 100 TB ingest shape (the corpus is huge, already deduped, and
+    * static; the increment is small and arrives continuously). Exact
+    * duplicates resolve on the content hash; near-dups come from
+    * minhash band buckets joined incoming x corpus ONLY — corpus
+    * bands never join each other — then verified by exact shingle
+    * Jaccard at `num/den`, the same integer-arithmetic test as
+    * [[minhashLsh]].
+    *
+    * One row per incoming doc: `status` in dup_exact | near_dup | new
+    * (exact wins when both hold), `match_id` = the smallest matching
+    * existing id, null for new. Docs shorter than `n` tokens have no
+    * shingles and can only match exactly.
+    */
+  def incremental(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int, num: Long, den: Long,
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    val ex = existing.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val inc = incoming.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // exact: hash-keyed equi join; existing collapses to one row per
+    // hash first so a heavily-duplicated corpus hash costs one probe
+    val exHash = ex.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val exact = inc.withColumn("__h", md5(col("text")))
+      .join(exHash, Seq("__h"), "left")
+      .select(col("doc_id"), col("exact_match"))
+    // near: band-bucket join, incoming x existing only
+    val exSets = shingleSets(ex, "doc_id", "text", n, tokenHash)
+    val incSets = shingleSets(inc, "doc_id", "text", n, tokenHash)
+    val exBands = bandHashes(minhashSignatures(exSets))
+    val incBands = bandHashes(minhashSignatures(incSets))
+    val cand = incBands.as("x")
+      .join(exBands.as("y"), Seq("band", "bh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val shared = cand
+      .join(incSets.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(exSets.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val near = shared
+      .join(incSets.groupBy(col("doc_id").as("doc_a"))
+        .agg(count(lit(1)).as("n_a")), "doc_a")
+      .join(exSets.groupBy(col("doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_b")), "doc_b")
+      .filter(lit(den + num) * col("shared") >= lit(num) * (col("n_a") + col("n_b")))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("near_match"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "dup_exact")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 30-bit simhash per doc over its 3-gram shingle hashes: bit j is

@@ -85,6 +85,28 @@ object PipelineQueries {
     Dedup.dupPassages(t(s, dir, "documents"), "doc_id", "text", 5, 2, tokenHash)
       .orderBy("doc_id")
 
+  // D8: incremental dedup — ingest-time classification of a new batch
+  // against the already-curated corpus (never corpus x corpus). The
+  // incoming batch is synthesized from the corpus: exact copies
+  // (doc_id%10==0), one-token-appended near-dups (%10==1), novel docs
+  // (%10==2). Near-dup recall goes through the band join in BOTH
+  // engines, so labels agree even where LSH recall is probabilistic.
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val idStr = col("doc_id").cast("string")
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" zzappended")).as("text")))
+      .union(docs.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(lit("qqa"), idStr, lit(" qqb"), idStr,
+            lit(" qqc"), idStr, lit(" qqd"), idStr).as("text")))
+    Dedup.incremental(docs, incoming, "doc_id", "text", 3, 1, 2, tokenHash)
+      .orderBy("doc_id")
+  }
+
   // D5: embedding cosine near-dup, label-blocked, tau = 0.3.
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -351,6 +373,7 @@ object PipelineQueries {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dup_passages" -> qDupPassages,
     "q_dedup_embed" -> qDedupEmbed,
@@ -649,6 +672,65 @@ object PipelineQueries {
          |       WHEN $b < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_incremental" -> {
+      val combine3 = {
+        import graft.operators.Dedup.ShingleCoef
+        (0 until 3).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+      }
+      val sideBands = (0 until Dedup.MinhashK / Dedup.BandRows).map { j =>
+        val parts = (0 until Dedup.BandRows)
+          .map(k => s"mh_${Dedup.BandRows * j + k}::VARCHAR")
+          .mkString(" || '_' || ")
+        s"SELECT side, doc_id, $j AS band, md5($parts) AS bh FROM mh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH inc AS (
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text || ' zzappended' FROM documents WHERE doc_id % 10 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 4000000,
+         |    'qqa' || CAST(doc_id AS VARCHAR) || ' qqb' || CAST(doc_id AS VARCHAR)
+         |      || ' qqc' || CAST(doc_id AS VARCHAR) || ' qqd' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 10 = 2),
+         |ad AS (SELECT 0 AS side, doc_id, text FROM documents
+         |       UNION ALL SELECT 1, doc_id, text FROM inc),
+         |tok AS (SELECT side, doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM ad),
+         |th AS (SELECT side, doc_id, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |       FROM tok WHERE len(toks) >= 3),
+         |sh AS (SELECT DISTINCT side, doc_id, $combine3 AS sh
+         |       FROM (SELECT side, doc_id, th,
+         |             unnest(generate_series(1, len(th) - 2)) AS i FROM th) x),
+         |sz AS (SELECT side, doc_id, count(*) AS n FROM sh GROUP BY 1, 2),
+         |mh AS (SELECT side, doc_id,
+         |       $minhashSelect
+         |  FROM sh GROUP BY side, doc_id),
+         |bands AS (
+         |  $sideBands),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |         WHERE x.side = 1 AND y.side = 0),
+         |pr AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |       FROM cand c
+         |       JOIN sh a ON a.side = 1 AND a.doc_id = c.doc_a
+         |       JOIN sh b ON b.side = 0 AND b.doc_id = c.doc_b AND b.sh = a.sh
+         |       GROUP BY 1, 2),
+         |near AS (SELECT p.doc_a AS doc_id, min(p.doc_b) AS near_match
+         |         FROM pr p
+         |         JOIN sz sa ON sa.side = 1 AND sa.doc_id = p.doc_a
+         |         JOIN sz sb ON sb.side = 0 AND sb.doc_id = p.doc_b
+         |         WHERE 3 * p.shared >= sa.n + sb.n GROUP BY 1),
+         |exh AS (SELECT md5(text) AS h, min(doc_id) AS exact_match
+         |        FROM documents GROUP BY 1),
+         |ex AS (SELECT i.doc_id, e.exact_match
+         |       FROM inc i LEFT JOIN exh e ON md5(i.text) = e.h)
+         |SELECT ex.doc_id AS doc_id,
+         |  CASE WHEN ex.exact_match IS NOT NULL THEN 'dup_exact'
+         |       WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS status,
+         |  coalesce(ex.exact_match, nr.near_match) AS match_id
+         |FROM ex LEFT JOIN near nr ON ex.doc_id = nr.doc_id
+         |ORDER BY ex.doc_id""".stripMargin
     },
     "q_normalize" ->
       s"""WITH r AS (SELECT doc_id,

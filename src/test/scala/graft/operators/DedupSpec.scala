@@ -174,6 +174,33 @@ class DedupSpec extends SparkSuite {
     assert(out(1L).getAs[String]("keep_hash") == expected)
   }
 
+  test("incremental dedup classifies incoming docs against the corpus only") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val existing = Seq(
+      (1L, base),
+      (2L, "an unrelated existing document about completely other things entirely"),
+      (3L, base)) // corpus's own dup
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // byte-identical to docs 1/3 -> dup_exact, match = min id 1
+      (10L, base),
+      // one token appended to a 40-token doc: 38 of 39 grams shared ->
+      // jaccard ~0.97, so the band join recalls it deterministically
+      (11L, base + " appended"),
+      // nothing like the corpus -> new
+      (12L, "completely fresh material with novel vocabulary throughout entire body"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(existing, incoming, "doc_id", "text", 3, 1, 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.getAs[java.lang.Long]("match_id")))))
+      .toMap
+    assert(out(10L) == (("dup_exact", Some(1L))))
+    assert(out(11L) == (("near_dup", Some(1L))))
+    assert(out(12L) == (("new", None)))
+    assert(out.size == 3)
+  }
+
   test("dup passages: empty corpus and no-overlap corpus yield no rows") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -146,6 +146,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("BroadcastExchange"), s"offsets not broadcast:\n$plan")
   }
 
+  test("incremental dedup: hash/band-keyed joins only, no cartesian") {
+    val plan = planOf(PipelineQueries.qDedupIncremental(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair blowup:\n$plan")
+  }
+
   test("p95/MAD baselines: rank windows keyed by network, no cartesian") {
     for (q <- Seq(ReferenceQueries.qBaselineP95 _, ReferenceQueries.qMadAnomaly _)) {
       val plan = planOf(q(spark, dir))
