@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Packing, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -155,6 +155,20 @@ object PipelineQueries {
     Sampling.stratifiedSample(
         t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", 100)
       .orderBy("doc_id")
+
+  // P7: corpus snapshot diff — the next pipeline run is synthesized
+  // from the corpus (drop %7==0, rewrite %7==1, add %7==2 under new
+  // ids) and the diff must classify every id exactly.
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val next = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    Snapshot.diff(docs, next, "doc_id", "text").orderBy("doc_id")
+  }
 
   // T9: text normalization. The corpus is already clean, so the query
   // plants deterministic mess per doc — uppercase, tab, control char,
@@ -385,6 +399,7 @@ object PipelineQueries {
     "q_shuffle" -> qShuffle,
     "q_normalize" -> qNormalize,
     "q_vocab" -> qVocab,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_contamination" -> qContamination,
     "q_embed_quant" -> qEmbedQuant,
     "q_embed_cartography" -> qEmbedCartography,
@@ -732,6 +747,22 @@ object PipelineQueries {
          |FROM ex LEFT JOIN near nr ON ex.doc_id = nr.doc_id
          |ORDER BY ex.doc_id""".stripMargin
     },
+    "q_snapshot_diff" ->
+      """WITH nextv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 7 = 2),
+        |p AS (SELECT doc_id, md5(text) AS ph FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS nh FROM nextv)
+        |SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN p.ph <> n.nh THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_normalize" ->
       s"""WITH r AS (SELECT doc_id,
          |    '  NOISY' || chr(9) || '—Block' || chr(160)
