@@ -302,10 +302,16 @@ object PipelineQueries {
   }
 
   // T8: hash-linear classifier scoring — model-based filtering
-  // plumbing with a deterministic stand-in weight table.
-  def qLinearScore(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.linearScore(t(s, dir, "documents"), "doc_id", "text", 0.0)
+  // plumbing with a deterministic stand-in weight table. The gated run
+  // hashes with md5 (oracle parity); SPARK_GRAFT_FAST_HASH=1 swaps in
+  // the xxhash64 production path, same as the dedup queries.
+  def qLinearScore(s: SparkSession, dir: String): DataFrame = {
+    val h: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (sys.env.get("SPARK_GRAFT_FAST_HASH").contains("1")) Hashing.xx60
+      else Hashing.md5Long60
+    TextAnalysis.linearScore(t(s, dir, "documents"), "doc_id", "text", 0.0, h)
       .orderBy("doc_id")
+  }
 
   /** Blocklist shared by the T7 query and its oracle. */
   val BlockedDomains: Seq[String] = Seq("site3.example", "assets7.net")
