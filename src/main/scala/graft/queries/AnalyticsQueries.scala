@@ -276,6 +276,184 @@ object AnalyticsQueries {
       .orderBy("c_mktsegment")
   }
 
+  // A34: TPC-H Q4 shape — per-priority count of orders with at least
+  // one late-shipped line (shipped > 60 days after the order date; the
+  // corpus has no commit/receipt dates, so lateness is ship-vs-order).
+  // The EXISTS decorrelates to a left-semi join whose non-equi leg
+  // rides on the orderkey equi-join — one keyed shuffle, then a tiny
+  // priority histogram.
+  def q4LateShip(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    t(s, dir, "orders")
+      .join(late, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // A35: TPC-H Q7 shape — bilateral shipping volume between two
+  // nations by ship year. Suppliers and customers pre-filter to the
+  // two nations (broadcast), so only matching lineitems survive the
+  // orderkey join; the direction filter keeps the two asymmetric
+  // pairs.
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val supp = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(moneySum(money(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - rate(col("l_discount"))))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // A36: TPC-H Q8 shape — one nation's market share of PROMO-part
+  // revenue sold to EUROPE customers, by order year. Numerator and
+  // denominator are exact conditional decimal sums; the share is a
+  // SINGLE IEEE division of the two rounded doubles (then round 6), so
+  // both engines compute the identical float — same discipline as
+  // Shared.avg4.
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val custEu = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("c_custkey"))
+    val suppN = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val disc = money(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - rate(col("l_discount")))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(custEu), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(coalesce(sum(when(col("supp_nation") === "NATION_3", disc)),
+          lit(0).cast("decimal(12,2)")), 2).cast("double").as("nation_revenue"),
+        moneySum(disc).as("total_revenue"))
+      .withColumn("mkt_share",
+        round(col("nation_revenue") / col("total_revenue"), 6))
+      .orderBy("o_year")
+  }
+
+  // A37: TPC-H Q10 shape — top 20 customers by revenue lost to
+  // returned items in one quarter. Selective date+flag filters push to
+  // both scans; the custkey aggregate output is tiny, so the
+  // customer/nation join-back broadcasts under AQE.
+  def q10Returned(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")))
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(moneySum(money(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - rate(col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // A38: TPC-H Q14 shape — promo-part revenue share by ship month.
+  // Both sums are exact decimals; the percentage is one multiply and
+  // one divide on the rounded doubles, identical on both engines.
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val disc = money(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - rate(col("l_discount")))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+      .agg(
+        round(coalesce(sum(when(col("p_type") === "PROMO", disc)),
+          lit(0).cast("decimal(12,2)")), 2).cast("double").as("promo_revenue"),
+        moneySum(disc).as("total_revenue"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4))
+      .orderBy("ship_month")
+  }
+
+  // A39: TPC-H Q15 shape — the supplier(s) achieving the quarter's
+  // maximum revenue: per-supplier aggregate, scalar max broadcast back,
+  // equality on the identically-rounded doubles. No window over the
+  // full aggregate and no second scan of lineitem.
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(moneySum(money(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - rate(col("l_discount"))))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("__mx"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // A40: TPC-H Q19 shape — revenue under a disjunction of
+  // (brand, size-range, quantity-range) clauses. The OR spans the
+  // join: part-side conjuncts (brand, size) prune the broadcast build
+  // side, lineitem-side bounds (quantity) push to the fact scan as
+  // min/max envelope, and the residual disjunction evaluates inside
+  // the codegen'd join filter.
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val clause =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 40)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50))
+    t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey") && clause)
+      .agg(
+        moneySum(money(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - rate(col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // A41: TPC-H Q21 shape — suppliers solely responsible for returns on
+  // multi-supplier orders. The reference query's EXISTS + NOT EXISTS
+  // pair decorrelates into ONE per-order aggregate (distinct suppliers
+  // vs distinct returning suppliers); n_ret = 1 makes min() the
+  // culprit. One orderkey shuffle instead of two correlated probes.
+  def q21SoleBlame(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("__n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("__n_ret"),
+        min(when(col("l_returnflag") === "R", col("l_suppkey"))).as("__culprit"))
+      .filter(col("__n_supp") >= 2 && col("__n_ret") === 1)
+    perOrder
+      .join(broadcast(t(s, dir, "supplier")), col("__culprit") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   // A19: window-function suite — rank family, offsets, running and
   // frame aggregates in one pass per partition.
   def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
@@ -502,7 +680,15 @@ object AnalyticsQueries {
     "q13_custdist" -> q13Custdist,
     "q17_small_qty" -> q17SmallQty,
     "q18_large_orders" -> q18LargeOrders,
-    "q22_idle_balance" -> q22IdleBalance)
+    "q22_idle_balance" -> q22IdleBalance,
+    "q4_late_ship" -> q4LateShip,
+    "q7_volume" -> q7Volume,
+    "q8_mkt_share" -> q8MarketShare,
+    "q10_returned" -> q10Returned,
+    "q14_promo" -> q14PromoShare,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q19_disjunctive" -> q19Disjunctive,
+    "q21_sole_blame" -> q21SoleBlame)
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
@@ -767,6 +953,107 @@ object AnalyticsQueries {
          |  AND NOT EXISTS (SELECT 1 FROM orders o
          |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_late_ship" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_volume" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  CAST(round(sum($discPrice), 2) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+         |  AND nc.n_name IN ('NATION_1', 'NATION_2')
+         |  AND ns.n_name <> nc.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_mkt_share" ->
+      s"""WITH x AS (
+         |  SELECT year(o_orderdate) AS o_year,
+         |    CAST(round(coalesce(sum(CASE WHEN n2.n_name = 'NATION_3'
+         |      THEN $discPrice END), CAST(0 AS DECIMAL(12,2))), 2) AS DOUBLE)
+         |      AS nation_revenue,
+         |    CAST(round(sum($discPrice), 2) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE p_type = 'PROMO'
+         |    AND o_custkey IN (
+         |      SELECT c_custkey FROM customer
+         |      JOIN nation ON c_nationkey = n_nationkey
+         |      JOIN region ON n_regionkey = r_regionkey
+         |      WHERE r_name = 'EUROPE')
+         |  GROUP BY 1)
+         |SELECT o_year, nation_revenue, total_revenue,
+         |  round(nation_revenue / total_revenue, 6) AS mkt_share
+         |FROM x ORDER BY o_year""".stripMargin,
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(round(sum($discPrice), 2) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      s"""WITH x AS (
+         |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+         |    CAST(round(coalesce(sum(CASE WHEN p_type = 'PROMO'
+         |      THEN $discPrice END), CAST(0 AS DECIMAL(12,2))), 2) AS DOUBLE)
+         |      AS promo_revenue,
+         |    CAST(round(sum($discPrice), 2) AS DOUBLE) AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1)
+         |SELECT ship_month, promo_revenue, total_revenue,
+         |  round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+         |FROM x ORDER BY ship_month""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(sum($discPrice), 2) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT CAST(round(sum($discPrice), 2) AS DOUBLE) AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+         |    AND l_quantity BETWEEN 10 AND 40)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+         |    AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q21_sole_blame" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret,
+        |    min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS culprit
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM per_order JOIN supplier ON culprit = s_suppkey
+        |WHERE n_supp >= 2 AND n_ret = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -193,6 +193,14 @@ object PipelineQueries {
     TextAnalysis.vocabulary(t(s, dir, "documents"), "text", minCount = 2)
       .orderBy("token_id")
 
+  // T11: TF-IDF term relevance per (doc, term); membership decided by
+  // integer tf/df thresholds, floats only in the output cells (idf
+  // rounded to 6 before the multiply — see TextAnalysis.tfidf).
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text",
+        minTf = 2, minDf = 2)
+      .orderBy("doc_id", "token")
+
   // P6: deterministic corpus shuffle — the training-order permutation,
   // reproducible from (salt, id) alone; rank assembled from the
   // 256-bucket offset + per-bucket row_number (no one-task sort).
@@ -405,6 +413,7 @@ object PipelineQueries {
     "q_shuffle" -> qShuffle,
     "q_normalize" -> qNormalize,
     "q_vocab" -> qVocab,
+    "q_tfidf" -> qTfidf,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_contamination" -> qContamination,
     "q_embed_quant" -> qEmbedQuant,
@@ -790,6 +799,19 @@ object PipelineQueries {
         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1 HAVING count(*) >= 2)
         |SELECT token, n, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
         |FROM c ORDER BY token_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, df,
+        |  round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf,
+        |  round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 4) AS tfidf
+        |FROM tf JOIN dfc USING (token) CROSS JOIN n
+        |WHERE tf >= 2 AND df >= 2
+        |ORDER BY doc_id, token""".stripMargin,
     "q_shuffle" ->
       """SELECT doc_id, lang,
         |  row_number() OVER (

@@ -195,4 +195,36 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out("news.example").getAs[Long]("n_urls") == 2L)
     assert(out("news.example").getAs[Long]("n_docs") == 2L)
   }
+
+  test("tfidf: integer-thresholded membership, hand-checked scores") {
+    val docs = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat cat cat fish fish"),
+      (3L, "dog dog bird"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", minTf = 2, minDf = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) -> r).toMap
+    // fish (df=1), single-occurrence dog/bird (tf=1) are excluded by
+    // the integer thresholds; floats never decide membership
+    assert(out.keySet == Set((1L, "cat"), (2L, "cat"), (3L, "dog")))
+    val idf32 = math.rint(math.log(3.0 / 2) * 1e6) / 1e6 // ln(3/2) @ round-6
+    assert(out((1L, "cat")).getAs[Long]("tf") == 2L)
+    assert(out((1L, "cat")).getAs[Long]("df") == 2L)
+    assert(out((1L, "cat")).getAs[Double]("idf") == idf32)
+    assert(out((1L, "cat")).getAs[Double]("tfidf") == math.rint(2 * idf32 * 1e4) / 1e4)
+    assert(out((2L, "cat")).getAs[Double]("tfidf") == math.rint(3 * idf32 * 1e4) / 1e4)
+  }
+
+  test("tfidf: df counts documents (not occurrences) and honors minDf=1") {
+    val docs = Seq((1L, "x x y"), (2L, "x x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", minTf = 2, minDf = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) -> r).toMap
+    // x appears 5 times across 2 docs but df is the DOC count, 2
+    assert(out((1L, "x")).getAs[Long]("df") == 2L)
+    // idf = ln(2/2) = 0 -> score 0 for a term in every doc
+    assert(out((1L, "x")).getAs[Double]("tfidf") == 0.0)
+    assert(!out.contains((1L, "y"))) // tf=1 < minTf
+  }
 }

@@ -152,6 +152,38 @@ class PlanShapeSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"pair blowup:\n$plan")
   }
 
+  test("Q4/Q21 shapes: one lineitem scan each, no correlated re-probe") {
+    // the EXISTS (Q4) and EXISTS+NOT-EXISTS (Q21) decorrelate into a
+    // semi join / one per-order aggregate — a correlated rewrite would
+    // show a second lineitem scan or a nested-loop join
+    for (q <- Seq(AnalyticsQueries.q4LateShip _, AnalyticsQueries.q21SoleBlame _)) {
+      val plan = planOf(q(spark, dir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"correlated probe:\n$plan")
+      val liScans = "lineitem".r.findAllIn(
+        "FileScan parquet[^\\n]*".r.findAllIn(plan).mkString("\n")).length
+      assert(liScans == 1, s"expected 1 lineitem scan, got $liScans:\n$plan")
+    }
+  }
+
+  test("Q19 shape: disjunctive clause join broadcasts the pruned parts") {
+    val plan = planOf(AnalyticsQueries.q19Disjunctive(spark, dir))
+    assert(plan.contains("BroadcastExchange"), s"parts not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"pair blowup:\n$plan")
+    // the brand IN pre-filter must reach the part scan
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).mkString(";")
+    assert(pushed.contains("In(p_brand"), s"brand filter not pushed: [$pushed]")
+  }
+
+  test("tfidf: aggregates keyed by doc/token, scalar N broadcast") {
+    val plan = planOf(PipelineQueries.qTfidf(spark, dir))
+    assert(plan.contains("BroadcastExchange"), s"N not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastExchange"))
+    // no corpus-wide window: membership is pure aggregation
+    assert(!plan.contains("windowspecdefinition"), s"stray window:\n$plan")
+  }
+
   test("p95/MAD baselines: rank windows keyed by network, no cartesian") {
     for (q <- Seq(ReferenceQueries.qBaselineP95 _, ReferenceQueries.qMadAnomaly _)) {
       val plan = planOf(q(spark, dir))
