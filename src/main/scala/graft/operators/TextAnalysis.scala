@@ -391,4 +391,108 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("idf"), round(col("tf") * col("idf"), 4).as("tfidf"))
   }
+
+  /** T12: line-level dedup — the C4-style boilerplate pass: any line
+    * whose trimmed text appears in >= `minDocs` DISTINCT documents
+    * (nav bars, cookie banners, copyright footers) is dropped from
+    * every document; survivors reassemble in original order. Returns
+    * per-doc line counts, the dropped fraction, and the hash of the
+    * cleaned document (what the curated corpus would store).
+    *
+    * Scale shape: lines shuffle on a 128-bit line hash (never the
+    * line text) for the document-frequency count and the hot-line
+    * join; reassembly is one doc-keyed aggregation whose state is
+    * bounded by document size — identical class to [[Dedup.dupPassages]].
+    * No pair fanout: a banner line shared by 10^6 docs costs one
+    * counter row, not O(df^2) work.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("__h", md5(trim(col("line"))))
+    // blank lines can't be "boilerplate": they never count and never drop
+    val hot = lines.filter(trim(col("line")) =!= "")
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("doc_id")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select(col("__h"), lit(true).as("__dup"))
+    lines.join(hot, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(when(col("__dup"), 1L)), lit(0L)).as("n_dropped"),
+        // sort_array on struct(line_no, line) restores document order;
+        // concat_ws of an all-dropped doc is "" (oracle must coalesce)
+        md5(concat_ws("\n", expr(
+          "transform(sort_array(collect_list(CASE WHEN __dup IS NULL " +
+            "THEN struct(line_no, line) END)), s -> s.line)"))).as("kept_hash"))
+      .withColumn("dup_line_frac",
+        round(col("n_dropped") / col("n_lines"), 4))
+      .select("doc_id", "n_lines", "n_dropped", "dup_line_frac", "kept_hash")
+  }
+
+  /** T13: bigram language-model scoring — the CCNet-style quality
+    * filter: score each document by the mean log-probability of its
+    * token bigrams under an MLE bigram model fit on `train`
+    * (P(w2|w1) = c(w1,w2) / c(w1, ·), left-position counts so the
+    * conditional sums to 1). Bigrams unseen in training count as
+    * `n_oov` and contribute nothing (self-scoring has none; a real
+    * deployment smooths or penalizes — the plumbing is identical).
+    * Gibberish and boilerplate-mix documents score far below fluent
+    * ones; `avg_logprob` thresholds replicate the perplexity cut.
+    *
+    * Cross-engine float discipline: each bigram's ln(c12/c1) rounds
+    * to 6 decimals (see [[tfidf]] for the measured ulp analysis) and
+    * converts to an integer MICRO log-prob — the sum is an exact
+    * long, and the mean rounds to 4 decimals half-away-from-zero in
+    * pure integer arithmetic (same device as [[linearScore]]) before
+    * ONE exact IEEE division by 10^4. Rounding the double quotient
+    * instead is a trap this operator hit at sf0.1: a doc whose true
+    * mean is exactly -3.40635 has a non-representable quotient, and
+    * Spark's decimal-string round vs the oracle's multiply-based
+    * round disagree on the 1-ulp-below-half double.
+    *
+    * Scale shape: two partial-aggregated groupBys build the model
+    * (bigram + left-unigram counts); scoring joins shuffle on the
+    * bigram/unigram keys, then one doc-keyed aggregation. No windows,
+    * no driver-side model.
+    */
+  def bigramLmScore(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def bigrams(d: DataFrame): DataFrame = d
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), expr(
+        "explode(transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)))")
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val trainBg = bigrams(train)
+    val c12 = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = trainBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bigrams(docs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      // integer micro log-prob: the round-6 double is k/10^6 for an
+      // integer k, and k recovers exactly on both engines (product
+      // error ~1e-9 of the integer spacing)
+      .withColumn("__lp_micro",
+        round(round(log(col("c12").cast("double") / col("c1")), 6) * 1e6)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        coalesce(sum(when(col("c12").isNull, 1L)), lit(0L)).as("n_oov"),
+        coalesce(sum(col("__lp_micro")), lit(0L)).as("__sum_micro"))
+      .withColumn("__seen", col("n_bigrams") - col("n_oov"))
+      .withColumn("__a", abs(col("__sum_micro")))
+      // mean in 1e-4 units, half away from zero, all-integer; an
+      // all-OOV doc has no defined mean -> null
+      .withColumn("__m4", when(col("__seen") > 0,
+        when(col("__sum_micro") < 0, -1L).otherwise(1L) *
+          expr("(2 * __a + 100 * __seen) DIV (200 * __seen)")))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        (col("__m4") / 10000.0).as("avg_logprob"))
+  }
 }

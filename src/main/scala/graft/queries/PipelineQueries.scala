@@ -193,6 +193,33 @@ object PipelineQueries {
     TextAnalysis.vocabulary(t(s, dir, "documents"), "text", minCount = 2)
       .orderBy("token_id")
 
+  // T12: C4-style line-level dedup. The corpus is single-line, so the
+  // query plants deterministic multi-line docs (same device as
+  // qPiiScrub/qNormalize): two boilerplate lines shared by every doc,
+  // one shared by each doc_id%7 cohort, and the doc's own text. The
+  // operator must drop exactly the shared lines (including text lines
+  // duplicated across docs — the corpus has exact dups) and reassemble
+  // the rest in order.
+  def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lineDedup(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            lit("home | about | contact"),
+            concat(lit("section "), (col("doc_id") % 7).cast("string")),
+            col("text"),
+            lit("copyright 2026 example.org")).as("text")),
+        "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+
+  // T13: bigram-LM quality scoring, model fit on the corpus itself
+  // (every bigram seen -> n_oov = 0; the score separates repetitive
+  // from varied docs exactly as the CCNet perplexity cut does).
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bigramLmScore(docs, docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // T11: TF-IDF term relevance per (doc, term); membership decided by
   // integer tf/df thresholds, floats only in the output cells (idf
   // rounded to 6 before the multiply — see TextAnalysis.tfidf).
@@ -414,6 +441,8 @@ object PipelineQueries {
     "q_normalize" -> qNormalize,
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
+    "q_line_dedup" -> qLineDedup,
+    "q_lm_score" -> qLmScore,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_contamination" -> qContamination,
     "q_embed_quant" -> qEmbedQuant,
@@ -799,6 +828,51 @@ object PipelineQueries {
         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1 HAVING count(*) >= 2)
         |SELECT token, n, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
         |FROM c ORDER BY token_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |    'home | about | contact' || chr(10) ||
+        |    'section ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |    text || chr(10) ||
+        |    'copyright 2026 example.org' AS raw
+        |  FROM documents),
+        |ls AS (SELECT doc_id, regexp_split_to_array(raw, chr(10)) AS a FROM raw),
+        |lines AS (SELECT doc_id, i AS line_no, a[i] AS line,
+        |    md5(trim(a[i])) AS h
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM ls) x),
+        |hot AS (SELECT h FROM lines WHERE trim(line) <> ''
+        |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE h IN (SELECT h FROM hot)) AS BIGINT)
+        |    AS n_dropped,
+        |  round(count(*) FILTER (WHERE h IN (SELECT h FROM hot)) * 1.0
+        |    / count(*), 4) AS dup_line_frac,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+        |    FILTER (WHERE h NOT IN (SELECT h FROM hot)), '')) AS kept_hash
+        |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tok WHERE len(toks) >= 2) x),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(coalesce(sum(CASE WHEN c12 IS NULL THEN 1 END), 0) AS BIGINT)
+        |      AS n_oov,
+        |    coalesce(sum(CAST(round(round(ln(CAST(c12 AS DOUBLE) / c1), 6)
+        |      * 1000000) AS BIGINT)), 0) AS s
+        |  FROM bg
+        |  LEFT JOIN c12 USING (w1, w2)
+        |  LEFT JOIN c1 USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_oov,
+        |  (CASE WHEN s < 0 THEN -1 ELSE 1 END *
+        |    ((2 * abs(s) + 100 * (n_bigrams - n_oov))
+        |      // (200 * (n_bigrams - n_oov)))) / 10000.0 AS avg_logprob
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token

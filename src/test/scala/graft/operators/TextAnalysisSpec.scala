@@ -216,6 +216,93 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out((2L, "cat")).getAs[Double]("tfidf") == math.rint(3 * idf32 * 1e4) / 1e4)
   }
 
+  test("lineDedup drops cross-doc boilerplate, keeps order, hashes cleaned doc") {
+    val docs = Seq(
+      (1L, "nav bar\nunique one\nfooter"),
+      (2L, "nav bar\nunique two\nfooter"),
+      (3L, "only original\nlines here"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_lines") == 3L)
+    assert(m(1L).getAs[Long]("n_dropped") == 2L) // nav bar + footer
+    assert(m(3L).getAs[Long]("n_dropped") == 0L)
+    // doc 1's cleaned content is exactly its unique line
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(m(1L).getAs[String]("kept_hash") == h("unique one"))
+    assert(m(3L).getAs[String]("kept_hash") == h("only original\nlines here"))
+  }
+
+  test("lineDedup: whitespace-variant lines match; blank lines never drop") {
+    val docs = Seq(
+      (1L, "  same line \nkeep a\n\nx"),
+      (2L, "same line\nkeep b\n\nx"),
+      (3L, "unrelated\n"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "same line" matches across its trim variants; "x" is shared too;
+    // the EMPTY line appears in all three docs but must never drop
+    assert(m(1L).getAs[Long]("n_dropped") == 2L)
+    assert(m(2L).getAs[Long]("n_dropped") == 2L)
+    assert(m(3L).getAs[Long]("n_dropped") == 0L)
+    assert(m(3L).getAs[Long]("n_lines") == 2L) // "unrelated", ""
+  }
+
+  test("lineDedup: an all-boilerplate doc hashes to the empty string") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nb")).toDF("doc_id", "text")
+    val m = TextAnalysis.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(m(1L).getAs[String]("kept_hash") == emptyMd5)
+    assert(m(1L).getAs[Double]("dup_line_frac") == 1.0)
+  }
+
+  test("bigramLmScore: MLE probabilities, exact hand-computed mean") {
+    // train: "a b" x3, "a c" x1 -> P(b|a)=3/4, P(c|a)=1/4
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val score = Seq((10L, "a b"), (11L, "a c"), (12L, "a b a c"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bigramLmScore(train, score, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // mirror the operator's integer arithmetic: micro log-probs, exact
+    // long sum, half-away-from-zero mean in 1e-4 units, one division
+    def micro(x: Double) = math.rint(math.rint(x * 1e6) / 1e6 * 1e6).toLong
+    def mean4(micros: Seq[Long]): Double = {
+      val s = micros.sum
+      val seen = micros.length.toLong
+      val m4 = math.signum(s) * ((2 * math.abs(s) + 100 * seen) / (200 * seen))
+      m4 / 10000.0
+    }
+    val lpB = micro(math.log(3.0 / 4)) // seen 3 of 4 'a _' bigrams
+    val lpC = micro(math.log(1.0 / 4))
+    assert(m(10L).getAs[Double]("avg_logprob") == mean4(Seq(lpB)))
+    assert(m(11L).getAs[Double]("avg_logprob") == mean4(Seq(lpC)))
+    assert(m(10L).getAs[Long]("n_oov") == 0L)
+    // "a b a c": bigrams (a,b),(b,a),(a,c); (b,a) unseen -> OOV,
+    // excluded from the mean's denominator
+    assert(m(12L).getAs[Long]("n_bigrams") == 3L)
+    assert(m(12L).getAs[Long]("n_oov") == 1L)
+    assert(m(12L).getAs[Double]("avg_logprob") == mean4(Seq(lpB, lpC)))
+  }
+
+  test("bigramLmScore: repetitive docs outscore varied ones (the ppl cut)") {
+    val corpus = Seq(
+      (1L, "a b a b a b"), // bigrams the model considers likely
+      (2L, "a b a b"),
+      (3L, "a c"))          // 'c' after 'a' is rare: P(c|a) = 1/6
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bigramLmScore(corpus, corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the fluent doc's bigrams are the model's bulk; the rare
+    // continuation scores far below — the perplexity-cut ordering
+    assert(m(1L).getAs[Double]("avg_logprob") > m(3L).getAs[Double]("avg_logprob"))
+    assert(m.values.forall(_.getAs[Long]("n_oov") == 0L))
+  }
+
   test("tfidf: df counts documents (not occurrences) and honors minDf=1") {
     val docs = Seq((1L, "x x y"), (2L, "x x x")).toDF("doc_id", "text")
     val out = TextAnalysis.tfidf(docs, "doc_id", "text", minTf = 2, minDf = 1)
