@@ -61,6 +61,97 @@ class PropertySpec extends SparkSuite {
     }, 10)
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def up(x: Double, scale: Int): Double =
+    BigDecimal.decimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("lineDedup matches an independent implementation on random corpora") {
+    // few distinct line strings -> heavy cross-doc duplication; blanks
+    // and whitespace-variant lines exercise the trim/never-drop rules
+    val lineGen = Gen.oneOf("alpha", "beta x", " beta x ", "gamma", "", "  ", "δ δ")
+    val docGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, lineGen))
+      .map(_.mkString("\n"))
+    check(Prop.forAll(Gen.choose(1, 8).flatMap(Gen.listOfN(_, docGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val minDocs = 2L
+      val hot = docs
+        .flatMap { case (id, t) => t.split("\n", -1).map(l => (id, l.trim)) }
+        .filter(_._2.nonEmpty).distinct
+        .groupBy(_._2).filter(_._2.length >= minDocs).keySet
+      val expected = docs.map { case (id, t) =>
+        val lines = t.split("\n", -1)
+        val kept = lines.filterNot(l => hot.contains(l.trim))
+        val nd = (lines.length - kept.length).toLong
+        (id, (lines.length.toLong, nd,
+          up(nd.toDouble / lines.length, 4), md5Hex(kept.mkString("\n"))))
+      }.toMap
+      val got = TextAnalysis.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text", minDocs)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_dropped"),
+            r.getAs[Double]("dup_line_frac"), r.getAs[String]("kept_hash")))).toMap
+      got == expected
+    }, 8)
+  }
+
+  test("tfidf matches an independent implementation on random corpora") {
+    val wordGen = Gen.oneOf("a", "b", "c", "ab", "ba")
+    val docGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    check(Prop.forAll(Gen.choose(1, 8).flatMap(Gen.listOfN(_, docGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val n = docs.length
+      val tf = docs.flatMap { case (id, t) =>
+        t.trim.split("\\s+").groupBy(identity).map { case (w, o) => ((id, w), o.length.toLong) }
+      }.toMap
+      val dfc = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+      val expected = tf.collect { case ((id, w), f) if f >= 2 && dfc(w) >= 2 =>
+        val idf = up(math.log(n.toDouble / dfc(w)), 6)
+        ((id, w), (f, dfc(w), idf, up(f * idf, 4)))
+      }
+      val got = TextAnalysis.tfidf(docs.toDF("doc_id", "text"), "doc_id", "text", 2, 2)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
+          ((r.getAs[Long]("tf"), r.getAs[Long]("df"),
+            r.getAs[Double]("idf"), r.getAs[Double]("tfidf")))).toMap
+      got == expected
+    }, 8)
+  }
+
+  test("bigramLmScore matches an independent implementation (self-scored)") {
+    val wordGen = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    check(Prop.forAll(Gen.choose(1, 6).flatMap(Gen.listOfN(_, docGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def bigramsOf(t: String): Seq[(String, String)] = {
+        val w = t.trim.split("\\s+").toSeq
+        if (w.length < 2) Nil else w.zip(w.tail)
+      }
+      val all = docs.flatMap { case (_, t) => bigramsOf(t) }
+      val c12 = all.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+      val c1 = all.groupBy(_._1).map { case (k, o) => k -> o.size.toLong }
+      val expected = docs.collect { case (id, t) if bigramsOf(t).nonEmpty =>
+        val micros = bigramsOf(t).map { bg =>
+          val r6 = up(math.log(c12(bg).toDouble / c1(bg._1)), 6)
+          BigDecimal.decimal(r6 * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+        val s = micros.sum
+        val seen = micros.length.toLong
+        val m4 = math.signum(s) * ((2 * math.abs(s) + 100 * seen) / (200 * seen))
+        id -> ((seen, 0L, m4 / 10000.0))
+      }.toMap
+      val got = TextAnalysis.bigramLmScore(
+          docs.toDF("doc_id", "text"), docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+            r.getAs[Double]("avg_logprob")))).toMap
+      got == expected
+    }, 8)
+  }
+
   test("bucketOf lands in [0, buckets) for arbitrary keys and salts") {
     val gen = for {
       keys <- Gen.nonEmptyListOf(Gen.alphaNumStr)
