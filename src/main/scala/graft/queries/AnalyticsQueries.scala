@@ -435,16 +435,23 @@ object AnalyticsQueries {
 
   // A41: TPC-H Q21 shape — suppliers solely responsible for returns on
   // multi-supplier orders. The reference query's EXISTS + NOT EXISTS
-  // pair decorrelates into ONE per-order aggregate (distinct suppliers
-  // vs distinct returning suppliers); n_ret = 1 makes min() the
-  // culprit. One orderkey shuffle instead of two correlated probes.
+  // pair decorrelates into per-order aggregation — and the two
+  // countDistincts it suggests are computed STRUCTURALLY: a first
+  // groupBy on (orderkey, suppkey) collapses duplicates map-side, so
+  // no Expand triplicates the fact rows (the multi-distinct plan
+  // pushes 3x lineitem through its first exchange — the difference
+  // between one clean shuffle and a 3x one at 100 TB), then a tiny
+  // orderkey aggregate counts suppliers, returners, and the culprit.
   def q21SoleBlame(s: SparkSession, dir: String): DataFrame = {
-    val perOrder = t(s, dir, "lineitem")
+    val perSupp = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("__ret"))
+    val perOrder = perSupp
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("__n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("__n_ret"),
-        min(when(col("l_returnflag") === "R", col("l_suppkey"))).as("__culprit"))
+        count(lit(1)).as("__n_supp"),
+        sum(col("__ret")).as("__n_ret"),
+        min(when(col("__ret") === 1L, col("l_suppkey"))).as("__culprit"))
       .filter(col("__n_supp") >= 2 && col("__n_ret") === 1)
     perOrder
       .join(broadcast(t(s, dir, "supplier")), col("__culprit") === col("s_suppkey"))

@@ -163,6 +163,9 @@ class PlanShapeSpec extends SparkSuite {
       val liScans = "lineitem".r.findAllIn(
         "FileScan parquet[^\\n]*".r.findAllIn(plan).mkString("\n")).length
       assert(liScans == 1, s"expected 1 lineitem scan, got $liScans:\n$plan")
+      // the structural-distinct rewrite must hold: a multi-distinct
+      // Expand would push 3x the fact rows into the first exchange
+      assert(!plan.contains("Expand"), s"multi-distinct Expand crept back:\n$plan")
     }
   }
 
