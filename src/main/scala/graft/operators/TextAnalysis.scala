@@ -460,39 +460,70 @@ object TextAnalysis {
     */
   def bigramLmScore(train: DataFrame, docs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def bigrams(d: DataFrame): DataFrame = d
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), expr(
-        "explode(transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)))")
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val trainBg = bigrams(train)
-    val c12 = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = trainBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bigrams(docs)
+    val (c12, c1) = bigramModel(train, idCol, textCol)
+    bigramRows(docs, idCol, textCol)
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
-      // integer micro log-prob: the round-6 double is k/10^6 for an
-      // integer k, and k recovers exactly on both engines (product
-      // error ~1e-9 of the integer spacing)
-      .withColumn("__lp_micro",
-        round(round(log(col("c12").cast("double") / col("c1")), 6) * 1e6)
-          .cast("long"))
+      .withColumn("__lp_micro", microLogProb(col("c12"), col("c1")))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
         coalesce(sum(when(col("c12").isNull, 1L)), lit(0L)).as("n_oov"),
         coalesce(sum(col("__lp_micro")), lit(0L)).as("__sum_micro"))
-      .withColumn("__seen", col("n_bigrams") - col("n_oov"))
-      .withColumn("__a", abs(col("__sum_micro")))
-      // mean in 1e-4 units, half away from zero, all-integer; an
-      // all-OOV doc has no defined mean -> null
-      .withColumn("__m4", when(col("__seen") > 0,
-        when(col("__sum_micro") < 0, -1L).otherwise(1L) *
-          expr("(2 * __a + 100 * __seen) DIV (200 * __seen)")))
-      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
-        (col("__m4") / 10000.0).as("avg_logprob"))
+      .withColumn("avg_logprob",
+        halfAwayMean4(col("__sum_micro"), col("n_bigrams") - col("n_oov")))
+      .select("doc_id", "n_bigrams", "n_oov", "avg_logprob")
+  }
+
+  /** (doc_id, w1, w2) — one row per bigram OCCURRENCE, document order
+    * irrelevant downstream; docs under two tokens have no bigrams.
+    */
+  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = df
+    .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    .filter(size(col("toks")) >= 2)
+    .select(col("doc_id"), expr(
+      "explode(transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)))")
+      .as("b"))
+    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The MLE bigram model as two count tables: (w1, w2) -> c12 and
+    * w1 -> c1 (left-position count, so P(·|w1) sums to 1).
+    */
+  def bigramModel(train: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val bg = bigramRows(train, idCol, textCol)
+    (bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      bg.groupBy(col("w1")).agg(count(lit(1)).as("c1")))
+  }
+
+  /** Integer micro log-prob of one seen bigram: the round-6 double is
+    * k/10^6 for an integer k, and k recovers exactly on both engines
+    * (product error ~1e-9 of the integer spacing). Null for OOV.
+    */
+  def microLogProb(c12: Column, c1: Column): Column =
+    round(round(log(c12.cast("double") / c1), 6) * 1e6).cast("long")
+
+  /** Mean of `sumMicro`/`seen` in 1e-4 units, rounded half away from
+    * zero in pure integer arithmetic, then ONE exact IEEE division —
+    * the shared train/serve definition (see [[bigramLmScore]] for why
+    * rounding the double quotient diverges across engines). Null when
+    * `seen` is 0 (an all-OOV doc has no defined mean).
+    */
+  def halfAwayMean4(sumMicro: Column, seen: Column): Column =
+    halfAwayMean4Micro(sumMicro, seen) / 10000.0
+
+  /** The signed INTEGER mean in 1e-4 units behind [[halfAwayMean4]] —
+    * threshold gates compare against this, so floats never decide a
+    * verdict.
+    */
+  def halfAwayMean4Micro(sumMicro: Column, seen: Column): Column = {
+    // integral num DIV den as (num - num % den) / den: the remainder
+    // math stays in longs, and IEEE division of exactly-divisible
+    // longs under 2^53 is exact — no float-floor boundary to cross
+    val num = lit(2L) * abs(sumMicro) + lit(100L) * seen
+    val den = lit(200L) * seen
+    val q = ((num - num % den) / den).cast("long")
+    when(seen > 0, when(sumMicro < 0, -1L).otherwise(1L) * q)
   }
 }
