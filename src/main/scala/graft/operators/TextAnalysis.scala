@@ -407,30 +407,49 @@ object TextAnalysis {
     * counter row, not O(df^2) work.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Long = 2): DataFrame = {
-    val lines = df.select(col(idCol).as("doc_id"),
+      minDocs: Long = 2): DataFrame =
+    lineRows(df, idCol, textCol)
+      .join(hotLines(df, idCol, textCol, minDocs), Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(lineCleanAggs.head, lineCleanAggs.tail: _*)
+      .withColumn("dup_line_frac",
+        round(col("n_dropped") / col("n_lines"), 4))
+      .select("doc_id", "n_lines", "n_dropped", "dup_line_frac", "kept_hash")
+
+  /** (doc_id, line_no, line, __h): each document's lines with their
+    * 0-based position and the 128-bit trimmed-line hash everything
+    * downstream keys on (the line TEXT never shuffles).
+    */
+  def lineRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .withColumn("__h", md5(trim(col("line"))))
-    // blank lines can't be "boilerplate": they never count and never drop
-    val hot = lines.filter(trim(col("line")) =!= "")
+
+  /** The hot-line index: trimmed-line hashes appearing in >= `minDocs`
+    * DISTINCT documents, marked `__dup`. Blank lines can't be
+    * "boilerplate": they never count and never drop.
+    */
+  def hotLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame =
+    lineRows(df, idCol, textCol)
+      .filter(trim(col("line")) =!= "")
       .groupBy(col("__h"))
       .agg(countDistinct(col("doc_id")).as("__d"))
       .filter(col("__d") >= minDocs)
       .select(col("__h"), lit(true).as("__dup"))
-    lines.join(hot, Seq("__h"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        coalesce(sum(when(col("__dup"), 1L)), lit(0L)).as("n_dropped"),
-        // sort_array on struct(line_no, line) restores document order;
-        // concat_ws of an all-dropped doc is "" (oracle must coalesce)
-        md5(concat_ws("\n", expr(
-          "transform(sort_array(collect_list(CASE WHEN __dup IS NULL " +
-            "THEN struct(line_no, line) END)), s -> s.line)"))).as("kept_hash"))
-      .withColumn("dup_line_frac",
-        round(col("n_dropped") / col("n_lines"), 4))
-      .select("doc_id", "n_lines", "n_dropped", "dup_line_frac", "kept_hash")
-  }
+
+  /** Shared per-document cleanup aggregates over (line_no, line, __dup)
+    * rows — one definition for the batch operator and its streaming
+    * twin. sort_array on struct(line_no, line) restores document
+    * order; concat_ws of an all-dropped doc is "" (oracle must
+    * coalesce).
+    */
+  val lineCleanAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_lines"),
+    coalesce(sum(when(col("__dup"), 1L)), lit(0L)).as("n_dropped"),
+    md5(concat_ws("\n", expr(
+      "transform(sort_array(collect_list(CASE WHEN __dup IS NULL " +
+        "THEN struct(line_no, line) END)), s -> s.line)"))).as("kept_hash"))
 
   /** T13: bigram language-model scoring — the CCNet-style quality
     * filter: score each document by the mean log-probability of its

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming counterpart of the batch line-level dedup
+  * (graft.operators.TextAnalysis.lineDedup): the hot-line index —
+  * boilerplate lines seen in >= `minDocs` distinct documents — is
+  * built OFFLINE from the curated corpus; the live ingest stream is
+  * cleaned against it continuously. Same index-offline/apply-online
+  * split as [[StreamingIncremental]] and [[StreamingQuality]]: the
+  * index refreshes on a schedule, cleaning never stops, and a
+  * boilerplate line must have been seen in the corpus to drop (a line
+  * duplicated only WITHIN the live stream is the batch pass's job).
+  *
+  * Scale shape: lines explode in-stream keyed by their 128-bit
+  * trimmed-line hash (the line text never shuffles for the match),
+  * resolve through one unhinted stream-static join, and each document
+  * reassembles under a single watermark-finalized aggregation — the
+  * cleanup aggregates are the SAME column definitions the batch
+  * operator uses, so batch and stream cannot drift.
+  */
+object StreamingLineDedup {
+
+  /** Clean a stream of (`idCol`, `textCol`, `tsCol`) docs against the
+    * hot-line index of the static `corpus`. One row per doc: line
+    * counts, dropped fraction, and the hash of the document with
+    * corpus-boilerplate lines removed (survivors in original order).
+    */
+  def clean(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      watermarkDelay: String, minDocs: Long = 2): DataFrame = {
+    val hot = TextAnalysis.hotLines(corpus, idCol, textCol, minDocs)
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("__h", md5(trim(col("line"))))
+      .join(hot, Seq("__h"), "left")
+      .groupBy(col(tsCol), col("doc_id"))
+      .agg(TextAnalysis.lineCleanAggs.head, TextAnalysis.lineCleanAggs.tail: _*)
+      .withColumn("dup_line_frac",
+        round(col("n_dropped") / col("n_lines"), 4))
+      .select(col(tsCol), col("doc_id"), col("n_lines"), col("n_dropped"),
+        col("dup_line_frac"), col("kept_hash"))
+  }
+}
