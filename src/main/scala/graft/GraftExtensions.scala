@@ -4,7 +4,7 @@ import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BytesToIp6, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6ToBytes, NumToIp4, ZOrder2}
+import graft.functions.{BytesToIp6, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6ToBytes, NumToIp4, TopKAgg, ZOrder2}
 
 /** Spark extension entry point: registers graft's native expressions
   * into the session's function registry, so the library's surface is
@@ -68,6 +68,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_heavy_hitters k must be an integer literal, got $other")
         }
         HeavyHittersAgg(args(0), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (args: Seq[Expression]) => {
+        arity("graft_topk", 3, args)
+        val k = args(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an integer literal, got $other")
+        }
+        TopKAgg(args(0), args(1), k).toAggregateExpression()
       }))
   }
 }

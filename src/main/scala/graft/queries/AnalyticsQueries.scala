@@ -82,6 +82,23 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  // A42: the same top-3-per-customer result as qTopkWindow, computed
+  // by the bounded-state TopKAgg instead of a per-group sort window:
+  // O(k) heap per group, map-side partial aggregation, heap merges on
+  // the reduce side — the hot-group-safe plan at 100 TB (a window
+  // must sort EVERY row of the partition to emit 3 of them). Gated
+  // against the identical oracle SQL as the window formulation, so
+  // the two plans are proven interchangeable.
+  def qTopkAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopK.topK(col("o_totalprice"), col("o_orderkey"), 3)
+        .as("__top"))
+      .select(col("o_custkey"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("o_custkey"), (col("__pos") + 1).cast("long").as("rn"),
+        col("__s.id").as("o_orderkey"), col("__s.value").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+
   // A5: daily tumbling aggregation on events.
   def qTimeBucket(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -679,6 +696,7 @@ object AnalyticsQueries {
     "q_grouping_sets" -> qGroupingSets,
     "q_moving_window" -> qMovingWindow,
     "q_topk_window" -> qTopkWindow,
+    "q_topk_agg" -> qTopkAgg,
     "q_time_bucket" -> qTimeBucket,
     "q_sessionize" -> qSessionize,
     "q_distinct" -> qDistinct,
@@ -880,6 +898,15 @@ object AnalyticsQueries {
          |GROUP BY r_name, n_name
          |ORDER BY r_name, n_name""".stripMargin,
     "q_topk_window" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    // deliberately the SAME oracle as q_topk_window: the aggregate
+    // and the window formulation must be row-identical
+    "q_topk_agg" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
