@@ -56,7 +56,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // stdout is the driver contract, but its tail-scrape truncated the
+    // head of the (now ~90-entry) line in round 5 — also write the
+    // whole artifact to files the driver (and a human) can read intact
+    for (p <- Seq("/tmp/graft_bench.json", "BENCH_LOCAL.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      catch { case _: Throwable => () }
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -29,6 +29,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "docroot" -> "https://spark.apache.org/docs/latest"))
     }
 
+  /** `k` arguments must be integer LITERALS: a non-foldable expression
+    * (e.g. a column reference) would otherwise escape as an internal
+    * eval error from the builder instead of this user-facing message.
+    */
+  private def intLiteral(name: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$name k must be an integer literal, got non-literal ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name k must be an integer literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.EliminateIpRoundtrips)
     ext.injectFunction((
@@ -60,13 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
       (args: Seq[Expression]) => {
         arity("graft_heavy_hitters", 2, args)
-        val k = args(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case s: Short => s.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_heavy_hitters k must be an integer literal, got $other")
-        }
+        val k = intLiteral("graft_heavy_hitters", args(1))
         HeavyHittersAgg(args(0), k).toAggregateExpression()
       }))
     ext.injectFunction((
@@ -74,13 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (args: Seq[Expression]) => {
         arity("graft_topk", 3, args)
-        val k = args(2).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case s: Short => s.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_topk k must be an integer literal, got $other")
-        }
+        val k = intLiteral("graft_topk", args(2))
         TopKAgg(args(0), args(1), k).toAggregateExpression()
       }))
   }

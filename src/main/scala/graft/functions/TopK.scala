@@ -26,6 +26,16 @@ import org.apache.spark.sql.types._
   * Ordering is (value DESC, id ASC) — byte-identical to the window
   * formulation with the same tie-break, so the two plans are
   * interchangeable and oracle-checked against the same SQL.
+  *
+  * Interchangeability contract (edge inputs): rows where `value` or
+  * `id` is NULL are SKIPPED by update() — the window plan instead
+  * ranks null values last, so a group shorter than k can return fewer
+  * rows here. NaN values order under Scala's total ordering (NaN is
+  * the WORST element, evicted first), while the window's `value DESC`
+  * ranks NaN FIRST. On null-free, NaN-free input — the gated domain —
+  * the two plans are row-identical; callers with nullable or NaN-able
+  * values must normalize (filter or coalesce) before relying on
+  * window-parity.
   */
 case class TopKAgg(
     value: Expression,

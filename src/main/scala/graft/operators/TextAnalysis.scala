@@ -213,35 +213,70 @@ object TextAnalysis {
   def urlDomains(df: DataFrame, idCol: String, textCol: String,
       blocked: Seq[String],
       suffixes: Seq[String] = PublicSuffixes): DataFrame = {
-    val spark = df.sparkSession
-    val (three, two) = suffixes.partition(_.count(_ == '.') == 2)
     require(suffixes.forall(s => Set(1, 2).contains(s.count(_ == '.'))),
       "suffix table entries must have 2 or 3 labels")
-    val psl3 = broadcast(
-      spark.createDataFrame(three.map(Tuple1.apply)).toDF("__sfx3"))
-    val psl2 = broadcast(
-      spark.createDataFrame(two.map(Tuple1.apply)).toDF("__sfx2"))
-    val hosts = df.select(col(idCol).as("doc_id"),
+    urlDomainsPsl(df, idCol, textCol, blocked,
+      Psl.Rules(suffixes.groupBy(_.count(_ == '.') + 1), Map.empty, Map.empty))
+  }
+
+  /** T7 with FULL Public Suffix List semantics ([[Psl]]): exact rules
+    * of any depth, wildcard rules ("*.ck" — any label over the base is
+    * public), and exception rules ("!www.ck" — the name is itself
+    * registrable). Resolution is exception-first, then longest rule,
+    * then the implicit "*" default.
+    *
+    * Scale shape: unchanged from the curated-subset plan — one
+    * BROADCAST left join per rule depth (exact depths 2..5 and
+    * wildcard base depths 1..4 for the bundled list; none holds more
+    * than ~5.5k short strings), exceptions as a literal when-arm (the
+    * PSL has 8), then the same single domain-keyed aggregation. The
+    * data rows never shuffle for the lookup.
+    */
+  def urlDomainsPsl(df: DataFrame, idCol: String, textCol: String,
+      blocked: Seq[String],
+      rules: Psl.Rules = Psl.default): DataFrame = {
+    val spark = df.sparkSession
+    val maxL = rules.maxRuleLabels + 1 // deepest registrable domain
+    var hosts = df.select(col(idCol).as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit(UrlHostRe), lit(1)))
           .as("__raw_host"))
       // root-qualified hosts ("example.com.") are legal URL syntax —
       // strip trailing dots BEFORE domain extraction, or every such
       // host lands in a bogus empty-string domain group
       .withColumn("host", regexp_replace(col("__raw_host"), "\\.+$", ""))
-      .withColumn("__l2", lastLabels(col("host"), 2))
-      .withColumn("__l3", lastLabels(col("host"), 3))
-      .withColumn("__l4", lastLabels(col("host"), 4))
-      .join(psl3, col("__l3") === col("__sfx3"), "left")
-      .join(psl2, col("__l2") === col("__sfx2"), "left")
-      .withColumn("domain",
-        when(col("__sfx3").isNotNull, col("__l4"))
-          .when(col("__sfx2").isNotNull, col("__l3"))
-          .otherwise(col("__l2")))
+    for (n <- 1 to maxL)
+      hosts = hosts.withColumn(s"__l$n", lastLabels(col("host"), n))
+    for ((d, sfx) <- rules.exact.toSeq.sortBy(_._1))
+      hosts = hosts.join(
+        broadcast(spark.createDataFrame(sfx.map(Tuple1.apply)).toDF(s"__sfx$d")),
+        col(s"__l$d") === col(s"__sfx$d"), "left")
+    for ((b, bases) <- rules.wildcardBases.toSeq.sortBy(_._1))
+      hosts = hosts.join(
+        broadcast(spark.createDataFrame(bases.map(Tuple1.apply)).toDF(s"__wb$b")),
+        col(s"__l$b") === col(s"__wb$b"), "left")
+    // exception arms first (deepest first), then rule lengths
+    // descending: "longest match wins" as a fixed when-chain
+    val excArms = rules.exceptions.toSeq.sortBy(-_._1).map { case (d, names) =>
+      (col(s"__l$d").isInCollection(names), col(s"__l$d"))
+    }
+    val lengthArms = (rules.maxRuleLabels to 2 by -1).flatMap { len =>
+      val legs =
+        rules.exact.get(len).map(_ => col(s"__sfx$len").isNotNull).toSeq ++
+        rules.wildcardBases.get(len - 1).map(_ => col(s"__wb${len - 1}").isNotNull)
+      legs.reduceOption(_ || _).map(cond => (cond, col(s"__l${len + 1}")))
+    }
+    val domain = (excArms ++ lengthArms)
+      .foldLeft(Option.empty[Column]) {
+        case (acc, (cond, v)) =>
+          Some(acc.fold(when(cond, v))(_.when(cond, v)))
+      }
+      .fold(col("__l2"))(_.otherwise(col("__l2")))
+    hosts.withColumn("domain", domain)
       // NULL domain = single-label host (localhost), or a host that IS
       // a public suffix — neither has a registrable domain; drop
       // rather than pool under a bogus group
       .filter(col("domain").isNotNull)
-    hosts.groupBy(col("domain"))
+      .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("doc_id")).as("n_docs"))
       .withColumn("blocked", col("domain").isInCollection(blocked))
@@ -412,8 +447,7 @@ object TextAnalysis {
       .join(hotLines(df, idCol, textCol, minDocs), Seq("__h"), "left")
       .groupBy(col("doc_id"))
       .agg(lineCleanAggs.head, lineCleanAggs.tail: _*)
-      .withColumn("dup_line_frac",
-        round(col("n_dropped") / col("n_lines"), 4))
+      .withColumn("dup_line_frac", dupLineFrac4)
       .select("doc_id", "n_lines", "n_dropped", "dup_line_frac", "kept_hash")
 
   /** (doc_id, line_no, line, __h): each document's lines with their
@@ -444,6 +478,18 @@ object TextAnalysis {
     * order; concat_ws of an all-dropped doc is "" (oracle must
     * coalesce).
     */
+  /** round(n_dropped/n_lines, 4) computed half-away-from-zero in pure
+    * integer arithmetic, then ONE exact IEEE division by 10^4 — the
+    * same cross-engine device as [[linearScore]]/[[halfAwayMean4Micro]].
+    * Rounding the double quotient is the trap the bigramLmScore
+    * scaladoc documents: on a half-point quotient, Spark's
+    * decimal-string round and an oracle's multiply-based round can
+    * disagree on the 1-ulp-below-half double. Both operands are
+    * non-negative counts with n_lines >= 1, so no sign branch.
+    */
+  val dupLineFrac4: Column =
+    expr("(20000 * n_dropped + n_lines) DIV (2 * n_lines)") / 10000.0
+
   val lineCleanAggs: Seq[Column] = Seq(
     count(lit(1)).as("n_lines"),
     coalesce(sum(when(col("__dup"), 1L)), lit(0L)).as("n_dropped"),

@@ -165,28 +165,25 @@ object AnalyticsQueries {
       .orderBy("event_type")
 
   // A8: exact percentiles (p50/p90/p99) of value per event_type via
-  // integer rank selection (rank*den >= num*n picks the k-th smallest
-  // element — same trick as Baseline.rankSelect): one sort-window pass
-  // with CONSTANT per-row state, then a plain hash aggregate. The
-  // buffering `percentile()` built-in (ObjectHashAggregate) holds every
-  // distinct value of a group in one buffer — a hot group at 100 TB
-  // concentrates the distribution in a single executor's memory, while
-  // this plan only ever sorts (spillable) and keeps three counters.
-  // For groups too large even to sort in one task, qSketchQuantile is
-  // the constant-memory companion.
-  def qPercentile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-    t(s, dir, "events")
-      .select(col("event_type"), col("value"))
-      .withColumn("__rk", row_number().over(w.orderBy(col("value"))))
-      .withColumn("__n", count(lit(1)).over(w))
-      .groupBy(col("event_type"))
-      .agg(
-        r4(min(when(col("__rk") * 2 >= col("__n"), col("value")))).as("p50"),
-        r4(min(when(col("__rk") * 10 >= col("__n") * 9, col("value")))).as("p90"),
-        r4(min(when(col("__rk") * 100 >= col("__n") * 99, col("value")))).as("p99"))
+  // the bucket-offset distributed rank (graft.operators.RankSelect):
+  // histogram pass -> offset pass -> only the target buckets' rows are
+  // ever sorted, each ~n/1024 of a group. The buffering `percentile()`
+  // built-in (ObjectHashAggregate) holds every distinct group value in
+  // one buffer, and the sort-window rewrite that replaced it in round
+  // 5 still sorted an entire hot group in one task — this plan has
+  // neither failure mode, the same device as q_vocab/q_shuffle. The
+  // selected element is identical (integer rank selection,
+  // rank*den >= num*n), so the oracle is unchanged. qSketchQuantile
+  // stays the constant-memory companion.
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankSelect.quantiles(
+        t(s, dir, "events"), "event_type", "value",
+        Seq(("__p50", 1L, 2L), ("__p90", 9L, 10L), ("__p99", 99L, 100L)))
+      .select(col("event_type"),
+        r4(col("__p50")).as("p50"),
+        r4(col("__p90")).as("p90"),
+        r4(col("__p99")).as("p99"))
       .orderBy("event_type")
-  }
 
   // A9: JSON field extraction from events.props.
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -478,6 +475,153 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Synthesized partsupp: the corpus ships no partsupp table, so the
+    * four partsupp-dependent TPC-H shapes (Q2/Q11/Q16/Q20) derive one
+    * DETERMINISTICALLY from part × supplier — 4 suppliers per part,
+    * availqty and supply cost as pure integer functions of the keys —
+    * with byte-identical arithmetic in the oracle SQL (same
+    * both-engines-compute-it device as PipelineQueries.dupCorpus).
+    * Supply cost stays in integer CENTS wherever a comparison happens;
+    * the /100.0 display division is a single exact IEEE step. The
+    * supplier stride (n/4 + 1) keeps a part's 4 suppliers distinct for
+    * any supplier count whose quarter isn't ≡ -1 (mod n) — true for
+    * the corpus sizes (100, 1000) and round sizes generally.
+    */
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(
+        t(s, dir, "supplier").agg(count(lit(1)).as("__n"))))
+      .select(col("p_partkey"), col("__n"),
+        explode(sequence(lit(0L), lit(3L))).as("__i"))
+      .withColumn("ps_suppkey",
+        (col("p_partkey") + col("__i") * (expr("__n DIV 4") + 1)) % col("__n"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        ((col("p_partkey") * 7 + col("__i") * 3) % 9999 + 1).as("ps_availqty"),
+        ((col("p_partkey") * 31 + col("ps_suppkey") * 17) % 100000)
+          .as("ps_cost_cents"))
+
+  /** The oracle's partsupp twin (see [[partsupp]]) — one CTE body both
+    * the Spark plan above and DuckDB evaluate with identical integer
+    * arithmetic. SQL `%` binds like `*`, so the availqty/cost
+    * expressions group exactly as the Column forms do.
+    */
+  private val partsuppSql = {
+    val sk = "(p_partkey + i * (n // 4 + 1)) % n"
+    s"""SELECT p_partkey AS ps_partkey,
+       |    $sk AS ps_suppkey,
+       |    (p_partkey * 7 + i * 3) % 9999 + 1 AS ps_availqty,
+       |    (p_partkey * 31 + ($sk) * 17) % 100000 AS ps_cost_cents
+       |  FROM part,
+       |    (SELECT count(*) AS n FROM supplier) s,
+       |    (SELECT unnest(generate_series(0, 3)) AS i) g""".stripMargin
+  }
+
+  // A43: TPC-H Q2 shape — min-cost supplier per part within a region.
+  // The correlated scalar subquery (min supplycost over the SAME
+  // region-restricted partsupp) decorrelates into a per-part aggregate
+  // equi-joined back onto the candidate rows; cost compares in integer
+  // cents, so no float boundary can disagree between engines. Scale:
+  // region suppliers broadcast; partsupp shuffles once on partkey for
+  // the min; the filtered part dim broadcasts onto the tiny survivor
+  // set.
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    val eu = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cand = partsupp(s, dir)
+      .join(broadcast(eu), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = cand.groupBy(col("ps_partkey"))
+      .agg(min(col("ps_cost_cents")).as("__min_cents"))
+    val parts = t(s, dir, "part")
+      .filter(col("p_size").isin(15, 25, 35) && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    cand.join(minCost, "ps_partkey")
+      .filter(col("ps_cost_cents") === col("__min_cents"))
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        (col("ps_cost_cents") / 100.0).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  // A44: TPC-H Q11 shape — per-part stock value within one nation,
+  // kept where the part's share clears a fraction of the TOTAL (the
+  // agg-over-HAVING-fraction decorrelation). The scalar total
+  // broadcasts; the share test is pure integer arithmetic
+  // (value*10000 > total), never a float division.
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_7")
+      .select(col("s_suppkey"))
+    val stock = partsupp(s, dir)
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("ps_partkey"),
+        (col("ps_cost_cents") * col("ps_availqty")).as("__v"))
+    val total = stock.agg(sum(col("__v")).as("__t"))
+    stock.groupBy(col("ps_partkey"))
+      .agg(sum(col("__v")).as("val_cents"))
+      .crossJoin(broadcast(total))
+      .filter(col("val_cents") * 10000 > col("__t"))
+      .select(col("ps_partkey"), col("val_cents"),
+        (col("val_cents") / 100.0).as("value"))
+      .orderBy(col("val_cents").desc, col("ps_partkey"))
+  }
+
+  // A45: TPC-H Q16 shape — supplier-count-per-part-profile with an
+  // excluded brand/type and an anti join against audit-flagged
+  // suppliers (negative balance stands in for the spec's complaint
+  // scan). The distinct count rides the partkey-keyed join; the
+  // flagged-supplier table broadcasts as an anti join.
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val flagged = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val profiles = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    partsupp(s, dir)
+      .join(broadcast(flagged), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(profiles), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  // A46: TPC-H Q20 shape — suppliers holding excess stock of a part
+  // family: the nested semi-join chain (supplier ← partsupp ← part
+  // filter + per-(part,supplier) shipped-quantity threshold). The
+  // correlated `0.5 * sum(l_quantity)` subquery decorrelates into one
+  // lineitem aggregate equi-joined on BOTH keys; the threshold is
+  // integer-exact (2*availqty > sum_qty — quantities are integral).
+  def q20ExcessParts(s: SparkSession, dir: String): DataFrame = {
+    val qty = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("__sq"))
+    val redParts = t(s, dir, "part")
+      .filter(col("p_name").contains("red")).select(col("p_partkey"))
+    val excess = partsupp(s, dir)
+      .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(qty, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") * 2 > col("__sq"))
+      .select(col("ps_suppkey"))
+    t(s, dir, "supplier")
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
   // A19: window-function suite — rank family, offsets, running and
   // frame aggregates in one pass per partition.
   def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
@@ -713,7 +857,11 @@ object AnalyticsQueries {
     "q14_promo" -> q14PromoShare,
     "q15_top_supplier" -> q15TopSupplier,
     "q19_disjunctive" -> q19Disjunctive,
-    "q21_sole_blame" -> q21SoleBlame)
+    "q21_sole_blame" -> q21SoleBlame,
+    "q2_min_cost" -> q2MinCost,
+    "q11_important_stock" -> q11ImportantStock,
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "q20_excess_parts" -> q20ExcessParts)
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
@@ -1088,6 +1236,75 @@ object AnalyticsQueries {
         |WHERE n_supp >= 2 AND n_ret = 1
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q2_min_cost" ->
+      s"""WITH ps AS (
+         |  $partsuppSql),
+         |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |cand AS (SELECT ps_partkey, ps_cost_cents, s_name, s_acctbal, n_name
+         |  FROM ps JOIN eu ON ps_suppkey = s_suppkey),
+         |mc AS (SELECT ps_partkey, min(ps_cost_cents) AS min_cents
+         |  FROM cand GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         |  ps_cost_cents / 100.0 AS supply_cost
+         |FROM cand
+         |JOIN mc USING (ps_partkey)
+         |JOIN part ON ps_partkey = p_partkey
+         |WHERE ps_cost_cents = min_cents
+         |  AND p_size IN (15, 25, 35) AND p_type = 'STANDARD'
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH ps AS (
+         |  $partsuppSql),
+         |stock AS (SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+         |  FROM ps
+         |  WHERE ps_suppkey IN (
+         |    SELECT s_suppkey FROM supplier
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |    WHERE n_name = 'NATION_7')),
+         |g AS (SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS val_cents
+         |  FROM stock GROUP BY 1),
+         |tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM stock)
+         |SELECT ps_partkey, val_cents, val_cents / 100.0 AS value
+         |FROM g, tot
+         |WHERE val_cents * 10000 > t
+         |ORDER BY val_cents DESC, ps_partkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      s"""WITH ps AS (
+         |  $partsuppSql)
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+         |  AND NOT EXISTS (SELECT 1 FROM supplier
+         |    WHERE s_suppkey = ps_suppkey AND s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_parts" ->
+      s"""WITH ps AS (
+         |  $partsuppSql),
+         |qty AS (SELECT l_partkey, l_suppkey,
+         |    CAST(sum(l_quantity) AS BIGINT) AS sq
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |excess AS (SELECT DISTINCT ps_suppkey
+         |  FROM ps
+         |  JOIN qty ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE ps_partkey IN (SELECT p_partkey FROM part
+         |      WHERE p_name LIKE '%red%')
+         |    AND ps_availqty * 2 > sq)
+         |SELECT s_suppkey, s_name, n_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+         |ORDER BY s_suppkey""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

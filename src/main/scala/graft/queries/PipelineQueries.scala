@@ -143,6 +143,37 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // S4: the ANN quality gate — recall@5 of the LSH (S2) and IVF (S3)
+  // searches against the brute-force (S1) ground truth, per query, on
+  // the SAME deterministic builds the gated queries run. This is the
+  // surface a 100 TB deployment actually tunes (planes/nlist/nprobe
+  // against recall); the gate makes the trade measurable instead of
+  // asserted. The recall division is one IEEE op on two small exact
+  // integers — identical on both engines.
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queriesDf = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(e, queriesDf, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = Similarity.lshTopK(e, queriesDf, "vec_id", "embedding", 5, 8, 64)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__l"))
+    val ivf = IvfIndex.search(
+        IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16),
+        queriesDf, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__i"))
+    brute
+      .join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_true"),
+        coalesce(sum(col("__l")), lit(0L)).as("n_lsh_hit"),
+        coalesce(sum(col("__i")), lit(0L)).as("n_ivf_hit"))
+      .withColumn("recall_lsh", col("n_lsh_hit") / col("n_true"))
+      .withColumn("recall_ivf", col("n_ivf_hit") / col("n_true"))
+      .orderBy("query_id")
+  }
+
   // P2: deterministic train/val/test split (80/10/10 by id hash).
   def qSplit(s: SparkSession, dir: String): DataFrame =
     Sampling.hashSplit(
@@ -351,11 +382,13 @@ object PipelineQueries {
   /** Blocklist shared by the T7 query and its oracle. */
   val BlockedDomains: Seq[String] = Seq("site3.example", "assets7.net")
 
-  // T7: URL/domain analysis. The corpus has no URLs, so the query
-  // plants three per document (derived from doc_id) and the operator
-  // must extract hosts, reduce them to registrable domains — the third
-  // URL sits under a public suffix (co.uk), exercising the PSL path —
-  // and apply the blocklist verdict.
+  // T7: URL/domain analysis under the FULL bundled Public Suffix List
+  // (~9.5k rules). The corpus has no URLs, so the query plants six per
+  // document (derived from doc_id): a default-rule domain, a blocked
+  // .net domain, a co.uk exact-rule domain, a *.ck wildcard-rule host,
+  // a *.kawasaki.jp multi-label-wildcard host deep enough that the
+  // registrable domain is a PROPER suffix, and an !www.ck
+  // exception-rule host — every PSL rule kind is gate-checked.
   def qUrlDomains(s: SparkSession, dir: String): DataFrame = {
     val injected = t(s, dir, "documents").select(col("doc_id"),
       concat(col("text"),
@@ -366,8 +399,17 @@ object PipelineQueries {
         lit(".assets"), (col("doc_id") % 11).cast("string"),
         lit(".net/x"),
         lit(" or https://shop"), (col("doc_id") % 13).cast("string"),
-        lit(".co.uk/p")).as("text"))
-    TextAnalysis.urlDomains(injected, "doc_id", "text", BlockedDomains)
+        lit(".co.uk/p"),
+        lit(" plus https://alpha"), (col("doc_id") % 9).cast("string"),
+        lit(".beta"), (col("doc_id") % 11).cast("string"),
+        lit(".ck/z"),
+        lit(" deep https://w"), (col("doc_id") % 3).cast("string"),
+        lit(".v"), (col("doc_id") % 4).cast("string"),
+        lit(".shop"), (col("doc_id") % 5).cast("string"),
+        lit(".kawasaki.jp/x"),
+        lit(" img https://img"), (col("doc_id") % 7).cast("string"),
+        lit(".www.ck/i")).as("text"))
+    TextAnalysis.urlDomainsPsl(injected, "doc_id", "text", BlockedDomains)
       .orderBy("domain")
   }
 
@@ -435,6 +477,7 @@ object PipelineQueries {
     "q_ann_topk" -> qAnnTopk,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_recall" -> qAnnRecall,
     "q_split" -> qSplit,
     "q_sample" -> qSample,
     "q_shuffle" -> qShuffle,
@@ -545,7 +588,7 @@ object PipelineQueries {
 
   private val bpeRegexSql = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_heavy_hitters" ->
       """WITH t AS (SELECT lang,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS item
@@ -845,8 +888,8 @@ object PipelineQueries {
         |  count(*) AS n_lines,
         |  CAST(count(*) FILTER (WHERE h IN (SELECT h FROM hot)) AS BIGINT)
         |    AS n_dropped,
-        |  round(count(*) FILTER (WHERE h IN (SELECT h FROM hot)) * 1.0
-        |    / count(*), 4) AS dup_line_frac,
+        |  ((20000 * count(*) FILTER (WHERE h IN (SELECT h FROM hot))
+        |    + count(*)) // (2 * count(*))) / 10000.0 AS dup_line_frac,
         |  md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
         |    FILTER (WHERE h NOT IN (SELECT h FROM hot)), '')) AS kept_hash
         |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -1094,31 +1137,54 @@ object PipelineQueries {
          |FROM e ORDER BY doc_id""".stripMargin,
     "q_url_domains" -> {
       val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
-      val (sfx3, sfx2) = TextAnalysis.PublicSuffixes
-        .partition(_.count(_ == '.') == 2)
-      val in3 = sfx3.map(d => s"'$d'").mkString(", ")
-      val in2 = sfx2.map(d => s"'$d'").mkString(", ")
+      // last-n-label extractions for hosts up to the deepest rule + 1
+      val labCols = (1 to 6).map { n =>
+        s"NULLIF(regexp_extract(host, '((?:[^.]+\\.){${n - 1}}[^.]+)$$', 1), '') AS l$n"
+      }.mkString(",\n         |        ")
+      // one arm per rule length, longest first: exact match at depth
+      // `len`, or a wildcard whose (len-1)-label base matches
+      val lengthArms = (5 to 2 by -1).map { len =>
+        s"""WHEN l$len IN (SELECT rule FROM r
+           |               WHERE rule NOT LIKE '!%' AND rule NOT LIKE '*.%' AND nlab = $len)
+           |          OR l${len - 1} IN (SELECT substr(rule, 3) FROM r
+           |               WHERE rule LIKE '*.%' AND nlab = $len) THEN l${len + 1}"""
+          .stripMargin
+      }.mkString("\n         |        ")
       s"""WITH p AS (SELECT doc_id, text
          |    || ' see https://w' || CAST(doc_id % 7 AS VARCHAR)
          |    || '.site' || CAST(doc_id % 23 AS VARCHAR) || '.example/page'
          |    || ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR)
          |    || '.assets' || CAST(doc_id % 11 AS VARCHAR) || '.net/x'
-         |    || ' or https://shop' || CAST(doc_id % 13 AS VARCHAR) || '.co.uk/p' AS text
+         |    || ' or https://shop' || CAST(doc_id % 13 AS VARCHAR) || '.co.uk/p'
+         |    || ' plus https://alpha' || CAST(doc_id % 9 AS VARCHAR)
+         |    || '.beta' || CAST(doc_id % 11 AS VARCHAR) || '.ck/z'
+         |    || ' deep https://w' || CAST(doc_id % 3 AS VARCHAR)
+         |    || '.v' || CAST(doc_id % 4 AS VARCHAR)
+         |    || '.shop' || CAST(doc_id % 5 AS VARCHAR) || '.kawasaki.jp/x'
+         |    || ' img https://img' || CAST(doc_id % 7 AS VARCHAR) || '.www.ck/i' AS text
          |  FROM documents),
          |h AS (SELECT doc_id,
          |        regexp_replace(
          |          unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)),
          |          '\\.+$$', '') AS host
          |      FROM p),
+         |raw AS (SELECT trim(ln) AS rule FROM (
+         |    SELECT unnest(string_split(content, chr(10))) AS ln
+         |    FROM read_text('/root/repo/src/main/resources/graft/public_suffix_list.dat'))
+         |  WHERE trim(ln) <> '' AND trim(ln) NOT LIKE '//%'),
+         |r AS (SELECT rule,
+         |        length(rule) - length(replace(rule, '.', '')) + 1 AS nlab
+         |      FROM raw),
          |l AS (SELECT doc_id, host,
-         |        NULLIF(regexp_extract(host, '((?:[^.]+\\.){1}[^.]+)$$', 1), '') AS l2,
-         |        NULLIF(regexp_extract(host, '((?:[^.]+\\.){2}[^.]+)$$', 1), '') AS l3,
-         |        NULLIF(regexp_extract(host, '((?:[^.]+\\.){3}[^.]+)$$', 1), '') AS l4
+         |        $labCols
          |      FROM h),
          |d AS (SELECT doc_id,
-         |        CASE WHEN l3 IN ($in3) THEN l4
-         |             WHEN l2 IN ($in2) THEN l3
-         |             ELSE l2 END AS domain
+         |        CASE WHEN l3 IN (SELECT substr(rule, 2) FROM r
+         |               WHERE rule LIKE '!%' AND nlab = 3) THEN l3
+         |        WHEN l2 IN (SELECT substr(rule, 2) FROM r
+         |               WHERE rule LIKE '!%' AND nlab = 2) THEN l2
+         |        $lengthArms
+         |        ELSE l2 END AS domain
          |      FROM l)
          |SELECT domain, count(*) AS n_urls,
          |  count(DISTINCT doc_id) AS n_docs,
@@ -1150,6 +1216,28 @@ object PipelineQueries {
          |  list_sum(list_transform(generate_series(0, 15),
          |    i -> CAST('0x' || substr(h, 1 + 2*i, 2) AS INTEGER))) / 16.0 AS mean_byte
          |FROM m ORDER BY doc_id""".stripMargin)
+
+  /** The recall gate's oracle nests the S1/S2/S3 oracle chains
+    * VERBATIM (DuckDB accepts a WITH chain inside a parenthesized
+    * subquery), so the ground truth can never drift from the three
+    * gated ANN queries it grades.
+    */
+  val oracleSql: Map[String, String] = oracleBase + ("q_ann_recall" ->
+    s"""SELECT b.query_id, count(*) AS n_true,
+       |  CAST(coalesce(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS n_lsh_hit,
+       |  CAST(coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS n_ivf_hit,
+       |  coalesce(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    / count(*) AS recall_lsh,
+       |  coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    / count(*) AS recall_ivf
+       |FROM (${oracleBase("q_ann_topk")}) b
+       |LEFT JOIN (${oracleBase("q_ann_lsh")}) l
+       |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |LEFT JOIN (${oracleBase("q_ann_ivf")}) i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)
   // Sketch queries stay rows-only (engine-specific sketch semantics,
   // tolerance-asserted in the ScalaTest suite).
 }

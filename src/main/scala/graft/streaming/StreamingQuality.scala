@@ -29,11 +29,28 @@ object StreamingQuality {
     * tokens: bigram/OOV counts, `avg_logprob`, and the `pass` gate at
     * `thresholdMicro4` (threshold in 1e-4 log-prob units, compared on
     * the exact integer mean — floats never decide the verdict).
+    *
+    * The model tables are CACHED here: a stream-static join re-runs
+    * its static subplan every microbatch, so without the persist each
+    * trigger would pay both model groupBys over the full train corpus.
+    * Re-training means rebuilding (TextAnalysis.bigramModel) and
+    * restarting on [[scoreWithModel]] — the model is a static snapshot.
     */
   def score(stream: DataFrame, train: DataFrame,
       idCol: String, textCol: String, tsCol: String,
       watermarkDelay: String, thresholdMicro4: Long): DataFrame = {
     val (c12, c1) = TextAnalysis.bigramModel(train, idCol, textCol)
+    scoreWithModel(stream, c12.persist(), c1.persist(),
+      idCol, textCol, tsCol, watermarkDelay, thresholdMicro4)
+  }
+
+  /** Same, against pre-materialized model count tables — the
+    * deployment entry point when the model is trained on its own
+    * schedule and loaded from storage.
+    */
+  def scoreWithModel(stream: DataFrame, c12: DataFrame, c1: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      watermarkDelay: String, thresholdMicro4: Long): DataFrame = {
     stream
       .withWatermark(tsCol, watermarkDelay)
       .select(col(tsCol), col(idCol).as("doc_id"),

@@ -74,4 +74,23 @@ class TopKSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("graft_topk"))
   }
+
+  test("graft_topk k: byte literal accepted, non-literal rejected with the intended message") {
+    rows.toDF("g", "v", "id").createOrReplaceTempView("topk_in")
+    // 2Y is a ByteType literal — must take the same arm as 2/2L/2S
+    val viaByte = spark.sql(
+      "SELECT g, graft_topk(v, id, 2Y) AS t FROM topk_in GROUP BY g")
+      .select(sum(size(col("t")))).head.getLong(0)
+    assert(viaByte == 6)
+    // a column reference is non-foldable: the user-facing message must
+    // fire, not an internal eval error from the builder
+    val e = intercept[Exception] {
+      spark.sql("SELECT g, graft_topk(v, id, id) FROM topk_in GROUP BY g").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_heavy_hitters(g, v) FROM topk_in").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+  }
 }

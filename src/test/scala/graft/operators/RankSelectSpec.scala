@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** RankSelect.quantiles must pick the IDENTICAL element as the
+  * sort-window formulation it replaces — differential-tested against
+  * an independent row_number plan on adversarial shapes (ties, single
+  * values, hot groups, duplicate-heavy distributions).
+  */
+class RankSelectSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+
+  /** Independent reference: the per-group sort window. */
+  private def viaWindow(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("g"))
+    df.withColumn("rk", row_number().over(w.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy(col("g"))
+      .agg(
+        min(when(col("rk") * 2 >= col("n"), col("v"))).as("p50"),
+        min(when(col("rk") * 10 >= col("n") * 9, col("v"))).as("p90"),
+        min(when(col("rk") * 100 >= col("n") * 99, col("v"))).as("p99"))
+  }
+
+  private def check(rows: Seq[(String, Double)], buckets: Int = 64): Unit = {
+    val df = rows.toDF("g", "v").repartition(5)
+    val got = RankSelect.quantiles(df, "g", "v", qs, buckets)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exp = viaWindow(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == exp, s"bucket rank diverged from sort window:\ngot $got\nexp $exp")
+  }
+
+  test("matches the sort window on a mixed pseudo-random population") {
+    val rng = new scala.util.Random(42)
+    check((1 to 2000).map(i => (s"g${i % 3}", rng.nextDouble() * 100 - 50)))
+  }
+
+  test("ties, constant groups, and single-row groups") {
+    check(
+      (1 to 500).map(_ => ("ties", 7.5)) ++        // one value only
+      (1 to 400).map(i => ("dups", (i % 4).toDouble)) ++ // 4 distinct values
+      Seq(("single", 3.25)))
+  }
+
+  test("hot group concentrated in one bucket still selects exactly") {
+    // 95% of the mass at one value (one bucket), the tail spread out —
+    // the degenerate shape the scaladoc documents
+    val rng = new scala.util.Random(7)
+    check((1 to 2000).map(i =>
+      ("hot", if (i % 20 == 0) rng.nextDouble() * 1000 else 123.456)))
+  }
+
+  test("tiny bucket count (forces multi-quantile buckets) stays exact") {
+    val rng = new scala.util.Random(11)
+    check((1 to 1000).map(i => (s"g${i % 2}", rng.nextGaussian())), buckets = 2)
+  }
+}

@@ -180,6 +180,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out("bbc.co.uk").getAs[Long]("n_docs") == 1L)
   }
 
+  test("url domains full PSL: wildcard, multi-label wildcard, and exception rules") {
+    // the bundled list parses to the published rule-kind counts
+    val rules = Psl.default
+    assert(rules.exceptions.values.map(_.size).sum == 8)
+    assert(rules.wildcardBases.values.map(_.size).sum > 100)
+    assert(rules.maxRuleLabels == 5)
+    val docs = Seq(
+      // *.ck: beta7.ck is a public suffix -> registrable alpha.beta7.ck
+      (1L, "w https://alpha.beta7.ck/z"),
+      // a bare <label>.ck IS a public suffix under the wildcard: drop
+      (2L, "bare https://solo.ck/"),
+      // !www.ck exception: registrable is www.ck itself, however deep
+      (3L, "img https://img.www.ck/i and https://www.ck/root"),
+      // *.kawasaki.jp (multi-label base): shop.kawasaki.jp is public ->
+      // registrable v.shop.kawasaki.jp, the PROPER suffix of the host
+      (4L, "deep https://w.v.shop.kawasaki.jp/x"),
+      // !city.kawasaki.jp exception inside the same wildcard family
+      (5L, "city https://a.city.kawasaki.jp/p"),
+      // ordinary exact rule from the full list, unchanged behavior
+      (6L, "uk https://news.bbc.co.uk/s"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomainsPsl(docs, "doc_id", "text", Nil)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out.keySet == Set("alpha.beta7.ck", "www.ck",
+      "v.shop.kawasaki.jp", "city.kawasaki.jp", "bbc.co.uk"))
+    assert(out("www.ck").getAs[Long]("n_urls") == 2L)
+  }
+
   test("url domains: trailing-dot hosts normalize; single-label hosts drop") {
     val docs = Seq(
       // root-qualified host — legal URL syntax, same registrable domain

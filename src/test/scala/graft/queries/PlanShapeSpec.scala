@@ -109,15 +109,45 @@ class PlanShapeSpec extends SparkSuite {
       "HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
   }
 
-  test("percentile: rank-select window pass, no buffering ObjectHashAggregate") {
+  test("percentile: bucket-offset rank — no buffering agg, no per-group sort window") {
     val plan = planOf(AnalyticsQueries.qPercentile(spark, dir))
     // the buffering percentile() built-in collects every group value in
-    // one aggregation buffer — the exact hot-group OOM this rewrite kills
+    // one aggregation buffer — the exact hot-group OOM round 5 killed
     assert(!plan.contains("ObjectHashAggregate"), s"buffering agg is back:\n$plan")
-    assert(plan.contains("Window"), s"rank window lost:\n$plan")
-    // one keyed shuffle for the window; the groupBy reuses its partitioning
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(shuffles <= 2, s"expected <=2 keyed shuffles, got $shuffles:\n$plan")
+    // the round-5 interim shape sorted an ENTIRE group in one task: a
+    // row_number window partitioned by event_type alone, ordered by
+    // value — its spec signature must be gone for good
+    assert("windowspecdefinition\\(event_type#\\d+, value#".r
+      .findFirstIn(plan).isEmpty, s"per-group sort window is back:\n$plan")
+    // what remains is bucket-keyed: the histogram-offset window and the
+    // target-bucket rank window both carry the __b range bucket
+    assert(plan.contains("windowspecdefinition(event_type") &&
+      plan.contains("__b"), s"bucket-keyed windows lost:\n$plan")
+    // range stats and targets broadcast back — never a keyed join of
+    // the data rows against them
+    assert(plan.contains("BroadcastExchange"), s"stats not broadcast:\n$plan")
+  }
+
+  test("Q2/Q11/Q16/Q20 shapes: synthesized partsupp joins stay keyed, dims broadcast") {
+    for ((name, q) <- Seq(
+        ("q2_min_cost", AnalyticsQueries.q2MinCost _),
+        ("q11_important_stock", AnalyticsQueries.q11ImportantStock _),
+        ("q16_supplier_cnt", AnalyticsQueries.q16SupplierCnt _),
+        ("q20_excess_parts", AnalyticsQueries.q20ExcessParts _))) {
+      val plan = planOf(q(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$name pair blowup:\n$plan")
+      assert(plan.contains("BroadcastExchange"), s"$name dims not broadcast:\n$plan")
+    }
+    // Q16's distinct supplier count must not Expand the partsupp rows
+    // (single distinct over one aggregate — no multi-distinct fanout)
+    val p16 = planOf(AnalyticsQueries.q16SupplierCnt(spark, dir))
+    assert(!p16.contains("Expand"), s"multi-distinct Expand in Q16:\n$p16")
+    // Q20 decorrelates to ONE lineitem scan (the correlated rewrite
+    // would re-probe lineitem per partsupp row)
+    val p20 = planOf(AnalyticsQueries.q20ExcessParts(spark, dir))
+    val liScans = "lineitem".r.findAllIn(
+      "FileScan parquet[^\\n]*".r.findAllIn(p20).mkString("\n")).length
+    assert(liScans == 1, s"expected 1 lineitem scan, got $liScans:\n$p20")
   }
 
   test("url domains: suffix table resolves via broadcast joins, no shuffle join") {
