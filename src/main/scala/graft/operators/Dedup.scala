@@ -81,8 +81,16 @@ object Dedup {
     * disagree with the oracle; `jaccard` is display-only.
     */
   def jaccardFilter(pairsShared: DataFrame, sets: DataFrame,
-      num: Long, den: Long): DataFrame = {
-    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      num: Long, den: Long): DataFrame =
+    jaccardFilterSizes(pairsShared,
+      sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), num, den)
+
+  /** [[jaccardFilter]] against a precomputed (doc_id, n) size table —
+    * lets the capped ngram path size from its materialized index
+    * instead of re-running the shingle pipeline.
+    */
+  def jaccardFilterSizes(pairsShared: DataFrame, sizes: DataFrame,
+      num: Long, den: Long): DataFrame =
     pairsShared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
@@ -90,7 +98,6 @@ object Dedup {
       .withColumn("jaccard",
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
-  }
 
   /** Candidate pairs from the shingle inverted index. `maxDf > 0`
     * drops shingles whose document frequency exceeds maxDf from
@@ -145,24 +152,38 @@ object Dedup {
       tokenHash: Column => Column = Hashing.h30,
       maxDf: Long = 0): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n, tokenHash)
-    val shared =
-      if (maxDf <= 0) sharedCounts(sets)
-      else {
-        val withDf = sets.withColumn("__df",
+    if (maxDf <= 0) jaccardFilter(sharedCounts(sets), sets, num, den)
+    else {
+      // the capped path MATERIALIZES the df-annotated index once
+      // (localCheckpoint, executor-local storage): its six consumers —
+      // both sides of the rare self-join, both hot add-back probes,
+      // and the two size lookups — would each re-run the whole
+      // scan+shingle+window pipeline otherwise (the executed plan
+      // showed 16 file scans / 6 window sorts; measured 4.1 -> 2.9 s
+      // median at sf0.1). An index build IS a materialization — at
+      // cluster scale this stores (doc, sh, df) rows once instead of
+      // re-reading the corpus per consumer. The uncapped path above
+      // stays fully lazy.
+      val withDf = sets.withColumn("__df",
           count(lit(1)).over(Window.partitionBy(col("sh"))))
-        val rare = withDf.filter(col("__df") <= maxDf).drop("__df")
-        val hot = withDf.filter(col("__df") > maxDf).drop("__df")
-        val rareShared = sharedCounts(rare)
-        val hotShared = rareShared.select("doc_a", "doc_b")
-          .join(hot.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-          .join(hot.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("__hot"))
-        rareShared.join(hotShared, Seq("doc_a", "doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"),
-            (col("shared") + coalesce(col("__hot"), lit(0L))).as("shared"))
-      }
-    jaccardFilter(shared, sets, num, den)
+        .localCheckpoint()
+      val rare = withDf.filter(col("__df") <= maxDf).drop("__df")
+      val hot = withDf.filter(col("__df") > maxDf).drop("__df")
+      val rareShared = sharedCounts(rare)
+      val hotShared = rareShared.select("doc_a", "doc_b")
+        .join(hot.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(hot.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("__hot"))
+      val shared = rareShared.join(hotShared, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          (col("shared") + coalesce(col("__hot"), lit(0L))).as("shared"))
+      // sizes from the SAME materialized rows (the window annotation
+      // kept every (doc, sh) row, so the per-doc counts are identical
+      // to the raw shingle sets')
+      jaccardFilterSizes(shared,
+        withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), num, den)
+    }
   }
 
   /** D6: near-dup cluster resolution — connected components over the
@@ -348,7 +369,14 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int, num: Long, den: Long,
       tokenHash: Column => Column = Hashing.h30): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n, tokenHash)
+    // materialize the shingle index once (localCheckpoint, same device
+    // as the capped ngram path): its four consumers — the signature
+    // aggregation, both exact-verify probes, and the size lookup —
+    // would each re-run the scan+shingle pipeline otherwise. Measured
+    // 1.8 -> 1.4 s median at sf0.1; the cluster query consuming this
+    // pair set dropped 2.1 -> 1.4 s. Checkpointing the BANDS as well
+    // measured no further win (the signature agg is one pass).
+    val sets = shingleSets(df, idCol, textCol, n, tokenHash).localCheckpoint()
     val bands = bandHashes(minhashSignatures(sets))
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bh"))
