@@ -47,7 +47,8 @@ object RankSelect {
     * Baseline's p95, so no float boundary exists anywhere).
     */
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[(String, Long, Long)], buckets: Int = 1024): DataFrame = {
+      qs: Seq[(String, Long, Long)], buckets: Int = 1024,
+      countCol: Option[String] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, num, den) =>
       num >= 0 && den > 0 && num <= den }, s"invalid quantile spec: $qs")
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
@@ -98,6 +99,10 @@ object RankSelect {
     val aggs: Seq[Column] = qs.map { case (name, _, _) =>
       min(when(col("__name") === name, v)).as(name)
     }
-    picked.groupBy(g).agg(aggs.head, aggs.tail: _*)
+    val res = picked.groupBy(g).agg(aggs.head, aggs.tail: _*)
+    // optional population column (the non-null count backing the
+    // ranks) — joined from the already-aggregated stats, group-sized
+    countCol.fold(res)(c =>
+      res.join(broadcast(stats.select(g, col("__n").as(c))), groupCol))
   }
 }

@@ -143,13 +143,26 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
-  // S4: the ANN quality gate — recall@5 of the LSH (S2) and IVF (S3)
-  // searches against the brute-force (S1) ground truth, per query, on
-  // the SAME deterministic builds the gated queries run. This is the
-  // surface a 100 TB deployment actually tunes (planes/nlist/nprobe
-  // against recall); the gate makes the trade measurable instead of
-  // asserted. The recall division is one IEEE op on two small exact
-  // integers — identical on both engines.
+  // S5: multi-probe LSH ANN — same 8-plane index as S2, but each
+  // query probes the 2^3 = 8 sign perturbations of its 3
+  // least-confident planes. The probe set derives deterministically
+  // from the same sequential-fold dots, so the oracle reproduces it
+  // bit-for-bit.
+  def qAnnLshMp(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopKMultiProbe(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5, 8, 64, nFlip = 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  // S4: the ANN quality gate — recall@5 of the LSH (S2), multi-probe
+  // LSH (S5), and IVF (S3) searches against the brute-force (S1)
+  // ground truth, per query, on the SAME deterministic builds the
+  // gated queries run. This is the surface a 100 TB deployment
+  // actually tunes (planes/probes/nlist/nprobe against recall); the
+  // gate makes the trade measurable instead of asserted. The recall
+  // division is one IEEE op on two small exact integers — identical
+  // on both engines.
   def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val queriesDf = e.filter(col("vec_id") < 10)
@@ -157,19 +170,25 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"))
     val lsh = Similarity.lshTopK(e, queriesDf, "vec_id", "embedding", 5, 8, 64)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("__l"))
+    val mp = Similarity.lshTopKMultiProbe(e, queriesDf, "vec_id",
+        "embedding", 5, 8, 64, nFlip = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__m"))
     val ivf = IvfIndex.search(
         IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16),
         queriesDf, "vec_id", "embedding", k = 5, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("__i"))
     brute
       .join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .join(mp, Seq("query_id", "neighbor_id"), "left")
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("n_true"),
         coalesce(sum(col("__l")), lit(0L)).as("n_lsh_hit"),
+        coalesce(sum(col("__m")), lit(0L)).as("n_mp_hit"),
         coalesce(sum(col("__i")), lit(0L)).as("n_ivf_hit"))
       .withColumn("recall_lsh", col("n_lsh_hit") / col("n_true"))
+      .withColumn("recall_mp", col("n_mp_hit") / col("n_true"))
       .withColumn("recall_ivf", col("n_ivf_hit") / col("n_true"))
       .orderBy("query_id")
   }
@@ -476,6 +495,7 @@ object PipelineQueries {
     "q_dedup_embed" -> qDedupEmbed,
     "q_ann_topk" -> qAnnTopk,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_lsh_mp" -> qAnnLshMp,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_recall" -> qAnnRecall,
     "q_split" -> qSplit,
@@ -587,6 +607,55 @@ object PipelineQueries {
       |       regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin
 
   private val bpeRegexSql = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+
+  /** S5 oracle: reproduces the multi-probe bucket set — per-plane
+    * dots (same literal hyperplanes), base bucket from the sign bits,
+    * the 3 lowest-(|margin|, plane) flips by window rank, and the 8
+    * mask-XOR probe buckets — then the same probe-join + rank tail as
+    * S2. Flip bits are distinct powers of two, so subset XORs are
+    * distinct and no candidate dedup is needed on either engine.
+    */
+  private lazy val annLshMpSql = {
+    val planeRows = graft.operators.Similarity.hyperplanes(8, 64)
+      .zipWithIndex.map { case (p, j) =>
+        s"SELECT $j AS j, ${p.mkString("[", ", ", "]")} AS pl"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, nrm2,
+       |         CAST(${lshBucketSql("v")} AS BIGINT) AS bucket
+       |       FROM n),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn FROM n WHERE vec_id < 10),
+       |pl AS (
+       |  $planeRows),
+       |qm AS (SELECT q.query_id, p.j,
+       |         abs(list_dot_product(q.qv, p.pl)) AS m,
+       |         CASE WHEN list_dot_product(q.qv, p.pl) > 0
+       |              THEN CAST(1 AS BIGINT) << p.j ELSE 0 END AS bit,
+       |         CAST(1 AS BIGINT) << p.j AS flip
+       |       FROM q, pl p),
+       |qb AS (SELECT query_id, CAST(sum(bit) AS BIGINT) AS base FROM qm GROUP BY 1),
+       |fl AS (SELECT query_id, flip, i FROM (
+       |    SELECT query_id, flip,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY m, j) - 1 AS i
+       |    FROM qm) WHERE i < 3),
+       |fs AS (SELECT f.query_id, m.mask,
+       |         CAST(coalesce(sum(CASE WHEN ((m.mask >> f.i) & 1) = 1
+       |           THEN f.flip END), 0) AS BIGINT) AS fsum
+       |       FROM fl f, (SELECT unnest(generate_series(0, 7)) AS mask) m
+       |       GROUP BY 1, 2),
+       |probes AS (SELECT fs.query_id, xor(qb.base, fs.fsum) AS bucket
+       |           FROM fs JOIN qb USING (query_id)),
+       |s AS (SELECT pr.query_id, c.vec_id AS neighbor_id,
+       |        list_dot_product(q.qv, c.v) / sqrt(q.qn * c.nrm2) AS cos
+       |      FROM probes pr
+       |      JOIN nb c ON pr.bucket = c.bucket
+       |      JOIN q ON q.query_id = pr.query_id
+       |      WHERE pr.query_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
 
   private val oracleBase: Map[String, String] = Map(
     "q_heavy_hitters" ->
@@ -737,6 +806,7 @@ object PipelineQueries {
          |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, bucket, rnk, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_lsh_mp" -> annLshMpSql,
     "q_ann_ivf" ->
       s"""WITH $normCte,
          |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -1226,15 +1296,21 @@ object PipelineQueries {
     s"""SELECT b.query_id, count(*) AS n_true,
        |  CAST(coalesce(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 END), 0)
        |    AS BIGINT) AS n_lsh_hit,
+       |  CAST(coalesce(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS n_mp_hit,
        |  CAST(coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0)
        |    AS BIGINT) AS n_ivf_hit,
        |  coalesce(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 END), 0)
        |    / count(*) AS recall_lsh,
+       |  coalesce(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    / count(*) AS recall_mp,
        |  coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0)
        |    / count(*) AS recall_ivf
        |FROM (${oracleBase("q_ann_topk")}) b
        |LEFT JOIN (${oracleBase("q_ann_lsh")}) l
        |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |LEFT JOIN (${oracleBase("q_ann_lsh_mp")}) m
+       |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
        |LEFT JOIN (${oracleBase("q_ann_ivf")}) i
        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)

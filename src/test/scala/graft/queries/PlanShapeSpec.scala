@@ -223,7 +223,10 @@ class PlanShapeSpec extends SparkSuite {
       assert(!plan.contains("CartesianProduct"), s"blowup:\n$plan")
       // every window must be partitioned by the network key (a scalar
       // max(ts) SinglePartition reduction is fine; an unkeyed window
-      // spec would mean a global sort of the data rows)
+      // spec would mean a global sort of the data rows). The RankSelect
+      // kernel rewire was tried and REVERTED on measurement — see
+      // SURVEY §12; the network key bounds these groups, and the
+      // kernel's fixed stage count tripled q_mad_anomaly locally.
       val unkeyed = "windowspecdefinition\\((?!network)".r
       assert(unkeyed.findFirstIn(plan).isEmpty,
         s"window lost its network partitioning:\n$plan")
