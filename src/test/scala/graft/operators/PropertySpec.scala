@@ -34,6 +34,29 @@ class PropertySpec extends SparkSuite {
     }, 15)
   }
 
+  test("RankSelect bucket-offset kernel equals sorted order statistics for arbitrary populations") {
+    val gen = for {
+      vals <- Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.chooseNum(-5.0, 5.0),              // continuous spread
+        Gen.chooseNum(-3L, 3L).map(_.toDouble) // dense ties
+      ))
+      buckets <- Gen.oneOf(2, 7, 64)
+    } yield (vals, buckets)
+    check(Prop.forAll(gen) { case (vals, buckets) =>
+      val df = vals.map(v => ("k", v)).toDF("g", "v").repartition(3)
+      val row = RankSelect.quantiles(df, "g", "v",
+        Seq(("p50", 1L, 2L), ("p99", 99L, 100L)), buckets,
+        countCol = Some("n")).head
+      val sorted = vals.sorted
+      val n = vals.length
+      def pick(num: Long, den: Long) =
+        sorted(sorted.indices.find(i => (i + 1) * den >= num * n).get)
+      row.getAs[Double]("p50") == pick(1, 2) &&
+        row.getAs[Double]("p99") == pick(99, 100) &&
+        row.getAs[Long]("n") == n.toLong
+    }, 15)
+  }
+
   test("normalize is idempotent on arbitrary text") {
     val charGen = Gen.frequency(
       (6, Gen.alphaNumChar),
