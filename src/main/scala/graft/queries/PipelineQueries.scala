@@ -193,6 +193,33 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  // S6: the IVF tuning curve — recall@5 per (nprobe, query) for
+  // nprobe in {1, 2, 4, 8} of 16 cells, against brute-force ground
+  // truth on the same deterministic index. The recall gate (S4)
+  // showed IVF is this corpus's ANN scale path; this query measures
+  // the knob a deployment actually turns (scan fraction vs recall).
+  def qAnnIvfSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queriesDf = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(e, queriesDf, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val index = IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16)
+    val probes = Seq(1, 2, 4, 8)
+    val hits = probes.map { np =>
+      IvfIndex.search(index, queriesDf, "vec_id", "embedding", k = 5, nprobe = np)
+        .select(lit(np.toLong).as("nprobe"), col("query_id"),
+          col("neighbor_id"), lit(1L).as("__hit"))
+    }.reduce(_ union _)
+    val truth = probes.map(np => brute.withColumn("nprobe", lit(np.toLong)))
+      .reduce(_ union _)
+    truth.join(hits, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit") / col("n_true"))
+      .orderBy("nprobe", "query_id")
+  }
+
   // P2: deterministic train/val/test split (80/10/10 by id hash).
   def qSplit(s: SparkSession, dir: String): DataFrame =
     Sampling.hashSplit(
@@ -497,6 +524,7 @@ object PipelineQueries {
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_lsh_mp" -> qAnnLshMp,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_sweep" -> qAnnIvfSweep,
     "q_ann_recall" -> qAnnRecall,
     "q_split" -> qSplit,
     "q_sample" -> qSample,
@@ -607,6 +635,55 @@ object PipelineQueries {
       |       regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin
 
   private val bpeRegexSql = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+
+  /** S1 oracle — shared by the q_ann_topk entry and the sweep gate's
+    * nested ground truth.
+    */
+  private lazy val annTopkRawSql =
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn FROM n WHERE vec_id < 10),
+       |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |        list_dot_product(q.qv, c.v) / sqrt(q.qn * c.nrm2) AS cos
+       |      FROM q JOIN n c ON q.query_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** S3 oracle as a function of `nprobe` — the gated q_ann_ivf uses
+    * nprobe=4 and the sweep gate nests the chain at each probe count,
+    * so one definition serves both.
+    */
+  private def ivfChainSql(nprobe: Int): String =
+    s"""WITH $normCte,
+       |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         v AS cv, nrm2 AS cn
+       |       FROM (SELECT vec_id, v, nrm2 FROM n ORDER BY vec_id LIMIT 16)),
+       |ad AS (SELECT n.vec_id, cc.cell,
+       |         n.nrm2 - 2.0 * list_dot_product(n.v, cc.cv) + cc.cn AS d
+       |       FROM n, cc),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d, cell) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |cells AS (SELECT n.vec_id, a.cell, n.v, n.nrm2
+       |          FROM n JOIN asg a USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn
+       |      FROM n WHERE vec_id < 10),
+       |qp AS (SELECT query_id, qv, qn, cell FROM (
+       |    SELECT q.query_id, q.qv, q.qn, cc.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY q.qn - 2.0 * list_dot_product(q.qv, cc.cv) + cc.cn,
+       |          cc.cell) AS pr
+       |    FROM q, cc)
+       |  WHERE pr <= $nprobe),
+       |s AS (SELECT qp.query_id, c.vec_id AS neighbor_id,
+       |        list_dot_product(qp.qv, c.v) / sqrt(qp.qn * c.nrm2) AS cos
+       |      FROM qp JOIN cells c USING (cell) WHERE qp.query_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** S5 oracle: reproduces the multi-probe bucket set — per-plane
     * dots (same literal hyperplanes), base bucket from the sign bits,
@@ -782,16 +859,7 @@ object PipelineQueries {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
-    "q_ann_topk" ->
-      s"""WITH $normCte,
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn FROM n WHERE vec_id < 10),
-         |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-         |        list_dot_product(q.qv, c.v) / sqrt(q.qn * c.nrm2) AS cos
-         |      FROM q JOIN n c ON q.query_id <> c.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
-         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
-         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_topk" -> annTopkRawSql,
     "q_ann_lsh" ->
       s"""WITH $normCte,
          |nb AS (SELECT vec_id, v, nrm2,
@@ -807,36 +875,29 @@ object PipelineQueries {
          |SELECT query_id, bucket, rnk, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_ann_lsh_mp" -> annLshMpSql,
-    "q_ann_ivf" ->
-      s"""WITH $normCte,
-         |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |         v AS cv, nrm2 AS cn
-         |       FROM (SELECT vec_id, v, nrm2 FROM n ORDER BY vec_id LIMIT 16)),
-         |ad AS (SELECT n.vec_id, cc.cell,
-         |         n.nrm2 - 2.0 * list_dot_product(n.v, cc.cv) + cc.cn AS d
-         |       FROM n, cc),
-         |asg AS (SELECT vec_id, cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d, cell) AS rn FROM ad)
-         |  WHERE rn = 1),
-         |cells AS (SELECT n.vec_id, a.cell, n.v, n.nrm2
-         |          FROM n JOIN asg a USING (vec_id)),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn
-         |      FROM n WHERE vec_id < 10),
-         |qp AS (SELECT query_id, qv, qn, cell FROM (
-         |    SELECT q.query_id, q.qv, q.qn, cc.cell,
-         |      row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY q.qn - 2.0 * list_dot_product(q.qv, cc.cv) + cc.cn,
-         |          cc.cell) AS pr
-         |    FROM q, cc)
-         |  WHERE pr <= 4),
-         |s AS (SELECT qp.query_id, c.vec_id AS neighbor_id,
-         |        list_dot_product(qp.qv, c.v) / sqrt(qp.qn * c.nrm2) AS cos
-         |      FROM qp JOIN cells c USING (cell) WHERE qp.query_id <> c.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
-         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
-         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_ivf" -> ivfChainSql(4),
+    // the sweep nests the ivf chain at each probe count plus the brute
+    // chain — one definition each, replicated per nprobe
+    "q_ann_ivf_sweep" -> {
+      val ivfUnion = Seq(1, 2, 4, 8).map { np =>
+        s"SELECT CAST($np AS BIGINT) AS nprobe, query_id, neighbor_id FROM (${ivfChainSql(np)})"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH bn AS (SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+         |       b.query_id, b.neighbor_id
+         |     FROM (SELECT unnest([1, 2, 4, 8]) AS nprobe) np,
+         |          ($annTopkRawSql) b),
+         |iv AS (
+         |  $ivfUnion)
+         |SELECT bn.nprobe, bn.query_id, count(*) AS n_true,
+         |  CAST(coalesce(sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 END), 0)
+         |    AS BIGINT) AS n_hit,
+         |  coalesce(sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 END), 0)
+         |    / count(*) AS recall
+         |FROM bn LEFT JOIN iv
+         |  ON bn.nprobe = iv.nprobe AND bn.query_id = iv.query_id
+         |  AND bn.neighbor_id = iv.neighbor_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q_split" -> {
       val b = graft.operators.Sampling.bucketOfSql("doc_id", "split", 100)
       s"""SELECT doc_id, lang,
