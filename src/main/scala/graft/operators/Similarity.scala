@@ -98,13 +98,16 @@ object Similarity {
   // ------------------------------------------------- LSH-bucketed ANN
 
   /** Deterministic random hyperplanes for sign-random-projection LSH:
-    * component (plane j, dim d) = (md5_60("j_d") mod 2001 - 1000)/1000,
-    * computed driver-side (tiny) with the same md5 the data side uses.
+    * component (plane j, dim d) = (md5_60("{salt}j_d") mod 2001 - 1000)
+    * / 1000, computed driver-side (tiny) with the same md5 the data
+    * side uses. `salt` decorrelates independent tables
+    * ([[lshTopKMultiTable]]); the default empty salt keeps the
+    * single-table operators' historical planes.
     */
-  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  def hyperplanes(nPlanes: Int, dim: Int, salt: String = ""): Array[Array[Double]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(nPlanes, dim) { (j, d) =>
-      val hex = digest.digest(s"${j}_$d".getBytes("UTF-8"))
+      val hex = digest.digest(s"$salt${j}_$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
       val h = java.lang.Long.parseLong(hex, 16)
       ((h % 2001L) - 1000L).toDouble / 1000.0
@@ -179,6 +182,53 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** S7: multi-TABLE LSH ANN — the other classic recall lever
+    * ([[lshTopKMultiProbe]] trades probes; this trades index size).
+    * `nTables` independent plane sets (salted generators, so the
+    * tables decorrelate) each bucket every vector once; a query probes
+    * its own bucket in EVERY table and the candidate set is the union.
+    * A true neighbor is missed only if it disagrees with the query in
+    * at least one sign bit of every table — failure probability decays
+    * geometrically in `nTables` at fixed plane count.
+    *
+    * Scale shape: the index is `nTables` posting rows per vector
+    * (explode over the per-table buckets), the probe join shuffles on
+    * the composite (table, bucket) key exactly like single-table LSH,
+    * and cross-table duplicate candidates collapse in a
+    * partial-aggregated groupBy on (query, neighbor) BEFORE ranking —
+    * the arrays are dropped at the join, so the dedup shuffles narrow
+    * (id, id, cos) rows, never vectors.
+    */
+  def lshTopKMultiTable(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+    require(nTables >= 1, s"nTables=$nTables must be >= 1")
+    val tables = (0 until nTables)
+      .map(tb => hyperplanes(nPlanes, dim, s"t${tb}_"))
+    def withBuckets(df: DataFrame): DataFrame = df.withColumn("tb",
+        explode(array(tables.zipWithIndex.map { case (pl, tb) =>
+          struct(lit(tb).as("t"), lshBucket(col("v"), pl).as("bucket"))
+        }: _*)))
+      .select(df.columns.map(col) :+ col("tb.t").as("t") :+
+        col("tb.bucket").as("bucket"): _*)
+    val n = withBuckets(withNorm(vecs, idCol, vecCol))
+    val q = withBuckets(withNorm(queries, idCol, vecCol))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm2").as("qn"), col("t"), col("bucket"))
+    val cos = cosine(dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(n, Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cos.as("__cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("__cos")).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** S2: LSH-bucketed ANN — queries probe only their own bucket, so the

@@ -155,6 +155,18 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // S7: multi-table LSH ANN — 3 independent 6-plane tables (64
+  // buckets each); a query probes its own bucket in every table and
+  // the candidate union is deduped before ranking. Salted md5 plane
+  // generators keep every table deterministic, so the oracle
+  // reproduces index, probe set, and rank bit-for-bit.
+  def qAnnLshMt(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopKMultiTable(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5, 6, 64, nTables = 3)
+      .orderBy("query_id", "rnk")
+  }
+
   // S4: the ANN quality gate — recall@5 of the LSH (S2), multi-probe
   // LSH (S5), and IVF (S3) searches against the brute-force (S1)
   // ground truth, per query, on the SAME deterministic builds the
@@ -173,6 +185,9 @@ object PipelineQueries {
     val mp = Similarity.lshTopKMultiProbe(e, queriesDf, "vec_id",
         "embedding", 5, 8, 64, nFlip = 3)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("__m"))
+    val mt = Similarity.lshTopKMultiTable(e, queriesDf, "vec_id",
+        "embedding", 5, 6, 64, nTables = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__t"))
     val ivf = IvfIndex.search(
         IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16),
         queriesDf, "vec_id", "embedding", k = 5, nprobe = 4)
@@ -180,15 +195,18 @@ object PipelineQueries {
     brute
       .join(lsh, Seq("query_id", "neighbor_id"), "left")
       .join(mp, Seq("query_id", "neighbor_id"), "left")
+      .join(mt, Seq("query_id", "neighbor_id"), "left")
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("n_true"),
         coalesce(sum(col("__l")), lit(0L)).as("n_lsh_hit"),
         coalesce(sum(col("__m")), lit(0L)).as("n_mp_hit"),
+        coalesce(sum(col("__t")), lit(0L)).as("n_mt_hit"),
         coalesce(sum(col("__i")), lit(0L)).as("n_ivf_hit"))
       .withColumn("recall_lsh", col("n_lsh_hit") / col("n_true"))
       .withColumn("recall_mp", col("n_mp_hit") / col("n_true"))
+      .withColumn("recall_mt", col("n_mt_hit") / col("n_true"))
       .withColumn("recall_ivf", col("n_ivf_hit") / col("n_true"))
       .orderBy("query_id")
   }
@@ -523,6 +541,7 @@ object PipelineQueries {
     "q_ann_topk" -> qAnnTopk,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_lsh_mp" -> qAnnLshMp,
+    "q_ann_lsh_mt" -> qAnnLshMt,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_sweep" -> qAnnIvfSweep,
     "q_ann_recall" -> qAnnRecall,
@@ -622,9 +641,11 @@ object PipelineQueries {
   /** DuckDB twin of Similarity.lshBucket over column `v`: the plane
     * literals come from the same md5-derived generator the Spark side
     * uses, and list_dot_product matches the sequential-fold dot.
+    * `salt`/`nPlanes` mirror the salted multi-table generators.
     */
-  private def lshBucketSql(v: String): String =
-    graft.operators.Similarity.hyperplanes(8, 64).zipWithIndex.map {
+  private def lshBucketSql(v: String, nPlanes: Int = 8,
+      salt: String = ""): String =
+    graft.operators.Similarity.hyperplanes(nPlanes, 64, salt).zipWithIndex.map {
       case (p, j) =>
         val arr = p.map(_.toString).mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product($v, $arr) > 0 THEN ${1L << j} ELSE 0 END)"
@@ -730,6 +751,35 @@ object PipelineQueries {
        |      WHERE pr.query_id <> c.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** S7 oracle: per-table bucket assignment via the salted plane
+    * generators (one CASE arm per table, literal planes), the
+    * (table, bucket)-keyed probe join, cross-table candidate dedup by
+    * max(cos) on (query, neighbor) — the value is identical across
+    * tables, so max IS dedup — then the shared rank tail.
+    */
+  private lazy val annLshMtSql = {
+    def bucketCase(v: String): String =
+      "CAST(CASE t " + (0 until 3).map { tb =>
+        s"WHEN $tb THEN (${lshBucketSql(v, 6, s"t${tb}_")})"
+      }.mkString(" ") + " END AS BIGINT)"
+    s"""WITH $normCte,
+       |tb AS (SELECT unnest([0, 1, 2]) AS t),
+       |nb AS (SELECT vec_id, v, nrm2, t, ${bucketCase("v")} AS bucket
+       |       FROM n, tb),
+       |qb AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn, t,
+       |         ${bucketCase("v")} AS bucket
+       |       FROM n, tb WHERE vec_id < 10),
+       |cand AS (SELECT qb.query_id, c.vec_id AS neighbor_id,
+       |           max(list_dot_product(qb.qv, c.v) / sqrt(qb.qn * c.nrm2)) AS cos
+       |         FROM qb JOIN nb c ON qb.t = c.t AND qb.bucket = c.bucket
+       |         WHERE qb.query_id <> c.vec_id
+       |         GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
@@ -875,6 +925,7 @@ object PipelineQueries {
          |SELECT query_id, bucket, rnk, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_ann_lsh_mp" -> annLshMpSql,
+    "q_ann_lsh_mt" -> annLshMtSql,
     "q_ann_ivf" -> ivfChainSql(4),
     // the sweep nests the ivf chain at each probe count plus the brute
     // chain — one definition each, replicated per nprobe
@@ -1359,12 +1410,16 @@ object PipelineQueries {
        |    AS BIGINT) AS n_lsh_hit,
        |  CAST(coalesce(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0)
        |    AS BIGINT) AS n_mp_hit,
+       |  CAST(coalesce(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS n_mt_hit,
        |  CAST(coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0)
        |    AS BIGINT) AS n_ivf_hit,
        |  coalesce(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 END), 0)
        |    / count(*) AS recall_lsh,
        |  coalesce(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0)
        |    / count(*) AS recall_mp,
+       |  coalesce(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0)
+       |    / count(*) AS recall_mt,
        |  coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0)
        |    / count(*) AS recall_ivf
        |FROM (${oracleBase("q_ann_topk")}) b
@@ -1372,6 +1427,8 @@ object PipelineQueries {
        |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
        |LEFT JOIN (${oracleBase("q_ann_lsh_mp")}) m
        |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+       |LEFT JOIN (${oracleBase("q_ann_lsh_mt")}) t
+       |  ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
        |LEFT JOIN (${oracleBase("q_ann_ivf")}) i
        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)

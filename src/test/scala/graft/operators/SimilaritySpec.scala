@@ -99,4 +99,40 @@ class SimilaritySpec extends SparkSuite {
     assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
     assert(rMulti >= 0.1, s"multi-probe recall collapsed: $rMulti")
   }
+
+  test("multi-table: finds identical vectors, dedupes cross-table candidates") {
+    val q = vecs.filter("vec_id = 1")
+    val rows = Similarity.lshTopKMultiTable(vecs, q, "vec_id", "embedding",
+        3, 6, 4, nTables = 3)
+      .collect()
+    // identical vector co-buckets in EVERY table yet appears once
+    assert(rows.count(_.getAs[Long]("neighbor_id") == 2L) == 1)
+    // ranks are dense from 1 with no duplicate neighbors
+    val rnks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+    assert(rnks == (1L to rows.length).toSeq)
+    assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == rows.length)
+  }
+
+  test("multi-table recall dominates its own single-table cut") {
+    val rng = new scala.util.Random(7)
+    val many = (0L until 120L).map(i =>
+      (i, Seq.fill(16)(rng.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = many.filter("vec_id < 8")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = hits(Similarity.bruteTopK(many, q, "vec_id", "embedding", 5))
+    val one = hits(Similarity.lshTopKMultiTable(many, q, "vec_id",
+      "embedding", 5, 6, 16, nTables = 1))
+    val three = hits(Similarity.lshTopKMultiTable(many, q, "vec_id",
+      "embedding", 5, 6, 16, nTables = 3))
+    val rOne = (brute & one).size.toDouble / brute.size
+    val rThree = (brute & three).size.toDouble / brute.size
+    // table 0's candidates are a subset of the 3-table union, so
+    // recall dominates row-wise (same displacement argument as
+    // multi-probe above); the absolute level is data-dependent.
+    assert(rThree >= rOne, s"3-table recall $rThree < 1-table $rOne")
+    assert(rThree >= 0.1, s"multi-table recall collapsed: $rThree")
+  }
 }
