@@ -59,4 +59,26 @@ object Psl {
     try parse(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
   }
+
+  /** Filesystem path of the bundled snapshot, for engines that read
+    * the file directly (the DuckDB oracle's `read_text`). Resolves the
+    * classpath resource — a plain file under any sbt/IDE checkout; when
+    * packaged inside a jar, extracted once to a stable temp path (no
+    * delete-on-exit: the oracle may run after this JVM has exited).
+    */
+  lazy val datFile: String = {
+    val url = getClass.getResource("/graft/public_suffix_list.dat")
+    require(url != null, "graft/public_suffix_list.dat resource missing")
+    if (url.getProtocol == "file")
+      java.nio.file.Paths.get(url.toURI).toString
+    else {
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_public_suffix_list.dat")
+      val in = url.openStream()
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toString
+    }
+  }
 }

@@ -262,7 +262,12 @@ object TextAnalysis {
     val lengthArms = (rules.maxRuleLabels to 2 by -1).flatMap { len =>
       val legs =
         rules.exact.get(len).map(_ => col(s"__sfx$len").isNotNull).toSeq ++
-        rules.wildcardBases.get(len - 1).map(_ => col(s"__wb${len - 1}").isNotNull)
+        // a wildcard "*.base" matches only hosts with a label OVER the
+        // base: a host EQUAL to the base (e.g. "kawasaki.jp" under
+        // "*.kawasaki.jp") must fall through to shorter rules/default,
+        // so the leg additionally requires depth >= base + 1
+        rules.wildcardBases.get(len - 1).map(_ =>
+          col(s"__wb${len - 1}").isNotNull && col(s"__l$len").isNotNull)
       legs.reduceOption(_ || _).map(cond => (cond, col(s"__l${len + 1}")))
     }
     val domain = (excArms ++ lengthArms)

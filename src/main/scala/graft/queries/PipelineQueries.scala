@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Packing, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Packing, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -472,7 +472,11 @@ object PipelineQueries {
         lit(".shop"), (col("doc_id") % 5).cast("string"),
         lit(".kawasaki.jp/x"),
         lit(" img https://img"), (col("doc_id") % 7).cast("string"),
-        lit(".www.ck/i")).as("text"))
+        lit(".www.ck/i"),
+        // host EQUAL to a multi-label wildcard base: *.kawasaki.jp does
+        // NOT match (no label over the base) — resolves via the default
+        // rule to itself, not dropped
+        lit(" bare https://kawasaki.jp/q")).as("text"))
     TextAnalysis.urlDomainsPsl(injected, "doc_id", "text", BlockedDomains)
       .orderBy("domain")
   }
@@ -1319,17 +1323,31 @@ object PipelineQueries {
          |FROM e ORDER BY doc_id""".stripMargin,
     "q_url_domains" -> {
       val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
+      // structural bounds derived from the SAME parsed rules the Spark
+      // side consumes — a refreshed PSL snapshot with deeper rules (or
+      // new exception depths) regenerates the arms instead of silently
+      // diverging from hardcoded literals
+      val maxL = Psl.default.maxRuleLabels
       // last-n-label extractions for hosts up to the deepest rule + 1
-      val labCols = (1 to 6).map { n =>
+      val labCols = (1 to maxL + 1).map { n =>
         s"NULLIF(regexp_extract(host, '((?:[^.]+\\.){${n - 1}}[^.]+)$$', 1), '') AS l$n"
       }.mkString(",\n         |        ")
+      // exception arms first (deepest first) — mirrors the Spark chain
+      val excArms = Psl.default.exceptions.keys.toSeq.sorted.reverse.map { d =>
+        s"""WHEN l$d IN (SELECT substr(rule, 2) FROM r
+           |               WHERE rule LIKE '!%' AND nlab = $d) THEN l$d"""
+          .stripMargin
+      }.mkString("\n         |        ")
       // one arm per rule length, longest first: exact match at depth
-      // `len`, or a wildcard whose (len-1)-label base matches
-      val lengthArms = (5 to 2 by -1).map { len =>
+      // `len`, or a wildcard whose (len-1)-label base matches AND the
+      // host has a label over the base (a host EQUAL to the base falls
+      // through — the wildcard does not match it)
+      val lengthArms = (maxL to 2 by -1).map { len =>
         s"""WHEN l$len IN (SELECT rule FROM r
            |               WHERE rule NOT LIKE '!%' AND rule NOT LIKE '*.%' AND nlab = $len)
-           |          OR l${len - 1} IN (SELECT substr(rule, 3) FROM r
-           |               WHERE rule LIKE '*.%' AND nlab = $len) THEN l${len + 1}"""
+           |          OR (l$len IS NOT NULL
+           |              AND l${len - 1} IN (SELECT substr(rule, 3) FROM r
+           |               WHERE rule LIKE '*.%' AND nlab = $len)) THEN l${len + 1}"""
           .stripMargin
       }.mkString("\n         |        ")
       s"""WITH p AS (SELECT doc_id, text
@@ -1343,7 +1361,8 @@ object PipelineQueries {
          |    || ' deep https://w' || CAST(doc_id % 3 AS VARCHAR)
          |    || '.v' || CAST(doc_id % 4 AS VARCHAR)
          |    || '.shop' || CAST(doc_id % 5 AS VARCHAR) || '.kawasaki.jp/x'
-         |    || ' img https://img' || CAST(doc_id % 7 AS VARCHAR) || '.www.ck/i' AS text
+         |    || ' img https://img' || CAST(doc_id % 7 AS VARCHAR) || '.www.ck/i'
+         |    || ' bare https://kawasaki.jp/q' AS text
          |  FROM documents),
          |h AS (SELECT doc_id,
          |        regexp_replace(
@@ -1352,7 +1371,7 @@ object PipelineQueries {
          |      FROM p),
          |raw AS (SELECT trim(ln) AS rule FROM (
          |    SELECT unnest(string_split(content, chr(10))) AS ln
-         |    FROM read_text('/root/repo/src/main/resources/graft/public_suffix_list.dat'))
+         |    FROM read_text('${Psl.datFile}'))
          |  WHERE trim(ln) <> '' AND trim(ln) NOT LIKE '//%'),
          |r AS (SELECT rule,
          |        length(rule) - length(replace(rule, '.', '')) + 1 AS nlab
@@ -1361,10 +1380,7 @@ object PipelineQueries {
          |        $labCols
          |      FROM h),
          |d AS (SELECT doc_id,
-         |        CASE WHEN l3 IN (SELECT substr(rule, 2) FROM r
-         |               WHERE rule LIKE '!%' AND nlab = 3) THEN l3
-         |        WHEN l2 IN (SELECT substr(rule, 2) FROM r
-         |               WHERE rule LIKE '!%' AND nlab = 2) THEN l2
+         |        CASE $excArms
          |        $lengthArms
          |        ELSE l2 END AS domain
          |      FROM l)

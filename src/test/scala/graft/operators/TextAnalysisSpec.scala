@@ -199,13 +199,18 @@ class TextAnalysisSpec extends SparkSuite {
       // !city.kawasaki.jp exception inside the same wildcard family
       (5L, "city https://a.city.kawasaki.jp/p"),
       // ordinary exact rule from the full list, unchanged behavior
-      (6L, "uk https://news.bbc.co.uk/s"))
+      (6L, "uk https://news.bbc.co.uk/s"),
+      // host EQUAL to the multi-label wildcard base: *.kawasaki.jp has
+      // no label to match, so the wildcard does NOT apply and the host
+      // resolves via the default rule to ITSELF (not dropped)
+      (7L, "barewb https://kawasaki.jp/q"))
       .toDF("doc_id", "text")
     val out = TextAnalysis.urlDomainsPsl(docs, "doc_id", "text", Nil)
       .collect().map(r => r.getAs[String]("domain") -> r).toMap
     assert(out.keySet == Set("alpha.beta7.ck", "www.ck",
-      "v.shop.kawasaki.jp", "city.kawasaki.jp", "bbc.co.uk"))
+      "v.shop.kawasaki.jp", "city.kawasaki.jp", "bbc.co.uk", "kawasaki.jp"))
     assert(out("www.ck").getAs[Long]("n_urls") == 2L)
+    assert(out("kawasaki.jp").getAs[Long]("n_urls") == 1L)
   }
 
   test("url domains: trailing-dot hosts normalize; single-label hosts drop") {
