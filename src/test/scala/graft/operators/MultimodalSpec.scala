@@ -7,65 +7,104 @@ import graft.SparkSuite
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
-  test("extractMeta matches the stub decoder row-for-row") {
-    val docs = (0L until 200L).map(i => (i, s"payload body $i"))
-      .toDF("doc_id", "text")
-      .withColumn("media", unhex(md5(col("text"))))
-    val got = Multimodal.extractMeta(docs, "doc_id", "media")
+  test("extractMeta REALLY decodes: PNG and GIF metadata match the synthesis parameters") {
+    val ids = (0L until 100L).toDF("doc_id")
+    val got = Multimodal.extractMeta(
+        Multimodal.synthesizeCorpus(ids, "doc_id"), "doc_id", "media")
       .collect().map(m => m.getAs[Long]("doc_id") -> m).toMap
-    assert(got.size == 200)
-    // spot-check one row against a driver-side decode of the same bytes
-    val bytes = java.security.MessageDigest.getInstance("MD5")
-      .digest("payload body 7".getBytes("UTF-8"))
-    val expect = Multimodal.decodeStub(7L, bytes)
-    val r = got(7L)
-    assert(r.getAs[Int]("size_bytes") == 16)
-    assert(r.getAs[String]("magic") == expect.magic)
-    assert(r.getAs[Int]("width") == expect.width)
-    assert(r.getAs[Int]("height") == expect.height)
-    assert(r.getAs[Int]("n_frames") == expect.n_frames)
-    assert(r.getAs[Double]("mean_byte") == expect.mean_byte)
-  }
-
-  test("resizeStub preserves aspect ratio and caps the long side") {
-    val docs = (0L until 100L).map(i => (i, s"media $i")).toDF("doc_id", "text")
-      .withColumn("media", unhex(md5(col("text"))))
-    val out = Multimodal.resizeStub(docs, "doc_id", "media", maxSide = 128)
-      .collect()
-    assert(out.length == 100)
-    out.foreach { r =>
-      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
-      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
-      assert(math.max(ow, oh) <= 128)
-      if (math.max(w, h) <= 128) assert(ow == w && oh == h) // no upscale
-      // aspect ratio within rounding
-      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.1 ||
-        math.min(ow, oh) <= 2)
+    assert(got.size == 100)
+    for (id <- 0L until 100L) {
+      val r = got(id)
+      // dimensions and frame count come from the DECODED container
+      assert(r.getAs[Int]("width") == Multimodal.widthOf(id))
+      assert(r.getAs[Int]("height") == Multimodal.heightOf(id))
+      assert(r.getAs[Int]("n_frames") ==
+        (if (id % 2 == 0) 1 else Multimodal.framesOf(id)))
+      // container sniffing: PNG signature vs GIF8
+      assert(r.getAs[String]("magic") ==
+        (if (id % 2 == 0) "89504e47" else "47494638"))
+      // the payload is a real encoded file, not a fixed-width token
+      assert(r.getAs[Int]("size_bytes") > 50)
+      // frame-0 pixel mean equals the closed-form row-sum mean exactly
+      val h = Multimodal.heightOf(id)
+      val rowSum = (0 until h).map(y => Multimodal.grayAt(id, y, 0).toLong).sum
+      assert(r.getAs[Double]("mean_px") == rowSum.toDouble / h)
     }
   }
 
-  test("degenerate payloads decode safely instead of crashing tasks") {
-    import spark.implicits._
-    val rows = Seq(
-      (1L, Array.empty[Byte]),
-      (2L, Array[Byte](0x7f)),
-      (3L, Array[Byte](1, 2)))
-      .toDF("doc_id", "media")
-    val out = Multimodal.extractMeta(rows, "doc_id", "media")
-      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(out.size == 3)
-    assert(out(1L).getAs[Int]("size_bytes") == 0)
-    assert(out(1L).getAs[Double]("mean_byte") == 0.0)
-    assert(out(2L).getAs[Int]("width") == 64 + (0x7f % 16) * 32)
+  test("decodeImage reads exact pixels out of a real PNG roundtrip") {
+    val id = 37L
+    val m = Multimodal.decodeImage(id, Multimodal.synthesizePng(id))
+    assert(m.magic == "89504e47" && m.n_frames == 1)
+    assert(m.width == Multimodal.widthOf(id) && m.height == Multimodal.heightOf(id))
+  }
+
+  test("sampleFrames decodes every GIF frame with exact per-frame stats") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.sampleFrames(
+        Multimodal.synthesizeCorpus(ids, "doc_id", gifOnly = true),
+        "doc_id", "media")
+      .collect()
+    // one row per real decoded frame: sum of framesOf over the ids
+    assert(rows.length == (0L until 40L).map(Multimodal.framesOf).sum)
+    rows.foreach { r =>
+      val (id, f) = (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))
+      assert(f >= 0 && f < Multimodal.framesOf(id))
+      // first 4 pixels down column 0, straight from the decoded raster
+      val hex = (0 until 4)
+        .map(y => "%02x".format(Multimodal.grayAt(id, y, f))).mkString
+      assert(r.getAs[String]("frame_hex") == hex)
+      val h = Multimodal.heightOf(id)
+      val rowSum = (0 until h).map(y => Multimodal.grayAt(id, y, f).toLong).sum
+      assert(r.getAs[Double]("frame_mean") == rowSum.toDouble / h)
+    }
+  }
+
+  test("resize REALLY transforms pixels: decoded output has the target dimensions") {
+    val ids = (0L until 30L).toDF("doc_id")
+    val out = Multimodal.resize(
+        Multimodal.synthesizeCorpus(ids, "doc_id"), "doc_id", "media",
+        maxSide = 64)
+      .collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(math.max(ow, oh) <= 64)
+      if (math.max(w, h) <= 64) assert(ow == w && oh == h) // no upscale
+      // aspect ratio within rounding
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.1 ||
+        math.min(ow, oh) <= 2)
+      // the resized payload is a real PNG that decodes to those dims
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("resized")))
+      assert(img.getWidth == ow && img.getHeight == oh)
+    }
+  }
+
+  test("undecodable payloads fail loudly (caller owns corrupt-input policy)") {
+    val rows = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractMeta(rows, "doc_id", "media").collect()
+    }
+    assert(e.getMessage.contains("no ImageIO reader") ||
+      e.getCause != null)
+  }
+
+  test("opaque stub keeps the video/audio contract (bytes in, typed features out)") {
+    val m = Multimodal.decodeOpaqueStub(2L, Array[Byte](0x7f, 3, 9))
+    assert(m.width == 64 + (0x7f % 16) * 32)
+    assert(m.size_bytes == 3)
+    assert(Multimodal.decodeOpaqueStub(9L, Array.empty[Byte]).mean_px == 0.0)
   }
 
   test("decode runs per-partition in batches (no driver collect)") {
     // 200 rows over 2 partitions with batch 64 -> the plumbing iterates
     // grouped batches; correctness of the full set implies batching
     // didn't drop or reorder rows.
-    val docs = (0L until 200L).map(i => (i, s"x$i")).toDF("doc_id", "text")
-      .withColumn("media", unhex(md5(col("text"))))
-      .repartition(2)
-    assert(Multimodal.extractMeta(docs, "doc_id", "media").count() == 200L)
+    val ids = (0L until 200L).toDF("doc_id").repartition(2)
+    assert(Multimodal.extractMeta(
+      Multimodal.synthesizeCorpus(ids, "doc_id"), "doc_id", "media")
+      .count() == 200L)
   }
 }
