@@ -495,20 +495,27 @@ object PipelineQueries {
         col("e.item").as("item"), col("e.count").as("n"))
       .orderBy("lang", "pos")
 
-  // M1: multimodal metadata extraction over a binary media column
-  // (payload synthesized from md5 so the oracle can derive the same
-  // bytes; the decode itself is the documented stub).
+  // M1: multimodal metadata extraction over a binary media column —
+  // REAL ImageIO decode of a mixed PNG/GIF corpus synthesized
+  // deterministically from doc_id (the oracle reproduces the decoded
+  // stats from the closed-form synthesis parameters; the decoded
+  // payload size is real but encoder-dependent, so it stays out of the
+  // gated projection and is asserted > 0 in MultimodalSpec).
   def qMmMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(
-        t(s, dir, "documents").withColumn("media", unhex(md5(col("text")))),
+        Multimodal.synthesizeCorpus(t(s, dir, "documents"), "doc_id"),
         "doc_id", "media")
+      .select(col("doc_id"), col("magic"), col("width"), col("height"),
+        col("n_frames"), col("mean_px"))
       .orderBy("doc_id")
 
-  // M2: 1:N frame sampling over the binary media column.
+  // M2: 1:N frame sampling — REAL multi-frame GIF decode (1..4 frames
+  // per doc), one row per decoded frame with exact pixel statistics.
   def qMmFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
-        t(s, dir, "documents").withColumn("media", unhex(md5(col("text")))),
-        "doc_id", "media", frameBytes = 4)
+        Multimodal.synthesizeCorpus(t(s, dir, "documents"), "doc_id",
+          gifOnly = true),
+        "doc_id", "media")
       .orderBy("doc_id", "frame_idx")
 
   // P1: composite curation pipeline — dedup the (duplicated) corpus,
@@ -1397,23 +1404,45 @@ object PipelineQueries {
          |      FROM d)
          |SELECT doc_id, count(*) AS n_tokens, bit_xor(v) AS fp
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The multimodal oracles reproduce REAL ImageIO decode output from
+    // the closed-form synthesis parameters (gray(y, f) = (a*y + c +
+    // f*step) % 256, constant along x): the Spark side reads these
+    // values out of actual decoded PNG/GIF rasters, the oracle from
+    // the formula. Means divide exact integer sums: Spark's
+    // sum(pixels)/(w*h) equals rowsum/h bit-for-bit because
+    // sum(pixels) = w*rowsum exactly and IEEE division is correctly
+    // rounded ((w*s)/(w*n) and s/n share the same real quotient).
     "q_mm_frames" ->
-      """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
-        |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx, h FROM m)
-        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-        |  substr(h, 1 + frame_idx * 8, 8) AS frame_hex,
-        |  list_sum(list_transform(generate_series(0, 3),
-        |    i -> CAST('0x' || substr(h, 1 + frame_idx * 8 + 2 * i, 2) AS INTEGER))) / 4.0 AS frame_mean
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+      s"""WITH p AS (SELECT doc_id,
+         |    32 + (doc_id % 12) * 8 AS h,
+         |    1 + (doc_id % 7) AS a,
+         |    doc_id % 256 AS c,
+         |    1 + (doc_id % 4) AS nf
+         |  FROM documents),
+         |f AS (SELECT doc_id, h, a, c,
+         |        unnest(generate_series(0, nf - 1)) AS fi FROM p)
+         |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+         |  array_to_string(list_transform(generate_series(0, 3),
+         |    y -> printf('%02x', (a*y + c + fi*${Multimodal.FrameStep}) % 256)), '') AS frame_hex,
+         |  CAST(list_sum(list_transform(generate_series(0, h - 1),
+         |    y -> (a*y + c + fi*${Multimodal.FrameStep}) % 256)) AS DOUBLE) / h AS frame_mean
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_mm_meta" ->
-      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
-         |SELECT doc_id, 16 AS size_bytes, substr(h, 1, 4) AS magic,
-         |  64 + (CAST('0x' || substr(h, 1, 2) AS INTEGER) % 16) * 32 AS width,
-         |  64 + (CAST('0x' || substr(h, 3, 2) AS INTEGER) % 16) * 32 AS height,
-         |  1 + CAST('0x' || substr(h, 5, 2) AS INTEGER) % 8 AS n_frames,
-         |  list_sum(list_transform(generate_series(0, 15),
-         |    i -> CAST('0x' || substr(h, 1 + 2*i, 2) AS INTEGER))) / 16.0 AS mean_byte
-         |FROM m ORDER BY doc_id""".stripMargin)
+      s"""WITH p AS (SELECT doc_id,
+         |    64 + (doc_id % 16) * 4 AS w,
+         |    32 + (doc_id % 12) * 8 AS h,
+         |    1 + (doc_id % 7) AS a,
+         |    doc_id % 256 AS c
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN '89504e47' ELSE '47494638' END AS magic,
+         |  CAST(w AS INTEGER) AS width,
+         |  CAST(h AS INTEGER) AS height,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + (doc_id % 4) END
+         |    AS INTEGER) AS n_frames,
+         |  CAST(list_sum(list_transform(generate_series(0, h - 1),
+         |    y -> (a*y + c) % 256)) AS DOUBLE) / h AS mean_px
+         |FROM p ORDER BY doc_id""".stripMargin)
 
   /** The recall gate's oracle nests the S1/S2/S3 oracle chains
     * VERBATIM (DuckDB accepts a WITH chain inside a parenthesized
