@@ -155,18 +155,19 @@ object Dedup {
     if (maxDf <= 0) jaccardFilter(sharedCounts(sets), sets, num, den)
     else {
       // the capped path MATERIALIZES the df-annotated index once
-      // (localCheckpoint, executor-local storage): its six consumers —
-      // both sides of the rare self-join, both hot add-back probes,
-      // and the two size lookups — would each re-run the whole
-      // scan+shingle+window pipeline otherwise (the executed plan
-      // showed 16 file scans / 6 window sorts; measured 4.1 -> 2.9 s
-      // median at sf0.1). An index build IS a materialization — at
-      // cluster scale this stores (doc, sh, df) rows once instead of
-      // re-reading the corpus per consumer. The uncapped path above
-      // stays fully lazy.
-      val withDf = sets.withColumn("__df",
-          count(lit(1)).over(Window.partitionBy(col("sh"))))
-        .localCheckpoint()
+      // (strategy from [[Materializer]]; default executor-local): its
+      // six consumers — both sides of the rare self-join, both hot
+      // add-back probes, and the two size lookups — would each re-run
+      // the whole scan+shingle+window pipeline otherwise (the executed
+      // plan showed 16 file scans / 6 window sorts; measured
+      // 4.1 -> 2.9 s median at sf0.1). An index build IS a
+      // materialization — at cluster scale this stores (doc, sh, df)
+      // rows once instead of re-reading the corpus per consumer; a
+      // fault-tolerant run sets graft.materializer=reliable. The
+      // uncapped path above stays fully lazy.
+      val mat = Materializer.of(df.sparkSession)
+      val withDf = mat(sets.withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("sh")))))
       val rare = withDf.filter(col("__df") <= maxDf).drop("__df")
       val hot = withDf.filter(col("__df") > maxDf).drop("__df")
       val rareShared = sharedCounts(rare)
@@ -198,8 +199,8 @@ object Dedup {
     * rounds on real corpora; `maxIters` bounds adversarial chains.
     * Each round is one join + one groupBy — all distributed; the
     * driver only sequences rounds and checks the (scalar) convergence
-    * count. localCheckpoint truncates the iterative lineage so round
-    * N's plan doesn't replay rounds 1..N-1.
+    * count. The [[Materializer]] truncates the iterative lineage so
+    * round N's plan doesn't replay rounds 1..N-1.
     */
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
@@ -215,12 +216,12 @@ object Dedup {
     // materialize the edge list ONCE: every round joins against it,
     // and without this each round's fresh plan would re-run the whole
     // upstream pair-generation pipeline
-    val edges = pairs
+    val mat = Materializer.of(df.sparkSession)
+    val edges = mat.eager(pairs
       .select(col("doc_a").as("v"), col("doc_b").as("u"))
-      .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
-      .localCheckpoint(true)
-    var labels = df.select(col(idCol).as("v"), col(idCol).as("cluster_id"))
-      .localCheckpoint(true)
+      .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("u"))))
+    var labels = mat.eager(
+      df.select(col(idCol).as("v"), col(idCol).as("cluster_id")))
     // coalesce: sum() over an EMPTY corpus is NULL, not 0 — without it
     // the scalar fetch NPEs before the loop even starts
     def labelSum(l: DataFrame): Long =
@@ -235,10 +236,9 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.select(col("v").as("u"), col("cluster_id")), "u")
         .select(col("v"), col("cluster_id"))
-      labels = labels.union(neighborLabels)
+      labels = mat.eager(labels.union(neighborLabels)
         .groupBy("v")
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+        .agg(min(col("cluster_id")).as("cluster_id")))
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
@@ -275,24 +275,23 @@ object Dedup {
       .mkString(" + ")
     // tokenized docs materialize once: base feeds the gram stream AND
     // the final reassembly join, grams feed the df-count AND the
-    // coverage semi-join — without the checkpoints the tokenize+hash
-    // pipeline runs ~3x (measured 2.5 -> 1.4 s median at sf0.1; the
-    // cleaned corpus needs the token arrays anyway, so materializing
-    // them is what a production pass does)
-    val base = df
+    // coverage semi-join — without the materialization the
+    // tokenize+hash pipeline runs ~3x (measured 2.5 -> 1.4 s median at
+    // sf0.1; the cleaned corpus needs the token arrays anyway, so
+    // materializing them is what a production pass does)
+    val mat = Materializer.of(df.sparkSession)
+    val base = mat(df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
-      .withColumn("th", transform(col("toks"), t => tokenHash(t)))
-      .localCheckpoint()
+      .withColumn("th", transform(col("toks"), t => tokenHash(t))))
     // positions are 1-based (pos p covers tokens [p, p+n-1]); grams
     // keep duplicates here — positions matter, and the distinct-doc
     // count below dedups per doc on its own
-    val grams = base
+    val grams = mat(base
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, size(th) - $n), i -> $combine)"))
           .as(Seq("pos0", "sh")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
-      .localCheckpoint()
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh")))
     val dupSh = grams.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("__d"))
       .filter(col("__d") >= minDocs)
@@ -377,14 +376,16 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int, num: Long, den: Long,
       tokenHash: Column => Column = Hashing.h30): DataFrame = {
-    // materialize the shingle index once (localCheckpoint, same device
-    // as the capped ngram path): its four consumers — the signature
-    // aggregation, both exact-verify probes, and the size lookup —
-    // would each re-run the scan+shingle pipeline otherwise. Measured
-    // 1.8 -> 1.4 s median at sf0.1; the cluster query consuming this
-    // pair set dropped 2.1 -> 1.4 s. Checkpointing the BANDS as well
-    // measured no further win (the signature agg is one pass).
-    val sets = shingleSets(df, idCol, textCol, n, tokenHash).localCheckpoint()
+    // materialize the shingle index once ([[Materializer]], same
+    // device as the capped ngram path): its four consumers — the
+    // signature aggregation, both exact-verify probes, and the size
+    // lookup — would each re-run the scan+shingle pipeline otherwise.
+    // Measured 1.8 -> 1.4 s median at sf0.1; the cluster query
+    // consuming this pair set dropped 2.1 -> 1.4 s. Checkpointing the
+    // BANDS as well measured no further win (the signature agg is one
+    // pass).
+    val sets = Materializer.of(df.sparkSession)(
+      shingleSets(df, idCol, textCol, n, tokenHash))
     val bands = bandHashes(minhashSignatures(sets))
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bh"))
@@ -422,14 +423,15 @@ object Dedup {
       .join(exHash, Seq("__h"), "left")
       .select(col("doc_id"), col("exact_match"))
     // near: band-bucket join, incoming x existing only. Both shingle
-    // indexes materialize once (localCheckpoint, same device as
+    // indexes materialize once ([[Materializer]], same device as
     // minhashLsh): each feeds its signature aggregation, the exact
     // verify probe, and the size lookup — three re-runs of the
     // scan+shingle pipeline per side otherwise (measured 1.7 -> 1.6 s
     // median at sf0.1 locally; the win grows with corpus size since
     // the existing side dominates).
-    val exSets = shingleSets(ex, "doc_id", "text", n, tokenHash).localCheckpoint()
-    val incSets = shingleSets(inc, "doc_id", "text", n, tokenHash).localCheckpoint()
+    val mat = Materializer.of(existing.sparkSession)
+    val exSets = mat(shingleSets(ex, "doc_id", "text", n, tokenHash))
+    val incSets = mat(shingleSets(inc, "doc_id", "text", n, tokenHash))
     val exBands = bandHashes(minhashSignatures(exSets))
     val incBands = bandHashes(minhashSignatures(incSets))
     val cand = incBands.as("x")
@@ -508,14 +510,13 @@ object Dedup {
     // rows, so the shingle+simhash pipeline (and the bucket-width
     // window when capped) would run twice (measured 2.5 -> 1.4 s
     // median at sf0.1)
-    val bands = (
+    val bands = Materializer.of(df.sparkSession)(
       if (maxBucket <= 0) all
       else all
         .withColumn("__w",
           count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
         .filter(col("__w") <= maxBucket)
-        .drop("__w")
-    ).localCheckpoint()
+        .drop("__w"))
     bands.as("x").join(bands.as("y"), Seq("band", "bv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

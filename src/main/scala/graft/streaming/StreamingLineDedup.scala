@@ -30,16 +30,36 @@ import graft.operators.TextAnalysis
   */
 object StreamingLineDedup {
 
+  /** Persisted hot-line index with owned lifecycle: [[unpersist]] when
+    * the cleaning query stops or the index is refreshed.
+    */
+  final case class HotLineIndexHandle(index: DataFrame) {
+    def unpersist(): Unit = index.unpersist()
+  }
+
+  /** Build and persist the hot-line index of `corpus`; the returned
+    * handle owns the cache lifecycle.
+    */
+  def index(corpus: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2): HotLineIndexHandle =
+    HotLineIndexHandle(
+      TextAnalysis.hotLines(corpus, idCol, textCol, minDocs).persist())
+
   /** Clean a stream of (`idCol`, `textCol`, `tsCol`) docs against the
     * hot-line index of the static `corpus`. One row per doc: line
     * counts, dropped fraction, and the hash of the document with
     * corpus-boilerplate lines removed (survivors in original order).
+    *
+    * Convenience entry point: the index persists for the life of the
+    * session. A deployment that refreshes the index or stops queries
+    * should call [[index]] + [[cleanWithIndex]] and `unpersist()` the
+    * handle itself.
     */
   def clean(stream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, tsCol: String,
       watermarkDelay: String, minDocs: Long = 2): DataFrame =
     cleanWithIndex(stream,
-      TextAnalysis.hotLines(corpus, idCol, textCol, minDocs).persist(),
+      index(corpus, idCol, textCol, minDocs).index,
       idCol, textCol, tsCol, watermarkDelay)
 
   /** Same, against a pre-materialized hot-line index (`__h`, `__dup`)

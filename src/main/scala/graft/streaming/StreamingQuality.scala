@@ -24,23 +24,45 @@ import graft.operators.TextAnalysis
   */
 object StreamingQuality {
 
+  /** Persisted model tables with owned lifecycle: [[unpersist]] when
+    * the scoring query stops (or on model refresh). The convenience
+    * [[score]] cannot hand this back, so deployments that restart
+    * queries should build the handle themselves via [[model]] +
+    * [[scoreWithModel]].
+    */
+  final case class BigramModelHandle(c12: DataFrame, c1: DataFrame) {
+    def unpersist(): Unit = { c12.unpersist(); c1.unpersist() }
+  }
+
+  /** Fit the bigram model on `train` and persist both count tables
+    * (a stream-static join re-runs its static subplan every
+    * microbatch; without the persist each trigger would pay both model
+    * groupBys over the full train corpus). The returned handle owns
+    * the cache lifecycle.
+    */
+  def model(train: DataFrame, idCol: String, textCol: String): BigramModelHandle = {
+    val (c12, c1) = TextAnalysis.bigramModel(train, idCol, textCol)
+    BigramModelHandle(c12.persist(), c1.persist())
+  }
+
   /** Score a stream of (`idCol`, `textCol`, `tsCol`) docs against the
     * model fit on the static `train` corpus. One row per doc with >= 2
     * tokens: bigram/OOV counts, `avg_logprob`, and the `pass` gate at
     * `thresholdMicro4` (threshold in 1e-4 log-prob units, compared on
     * the exact integer mean — floats never decide the verdict).
     *
-    * The model tables are CACHED here: a stream-static join re-runs
-    * its static subplan every microbatch, so without the persist each
-    * trigger would pay both model groupBys over the full train corpus.
-    * Re-training means rebuilding (TextAnalysis.bigramModel) and
-    * restarting on [[scoreWithModel]] — the model is a static snapshot.
+    * Convenience entry point: the model tables persist for the life of
+    * the session (nothing unpersists them). A deployment that refreshes
+    * models or stops queries should call [[model]] + [[scoreWithModel]]
+    * and `unpersist()` the handle itself. Re-training means rebuilding
+    * and restarting on [[scoreWithModel]] — the model is a static
+    * snapshot.
     */
   def score(stream: DataFrame, train: DataFrame,
       idCol: String, textCol: String, tsCol: String,
       watermarkDelay: String, thresholdMicro4: Long): DataFrame = {
-    val (c12, c1) = TextAnalysis.bigramModel(train, idCol, textCol)
-    scoreWithModel(stream, c12.persist(), c1.persist(),
+    val m = model(train, idCol, textCol)
+    scoreWithModel(stream, m.c12, m.c1,
       idCol, textCol, tsCol, watermarkDelay, thresholdMicro4)
   }
 
