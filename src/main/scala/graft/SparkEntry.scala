@@ -21,5 +21,5 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ PipelineQueries.oracleSql
+    ReferenceQueries.oracleSqlAll ++ AnalyticsQueries.oracleSql ++ PipelineQueries.oracleSql
 }

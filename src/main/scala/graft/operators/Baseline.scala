@@ -215,20 +215,48 @@ object Baseline {
         toInt64(col("sel")).as("p_value"))
   }
 
+  /** Kernel knob for the per-network rank selections: `graft.rankKernel`
+    * = `"window"` (default) or `"bucket"`. Both select the IDENTICAL
+    * element (the same integer rank arithmetic), so the oracles are
+    * unchanged — the knob only chooses the physical plan:
+    *
+    *   - `window`: one per-group sort window. MEASURED faster when the
+    *     group key already bounds the population (sf0.1, /24 networks:
+    *     p95 1.1 s vs 1.6 s, MAD 1.3 s vs 3.7 s — the bucket kernel's
+    *     fixed stage count dominates small groups).
+    *   - `bucket`: [[RankSelect.quantiles]] — histogram + offsets, no
+    *     per-group sort; each sort is ~n/1024 of a group. The hot-group
+    *     path for deployments whose network groups go large enough
+    *     that a one-task group sort straggles.
+    *
+    * Contract (both kernels): the value population must be non-null —
+    * callers pass metric columns, which are.
+    */
+  val RankKernelKey = "graft.rankKernel"
+
   /** Exact `num/den`-percentile of `valCol` per `keyCol` via integer
     * rank selection (see [[percentileByPrefix]]): returns one row per
     * key with the selected element as `sel` plus the group size `n`.
+    * Physical plan per [[RankKernelKey]].
     */
   private[graft] def rankSelect(df: DataFrame, keyCol: String,
-      valCol: String, num: Long, den: Long): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-    df.select(col(keyCol), col(valCol).as("__v"))
-      .withColumn("__rk", row_number().over(w.orderBy(col("__v"))))
-      .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rk") * den >= lit(num) * col("__n"))
-      .groupBy(col(keyCol))
-      .agg(max(col("__n")).as("n"), min(col("__v")).as("sel"))
-  }
+      valCol: String, num: Long, den: Long): DataFrame =
+    df.sparkSession.conf.get(RankKernelKey, "window") match {
+      case "window" =>
+        val w = Window.partitionBy(col(keyCol))
+        df.select(col(keyCol), col(valCol).as("__v"))
+          .withColumn("__rk", row_number().over(w.orderBy(col("__v"))))
+          .withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__rk") * den >= lit(num) * col("__n"))
+          .groupBy(col(keyCol))
+          .agg(max(col("__n")).as("n"), min(col("__v")).as("sel"))
+      case "bucket" =>
+        RankSelect.quantiles(df, keyCol, valCol,
+            Seq(("sel", num, den)), countCol = Some("n"))
+          .select(col(keyCol), col("n"), col("sel"))
+      case other => throw new IllegalArgumentException(
+        s"$RankKernelKey=$other (want window | bucket)")
+    }
 
   /** R16 (beyond the reference): robust anomaly scoring — flag
     * networks whose CURRENT traffic deviates from the historical

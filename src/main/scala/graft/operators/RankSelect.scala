@@ -44,14 +44,27 @@ object RankSelect {
     * `quantiles` — (output name, num, den) selects the element with
     * rank ceil(num * n / den), 1-based (the smallest rank r with
     * r * den >= num * n — the same integer rank selection as
-    * Baseline's p95, so no float boundary exists anywhere).
+    * Baseline's p95, so no float boundary exists anywhere). A zero
+    * `num` clamps to rank 1, the group minimum (ceil gives rank 0,
+    * which selects no element).
+    *
+    * `broadcastGroups`: the per-group stats/targets tables carry ONE
+    * row per group (per group x quantile for targets), and the default
+    * broadcasts them — right when groups are an enumerable dimension
+    * (event types, networks). A HIGH-CARDINALITY group key (user ids,
+    * URLs) makes those tables data-sized: set `broadcastGroups=false`
+    * and the same plan runs the lookups as shuffled joins — identical
+    * results, no driver-sized collect anywhere.
     */
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[(String, Long, Long)], buckets: Int = 1024,
-      countCol: Option[String] = None): DataFrame = {
+      countCol: Option[String] = None,
+      broadcastGroups: Boolean = true): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, num, den) =>
       num >= 0 && den > 0 && num <= den }, s"invalid quantile spec: $qs")
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val bcast: DataFrame => DataFrame =
+      if (broadcastGroups) broadcast else identity
     val g = col(groupCol)
     val v = col(valueCol)
     val base = df.select(g, v).filter(v.isNotNull)
@@ -63,7 +76,7 @@ object RankSelect {
     // (2) order-preserving range bucket: floor((v-lo)/(hi-lo)*buckets)
     // clamped to [0, buckets-1]. Monotonic in v, so equal values share
     // a bucket and bucket boundaries respect the value order.
-    val keyed = base.join(broadcast(stats), groupCol)
+    val keyed = base.join(bcast(stats), groupCol)
       .withColumn("__b",
         when(col("__hi") === col("__lo"), lit(0))
           .otherwise(least(lit(buckets - 1),
@@ -81,9 +94,9 @@ object RankSelect {
     // (4) locate each target rank's bucket arithmetically
     val qArr = array(qs.map { case (name, num, den) =>
       struct(lit(name).as("name"),
-        expr(s"($num * __n + $den - 1) DIV $den").as("k"))
+        expr(s"greatest(1L, ($num * __n + $den - 1) DIV $den)").as("k"))
     }: _*)
-    val targets = off.join(broadcast(stats.select(g, col("__n"))), groupCol)
+    val targets = off.join(bcast(stats.select(g, col("__n"))), groupCol)
       .select(g, col("__b"), col("__off"), col("__c"), explode(qArr).as("__q"))
       .filter(col("__off") < col("__q.k") && col("__q.k") <= col("__off") + col("__c"))
       .select(g, col("__b"), col("__q.name").as("__name"),
@@ -91,7 +104,7 @@ object RankSelect {
 
     // (5) rank ONLY the target buckets' rows; local rank + offset is
     // the global rank, and the window is (group, bucket, name)-keyed
-    val picked = keyed.join(broadcast(targets), Seq(groupCol, "__b"))
+    val picked = keyed.join(bcast(targets), Seq(groupCol, "__b"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(g, col("__b"), col("__name")).orderBy(v)))
       .filter(col("__rn") === col("__r"))
@@ -103,6 +116,6 @@ object RankSelect {
     // optional population column (the non-null count backing the
     // ranks) — joined from the already-aggregated stats, group-sized
     countCol.fold(res)(c =>
-      res.join(broadcast(stats.select(g, col("__n").as(c))), groupCol))
+      res.join(bcast(stats.select(g, col("__n").as(c))), groupCol))
   }
 }

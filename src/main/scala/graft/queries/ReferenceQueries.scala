@@ -173,6 +173,25 @@ object ReferenceQueries {
         kNum = 3, kDen = 1)
       .orderBy("network")
 
+  /** Build a query under the bucket-offset rank kernel
+    * (graft.rankKernel=bucket): the conf is read at PLAN-BUILD time, so
+    * scoping the set around construction pins the kernel for the
+    * returned (lazy) DataFrame.
+    */
+  private def withBucketKernel(s: SparkSession)(build: => DataFrame): DataFrame = {
+    s.conf.set(Baseline.RankKernelKey, "bucket")
+    try build finally s.conf.unset(Baseline.RankKernelKey)
+  }
+
+  // R14b/R16 on the RankSelect kernel — gated against the IDENTICAL
+  // oracle SQL as the window formulation: both kernels must select the
+  // same element, making the hot-group plan a verified drop-in.
+  def qBaselineP95Rs(s: SparkSession, dir: String): DataFrame =
+    withBucketKernel(s)(qBaselineP95(s, dir))
+
+  def qMadAnomalyRs(s: SparkSession, dir: String): DataFrame =
+    withBucketKernel(s)(qMadAnomaly(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mad_anomaly" -> qMadAnomaly,
     "q_ip_roundtrip" -> qIpRoundtrip,
@@ -180,6 +199,8 @@ object ReferenceQueries {
     "q_baseline_avg" -> qBaselineAvg,
     "q_baseline_max" -> qBaselineMax,
     "q_baseline_p95" -> qBaselineP95,
+    "q_baseline_p95_rs" -> qBaselineP95Rs,
+    "q_mad_anomaly_rs" -> qMadAnomalyRs,
     "q_baseline_incremental" -> qBaselineIncremental,
     "q_baseline_seasonal" -> qBaselineSeasonal,
     "q_thresholds" -> qThresholds,
@@ -351,4 +372,12 @@ object ReferenceQueries {
          |SELECT network, count(*) AS n_total, $per
          |FROM n GROUP BY network ORDER BY network""".stripMargin
     })
+
+  /** The kernel variants are gated against the IDENTICAL oracle SQL as
+    * their window formulations — the whole point: same element, either
+    * physical plan.
+    */
+  val oracleSqlAll: Map[String, String] = oracleSql +
+    ("q_baseline_p95_rs" -> oracleSql("q_baseline_p95")) +
+    ("q_mad_anomaly_rs" -> oracleSql("q_mad_anomaly"))
 }

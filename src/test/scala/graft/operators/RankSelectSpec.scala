@@ -62,4 +62,26 @@ class RankSelectSpec extends SparkSuite {
     val rng = new scala.util.Random(11)
     check((1 to 1000).map(i => (s"g${i % 2}", rng.nextGaussian())), buckets = 2)
   }
+
+  test("num=0 clamps to rank 1: q0 is the group minimum, not null") {
+    val df = Seq(("a", 5.0), ("a", 1.5), ("a", 9.0), ("b", -2.0))
+      .toDF("g", "v")
+    val got = RankSelect.quantiles(df, "g", "v",
+        Seq(("q0", 0L, 100L), ("p50", 1L, 2L)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 1.5, "b" -> -2.0))
+  }
+
+  test("broadcastGroups=false (high-cardinality fallback) selects identically") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 3000).map(i => (s"g${i % 97}", rng.nextDouble() * 10))
+    val df = rows.toDF("g", "v").repartition(5)
+    val a = RankSelect.quantiles(df, "g", "v", qs, countCol = Some("n"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val b = RankSelect.quantiles(df, "g", "v", qs, countCol = Some("n"),
+        broadcastGroups = false)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(a == b)
+    assert(a.size == 97)
+  }
 }
