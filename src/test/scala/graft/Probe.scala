@@ -3,7 +3,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling main (not part of the driver contract). */
+/** Scratch profiling main (dev tooling — test scope so it stays out
+  * of the library jar; run via `sbt "Test/runMain graft.Probe"`). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"

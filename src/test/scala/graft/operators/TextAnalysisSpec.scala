@@ -181,10 +181,13 @@ class TextAnalysisSpec extends SparkSuite {
   }
 
   test("url domains full PSL: wildcard, multi-label wildcard, and exception rules") {
-    // the bundled list parses to the published rule-kind counts
+    // the bundled list parses to the committed rule-kind counts
+    // (scripts/psl_refresh.py reports the same numbers; a refreshed
+    // snapshot updates BOTH or this gate flags the drift)
     val rules = Psl.default
+    assert(rules.exact.values.map(_.size).sum == 7911)
+    assert(rules.wildcardBases.values.map(_.size).sum == 107)
     assert(rules.exceptions.values.map(_.size).sum == 8)
-    assert(rules.wildcardBases.values.map(_.size).sum > 100)
     assert(rules.maxRuleLabels == 5)
     val docs = Seq(
       // *.ck: beta7.ck is a public suffix -> registrable alpha.beta7.ck
