@@ -24,6 +24,19 @@ final case class MediaMeta(
     n_frames: Int,
     mean_px: Double)
 
+/** Typed features decoded from an audio payload. */
+final case class AudioMeta(
+    doc_id: Long,
+    size_bytes: Int,
+    magic: String,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_samples: Long,
+    duration_s: Double,
+    peak: Int,
+    rms: Double)
+
 /** M1-M3 (SURVEY.md §2.3): multimodal columns. Images travel as opaque
   * `binary` columns; decode/feature-extraction runs as batched
   * per-partition processing over a REAL image decoder — the JDK's
@@ -37,10 +50,13 @@ final case class MediaMeta(
   * which is what lets the DuckDB oracle check REAL decode output
   * without owning a codec.
   *
-  * Video and audio decode remain genuinely container-blocked (the JDK
-  * ships no H.264/AAC/MP3 codec and the container has no ffmpeg);
-  * [[decodeOpaqueStub]] keeps that contract — bytes in, typed features
-  * out — as the documented seam a deployment fills with its codec.
+  * Audio is REAL too for uncompressed PCM: WAV payloads synthesize and
+  * decode sample-exactly through `javax.sound.sampled` (format fields,
+  * duration, peak, RMS from actual samples). Only COMPRESSED codecs
+  * (H.264/AAC/MP3 — absent from the JDK and this environment) remain
+  * behind [[decodeOpaqueStub]], which keeps that contract — bytes in,
+  * typed features out — as the documented seam a deployment fills with
+  * its codec.
   *
   * mapInPandas equivalence: this is the same executor contract a
   * Python decoder would use via `df.mapInPandas(fn, schema)` —
@@ -157,6 +173,106 @@ object Multimodal {
         it.map(id => (id, if (gifOnly) synthesizeGif(id) else mediaFor(id)))
       }
       .toDF("doc_id", "media")
+  }
+
+  // ---- audio (real PCM WAV via javax.sound.sampled) ----------------
+  // The JDK also ships an audio codec for uncompressed PCM: WAV
+  // containers encode/decode sample-exactly through
+  // javax.sound.sampled.AudioSystem. Compressed codecs (MP3/AAC) stay
+  // behind [[decodeOpaqueStub]]; PCM is the interchange format a
+  // training pipeline's feature extraction actually reads anyway.
+
+  /** Audio sample rate: 8000/12000/16000 Hz. */
+  def rateOf(id: Long): Int = 8000 + math.floorMod(id, 3).toInt * 4000
+
+  /** Sample count: 800..2200. */
+  def samplesOf(id: Long): Int = 800 + math.floorMod(id, 8).toInt * 200
+
+  /** The synthesized 16-bit PCM sample at index `i`: a deterministic
+    * ramp in [-2048, 2047], closed-form for the oracle.
+    */
+  def sampleAt(id: Long, i: Int): Int =
+    (slopeOf(id) * i + offsetOf(id)) % 4096 - 2048
+
+  /** A real mono 16-bit PCM WAV of the deterministic ramp. */
+  def synthesizeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = samplesOf(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sampleAt(id, i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rateOf(id).toFloat, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Attach a deterministic WAV media column to an id frame. */
+  def synthesizeAudioCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(it => it.map(id => (id, synthesizeWav(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** REAL audio decode: container/format fields from the decoded
+    * `AudioFormat`, peak and RMS energy from the actual PCM samples.
+    * Mono signed 16-bit little-endian payloads (the synthesis
+    * contract); a deployment generalizes the sample loop per format.
+    */
+  def decodeAudio(id: Long, bytes: Array[Byte]): AudioMeta = {
+    import javax.sound.sampled.AudioSystem
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      val n = in.getFrameLength
+      val pcm = in.readAllBytes()
+      var peak = 0
+      var sumSq = 0L
+      var i = 0
+      while (i < pcm.length - 1) {
+        val v = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt
+        if (math.abs(v) > peak) peak = math.abs(v)
+        sumSq += v.toLong * v
+        i += 2
+      }
+      AudioMeta(
+        doc_id = id,
+        size_bytes = bytes.length,
+        magic = magicHex(bytes),
+        sample_rate = fmt.getSampleRate.toInt,
+        channels = fmt.getChannels,
+        bits = fmt.getSampleSizeInBits,
+        n_samples = n,
+        duration_s = n.toDouble / fmt.getSampleRate.toInt,
+        peak = peak,
+        rms = math.sqrt(sumSq.toDouble / n))
+    } finally in.close()
+  }
+
+  /** Decode a (id, WAV binary) DataFrame into typed audio features —
+    * the same batched mapPartitions contract as [[extractMeta]].
+    */
+  def extractAudioMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => decodeAudio(id, bytes) }
+        }
+      }
+      .toDF()
   }
 
   // ---- real decode -------------------------------------------------

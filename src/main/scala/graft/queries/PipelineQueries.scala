@@ -518,6 +518,18 @@ object PipelineQueries {
         "doc_id", "media")
       .orderBy("doc_id", "frame_idx")
 
+  // M4: REAL audio decode — mono 16-bit PCM WAV payloads synthesized
+  // from a closed-form ramp, decoded with javax.sound.sampled; format
+  // fields, duration, peak, and RMS energy all come from the decoded
+  // samples, and the oracle recomputes them from the synthesis formula
+  // (sample sums/squares are exact integers; duration and rms are one
+  // IEEE division / correctly-rounded sqrt each).
+  def qMmAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAudioMeta(
+        Multimodal.synthesizeAudioCorpus(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "media")
+      .orderBy("doc_id")
+
   // P1: composite curation pipeline — dedup the (duplicated) corpus,
   // score quality, keep docs passing the bar, roll up per language.
   // The shape a real training-data job takes; one declarative plan.
@@ -581,6 +593,7 @@ object PipelineQueries {
     "q_linear_score" -> qLinearScore,
     "q_mm_meta" -> qMmMeta,
     "q_mm_frames" -> qMmFrames,
+    "q_mm_audio" -> qMmAudio,
     "q_heavy_hitters" -> qHeavyHitters)
 
   // ---------------------------------------------------------------- oracle
@@ -1427,6 +1440,28 @@ object PipelineQueries {
          |  CAST(list_sum(list_transform(generate_series(0, h - 1),
          |    y -> (a*y + c + fi*${Multimodal.FrameStep}) % 256)) AS DOUBLE) / h AS frame_mean
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_mm_audio" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    8000 + (doc_id % 3) * 4000 AS rate,
+         |    800 + (doc_id % 8) * 200 AS n,
+         |    1 + (doc_id % 7) AS a,
+         |    doc_id % 256 AS c
+         |  FROM documents),
+         |s AS (SELECT doc_id, rate, n,
+         |        list_transform(generate_series(0, n - 1),
+         |          i -> ((a*i + c) % 4096) - 2048) AS smp
+         |      FROM p)
+         |SELECT doc_id,
+         |  CAST(44 + 2 * n AS INTEGER) AS size_bytes,
+         |  '52494646' AS magic,
+         |  CAST(rate AS INTEGER) AS sample_rate,
+         |  CAST(1 AS INTEGER) AS channels,
+         |  CAST(16 AS INTEGER) AS bits,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST(n AS DOUBLE) / rate AS duration_s,
+         |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak,
+         |  sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n) AS rms
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       s"""WITH p AS (SELECT doc_id,
          |    64 + (doc_id % 16) * 4 AS w,

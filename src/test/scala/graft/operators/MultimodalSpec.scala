@@ -82,6 +82,29 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("extractAudioMeta REALLY decodes WAV: format and sample stats match synthesis") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val got = Multimodal.extractAudioMeta(
+        Multimodal.synthesizeAudioCorpus(ids, "doc_id"), "doc_id", "media")
+      .collect().map(m => m.getAs[Long]("doc_id") -> m).toMap
+    assert(got.size == 60)
+    for (id <- 0L until 60L) {
+      val r = got(id)
+      val n = Multimodal.samplesOf(id)
+      assert(r.getAs[String]("magic") == "52494646") // RIFF
+      assert(r.getAs[Int]("sample_rate") == Multimodal.rateOf(id))
+      assert(r.getAs[Int]("channels") == 1 && r.getAs[Int]("bits") == 16)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      // canonical WAV: 44-byte header + 2 bytes per sample
+      assert(r.getAs[Int]("size_bytes") == 44 + 2 * n)
+      val samples = (0 until n).map(i => Multimodal.sampleAt(id, i))
+      assert(r.getAs[Int]("peak") == samples.map(math.abs).max)
+      val sumSq = samples.map(v => v.toLong * v).sum
+      assert(r.getAs[Double]("rms") == math.sqrt(sumSq.toDouble / n))
+      assert(r.getAs[Double]("duration_s") == n.toDouble / Multimodal.rateOf(id))
+    }
+  }
+
   test("undecodable payloads fail loudly (caller owns corrupt-input policy)") {
     val rows = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
     val e = intercept[org.apache.spark.SparkException] {
