@@ -99,6 +99,20 @@ object IvfIndex {
     Index(centroids, spark.table(table))
   }
 
+  /** The `np` nearest cell ids for a (vector, squared-norm) pair, as
+    * an in-row int array: centroid distances are a config-sized
+    * literal array sorted per row — no shuffle, no state, which is
+    * what lets the STREAMING probe (`StreamingAnn`) reuse the exact
+    * batch cell choice.
+    */
+  def probeCells(v: Column, nrm2: Column,
+      centroids: Array[Array[Double]], np: Int): Column = {
+    val dists = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(distToCentroid(v, nrm2, c).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    transform(slice(array_sort(dists), 1, np), x => x("cell"))
+  }
+
   /** Top-k cosine neighbors per query, searching only the nprobe
     * nearest cells (found by sorting the tiny per-row centroid
     * distance array — no shuffle).
@@ -109,15 +123,9 @@ object IvfIndex {
     val q0 = Similarity.withNorm(queries, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm2").as("qn"))
-    val dists = array(index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(distToCentroid(col("qv"), col("qn"), c).as("d"),
-        lit(i).as("cell"))
-    }.toIndexedSeq: _*)
     val q = q0
-      .withColumn("__dists", dists)
       .withColumn("cell",
-        explode(expr(s"transform(slice(array_sort(__dists), 1, $np), x -> x.cell)")))
-      .drop("__dists")
+        explode(probeCells(col("qv"), col("qn"), index.centroids, np)))
     val cos = Similarity.cosine(
       Similarity.dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
     val w = Window.partitionBy(col("query_id"))

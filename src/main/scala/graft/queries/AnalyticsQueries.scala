@@ -622,6 +622,56 @@ object AnalyticsQueries {
       .orderBy("s_suppkey")
   }
 
+  // A47: TPC-H Q6 shape — the forecast-revenue query, the purest
+  // pushdown showcase in the suite: every predicate (date range,
+  // discount band, quantity cap) reaches the parquet scan as
+  // PushedFilters, the scan reads only the four referenced columns,
+  // and the plan is scan -> partial agg -> one single-row exchange.
+  // revenue is the exact decimal product sum (price x discount RATE —
+  // Q6 multiplies by the discount itself, not 1-discount).
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        moneySum(money(col("l_extendedprice")) * rate(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  // A48: TPC-H Q12 shape — shipmode service-level counts. The corpus
+  // lineitem carries no shipmode/commitdate/receiptdate, so all three
+  // are synthesized DETERMINISTICALLY from (l_orderkey, l_linenumber)
+  // — the same both-engines-compute-it device as partsupp (A43-A46):
+  // mode = 7-way key hash, commit/receipt = closed-form day offsets
+  // from shipdate, so the oracle CTE reproduces them byte-identically.
+  // The late-commit filters are pure integer comparisons on the
+  // offsets (ship < commit <=> c > 0; commit < receipt <=> c < r); only
+  // the receipt-year bound touches a calendar. One orderkey-shuffle
+  // join, then a two-row conditional-count aggregate.
+  def q12Shipmode(s: SparkSession, dir: String): DataFrame = {
+    val modes = Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+    val l = t(s, dir, "lineitem")
+      .withColumn("l_shipmode",
+        element_at(array(modes.map(lit): _*),
+          pmod(col("l_orderkey") * 5 + col("l_linenumber"), lit(7)).cast("int") + 1))
+      .withColumn("__c", pmod(col("l_orderkey") + col("l_linenumber") * 11, lit(45)) - 15)
+      .withColumn("__r", pmod(col("l_orderkey") * 3 + col("l_linenumber"), lit(30)) + 1)
+      .withColumn("__receipt", expr("timestampadd(DAY, __r, l_shipdate)"))
+      .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+        col("__c") > 0 && col("__c") < col("__r") &&
+        col("__receipt") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("__receipt") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_shipmode"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_shipmode"))
+      .agg(
+        sum(when(high, 1).otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(high, 0).otherwise(1)).cast("long").as("low_line_count"))
+      .orderBy("l_shipmode")
+  }
+
   // A19: window-function suite — rank family, offsets, running and
   // frame aggregates in one pass per partition.
   def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
@@ -861,7 +911,9 @@ object AnalyticsQueries {
     "q2_min_cost" -> q2MinCost,
     "q11_important_stock" -> q11ImportantStock,
     "q16_supplier_cnt" -> q16SupplierCnt,
-    "q20_excess_parts" -> q20ExcessParts)
+    "q20_excess_parts" -> q20ExcessParts,
+    "q6_forecast" -> q6Forecast,
+    "q12_shipmode" -> q12Shipmode)
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
@@ -1310,5 +1362,34 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_gt50
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q12_shipmode" ->
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |    ['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB']
+        |      [CAST((l_orderkey * 5 + l_linenumber) % 7 AS INT) + 1] AS l_shipmode,
+        |    (l_orderkey + 11 * l_linenumber) % 45 - 15 AS c,
+        |    (l_orderkey * 3 + l_linenumber) % 30 + 1 AS r,
+        |    l_shipdate
+        |  FROM lineitem)
+        |SELECT l_shipmode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM l JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipmode IN ('MAIL', 'SHIP')
+        |  AND c > 0 AND c < r
+        |  AND l_shipdate + INTERVAL (r) DAY >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate + INTERVAL (r) DAY < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

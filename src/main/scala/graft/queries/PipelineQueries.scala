@@ -143,6 +143,21 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // S8: the STREAMING ANN serving kernel (StreamingAnn.search —
+  // posting-list joins + in-row scoring/ranking, zero streaming
+  // state) run here on a batch frame, gated against the IDENTICAL
+  // oracle SQL as q_ann_ivf: same cells probed, same sequential-fold
+  // cosines, same ranking — proving the serving path selects
+  // element-for-element what the batch search selects (the same
+  // device as q_baseline_p95_rs / q_mad_anomaly_rs).
+  def qAnnStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16)
+    graft.streaming.StreamingAnn.search(e.filter(col("vec_id") < 10),
+        index, "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
   // S5: multi-probe LSH ANN — same 8-plane index as S2, but each
   // query probes the 2^3 = 8 sign perturbations of its 3
   // least-confident planes. The probe set derives deterministically
@@ -566,6 +581,7 @@ object PipelineQueries {
     "q_ann_lsh_mp" -> qAnnLshMp,
     "q_ann_lsh_mt" -> qAnnLshMt,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_stream_topk" -> qAnnStreamTopk,
     "q_ann_ivf_sweep" -> qAnnIvfSweep,
     "q_ann_recall" -> qAnnRecall,
     "q_split" -> qSplit,
@@ -951,6 +967,9 @@ object PipelineQueries {
     "q_ann_lsh_mp" -> annLshMpSql,
     "q_ann_lsh_mt" -> annLshMtSql,
     "q_ann_ivf" -> ivfChainSql(4),
+    // identical selection by design: the streaming serving kernel must
+    // pick element-for-element what the batch IVF search picks
+    "q_ann_stream_topk" -> ivfChainSql(4),
     // the sweep nests the ivf chain at each probe count plus the brute
     // chain — one definition each, replicated per nprobe
     "q_ann_ivf_sweep" -> {
