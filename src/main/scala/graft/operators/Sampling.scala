@@ -119,6 +119,72 @@ object Sampling {
       .drop("__key", "__b", "__off")
   }
 
+  /** P8: quality-weighted proportional sampling — keep each row
+    * independently with probability proportional to a per-row weight
+    * (a quality score, a length prior, an importance estimate),
+    * normalized so the EXPECTED output size is `targetFrac * N`. Rows
+    * whose normalized probability reaches 1 are kept always (the
+    * oversubscription cap, same as mixSample); null/negative weights
+    * clamp to 0 and are never kept; all-zero weights keep nothing.
+    * The keep decision is the deterministic id-hash cut every
+    * operator in this file uses — reproducible across runs, engines,
+    * and partition layouts.
+    *
+    * Rejected alternative (recorded so it is not redone): the
+    * Efraimidis-Spirakis weighted-reservoir key u^(1/w) draws an
+    * EXACT output size, but needs pow/ln, whose last-ulp behavior is
+    * library-dependent — selection at the boundary could differ
+    * between engines, breaking the bit-exact gate. The proportional
+    * Bernoulli form uses only IEEE *,/ and comparisons.
+    *
+    * Scale shape: one partial-aggregated pass computes the (exact
+    * decimal) weight sum and count into a ONE-ROW profile that
+    * broadcast-joins back onto the corpus — no shuffle of data rows,
+    * same as mixSample. The scale factor therefore depends on the
+    * corpus aggregate: re-profiling after growth changes thresholds
+    * (by design — targetFrac tracks the corpus), while within one
+    * profile a row's fate is independent of every other row.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      targetFrac: Double, salt: String = "wsample"): DataFrame =
+    weightedFilter(df, idCol, weight,
+      weightedProfile(df, weight, targetFrac), salt)
+
+  /** The one-row (`__scale`) profile behind [[weightedSample]]:
+    * scale = targetFrac * N / sum(weights), with the sum computed as
+    * an exact decimal (order-independent) and rounded to scale 6
+    * BEFORE the double cast — the Shared.moneySum discipline, so both
+    * engines derive the identical IEEE scale. A STREAMING pipeline
+    * broadcasts exactly this table onto the live stream
+    * (graft.streaming.StreamingCuration.weightedFilter) — the same
+    * profile-then-filter split as mixProfile/mixFilter.
+    */
+  def weightedProfile(df: DataFrame, weight: Column,
+      targetFrac: Double): DataFrame = {
+    require(targetFrac >= 0.0 && targetFrac <= 1.0,
+      s"invalid targetFrac=$targetFrac")
+    val w = greatest(coalesce(weight.cast("double"), lit(0.0)), lit(0.0))
+    df.agg(
+        round(sum(w.cast("decimal(38,6)")), 6).cast("double").as("__wsum"),
+        count(lit(1)).as("__n"))
+      .select(((lit(targetFrac) * col("__n")) / col("__wsum"))
+        .as("__scale"))
+  }
+
+  /** Apply a weighted-sampling profile: keep rows where the id hash
+    * falls under floor(1e6 * min(1, weight * scale)) permillion.
+    * Works unchanged on a streaming DataFrame (pure row-local math
+    * plus one broadcast join).
+    */
+  def weightedFilter(df: DataFrame, idCol: String, weight: Column,
+      profile: DataFrame, salt: String = "wsample"): DataFrame = {
+    val w = greatest(coalesce(weight.cast("double"), lit(0.0)), lit(0.0))
+    df.crossJoin(broadcast(profile))
+      .filter(bucketOf(col(idCol), salt, 1000000) <
+        floor(lit(1e6) * least(lit(1.0), w * col("__scale"))).cast("long"))
+      .drop("__scale")
+  }
+
   /** The per-source keep-threshold table behind [[mixSample]]:
     * (`__src` null-safe source key, `__thr` kept permillion). Computed
     * once from a batch profile pass; a STREAMING pipeline broadcasts

@@ -266,6 +266,18 @@ object PipelineQueries {
         t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", 100)
       .orderBy("doc_id")
 
+  // P8: quality-weighted proportional sampling — a length-capped
+  // prior (min(n_chars, 500)/500) as the weight, expected output
+  // 25% of the corpus; longer documents proportionally likelier to
+  // survive, capped documents at the flat maximum rate.
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id",
+        least(col("n_chars"), lit(500)).cast("double") / lit(500.0),
+        targetFrac = 0.25)
+      .orderBy("doc_id")
+
   // P7: corpus snapshot diff — the next pipeline run is synthesized
   // from the corpus (drop %7==0, rewrite %7==1, add %7==2 under new
   // ids) and the diff must classify every id exactly.
@@ -586,6 +598,7 @@ object PipelineQueries {
     "q_ann_recall" -> qAnnRecall,
     "q_split" -> qSplit,
     "q_sample" -> qSample,
+    "q_weighted_sample" -> qWeightedSample,
     "q_shuffle" -> qShuffle,
     "q_normalize" -> qNormalize,
     "q_vocab" -> qVocab,
@@ -1170,6 +1183,27 @@ object PipelineQueries {
         "sample", 1000)
       s"""SELECT doc_id, lang FROM documents
          |WHERE $b < 100 ORDER BY doc_id""".stripMargin
+    },
+    "q_weighted_sample" -> {
+      // mirrors Sampling.weightedProfile/weightedFilter operation for
+      // operation: clamped weight, exact decimal sum rounded to scale
+      // 6 before the double cast, (targetFrac * n) / wsum association,
+      // floor(1e6 * min(1, w * scale)) threshold
+      // e-notation literals (1e6, 5e2...) are DOUBLEs in DuckDB —
+      // bare 500.0 / 0.25 would parse as DECIMAL and make the
+      // division exact-decimal instead of the Spark side's IEEE step
+      val w = "greatest(coalesce(CAST(least(n_chars, 500) AS DOUBLE)" +
+        " / 5e2, 0e0), 0e0)"
+      val b = Sampling.bucketOfSql("doc_id", "wsample", 1000000)
+      s"""WITH p AS (SELECT (2.5e-1 * count(*)) /
+         |    CAST(round(sum(CAST($w AS DECIMAL(38,6))), 6) AS DOUBLE)
+         |    AS scale
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars
+         |FROM documents CROSS JOIN p
+         |WHERE $b < CAST(floor(1e6 * least(1e0, $w * scale))
+         |  AS BIGINT)
+         |ORDER BY doc_id""".stripMargin
     },
     "q_contamination" -> {
       val b = Sampling.bucketOfSql("doc_id", "split", 100)

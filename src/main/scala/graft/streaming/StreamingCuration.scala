@@ -36,4 +36,15 @@ object StreamingCuration {
       .filter(Sampling.bucketOf(col(idCol), salt, 1000000)
         < coalesce(col("__thr"), lit(defaultThr)))
       .drop("__src", "__thr")
+
+  /** P8 on a stream: apply a quality-weighted sampling profile (from
+    * [[Sampling.weightedProfile]], computed over a batch snapshot) to
+    * a live stream — one broadcast join plus row-local math, zero
+    * streaming state. The kept stream equals the batch weightedSample
+    * of the same rows whenever the profile matches (spec-pinned).
+    */
+  def weightedFilter(stream: DataFrame, idCol: String,
+      weight: org.apache.spark.sql.Column, profile: DataFrame,
+      salt: String = "wsample"): DataFrame =
+    Sampling.weightedFilter(stream, idCol, weight, profile, salt)
 }

@@ -106,4 +106,53 @@ class SamplingSpec extends SparkSuite {
       .toMap
     assert(epoch2 != ranks && epoch2.values.toSeq.sorted == (0L until 777L))
   }
+
+  test("weightedSample: rate tracks weight, caps at 1, drops zero/null/negative") {
+    import spark.implicits._
+    // four weight classes of 500 docs each: 0, 1, 3, and a huge weight
+    // that oversubscribes past probability 1
+    val wdocs = (1L to 2000L).map { i =>
+      val w: java.lang.Double = (i % 4) match {
+        case 0 => 0.0
+        case 1 => 1.0
+        case 2 => 3.0
+        case _ => 1000.0
+      }
+      (i, w)
+    }.toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(wdocs, "doc_id", col("w"), 0.25)
+      .groupBy("w").count()
+      .collect().map(r => r.getAs[Double]("w") -> r.getAs[Long]("count")).toMap
+    // wsum = 500*(1+3+1000) = 502000; scale = 0.25*2000/502000 ~ 1e-3
+    // -> class-1 rate ~0.1%, class-3 ~0.3%, class-1000 caps at 100%
+    assert(!kept.contains(0.0), "zero-weight rows must never be kept")
+    assert(kept(1000.0) == 500L, s"capped class kept ${kept.get(1000.0)}")
+    assert(kept.getOrElse(1.0, 0L) < 10, s"w=1 kept ${kept.get(1.0)}")
+    // expected-size: a flat weight reduces to a plain targetFrac sample
+    val flat = Sampling.weightedSample(
+      wdocs.withColumn("w", lit(1.0)), "doc_id", col("w"), 0.25)
+    val n = flat.count()
+    assert(math.abs(n - 500L) < 60, s"flat-weight kept $n of 2000 at 25%")
+    // deterministic under repartitioning
+    val again = Sampling.weightedSample(wdocs.repartition(11), "doc_id",
+      col("w"), 0.25)
+    assert(Sampling.weightedSample(wdocs, "doc_id", col("w"), 0.25)
+      .select("doc_id").except(again.select("doc_id")).isEmpty)
+    // null weights clamp to 0 (never kept), not NULL-propagate to kept
+    val withNull = Sampling.weightedSample(
+      wdocs.withColumn("w", when(col("doc_id") <= 1000, col("w"))),
+      "doc_id", col("w"), 0.25)
+    assert(withNull.filter(col("doc_id") > 1000).count() == 0)
+  }
+
+  test("weightedFilter on a profile equals weightedSample (streaming split)") {
+    import spark.implicits._
+    val wdocs = (1L to 500L).map(i => (i, (i % 7).toDouble))
+      .toDF("doc_id", "w")
+    val profile = Sampling.weightedProfile(wdocs, col("w"), 0.3)
+    val viaFilter = Sampling.weightedFilter(wdocs, "doc_id", col("w"), profile)
+    val direct = Sampling.weightedSample(wdocs, "doc_id", col("w"), 0.3)
+    assert(viaFilter.select("doc_id").except(direct.select("doc_id")).isEmpty)
+    assert(direct.select("doc_id").except(viaFilter.select("doc_id")).isEmpty)
+  }
 }
