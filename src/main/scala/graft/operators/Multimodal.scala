@@ -224,12 +224,81 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
-  /** REAL audio decode: container/format fields from the decoded
-    * `AudioFormat`, peak and RMS energy from the actual PCM samples.
-    * Mono signed 16-bit little-endian payloads (the synthesis
-    * contract); a deployment generalizes the sample loop per format.
+  /** REAL audio decode: container/format fields from the decoded WAV
+    * header, peak and RMS energy from the actual PCM samples. Plain
+    * PCM 16-bit little-endian payloads take the in-array header-parse
+    * fast path ([[decodePcmWavFast]] — no per-row AudioSystem SPI
+    * stream allocation in the hot loop); anything else falls back to
+    * the general `javax.sound.sampled` decode, which also serves as
+    * the fast path's differential check in MultimodalSpec.
     */
-  def decodeAudio(id: Long, bytes: Array[Byte]): AudioMeta = {
+  def decodeAudio(id: Long, bytes: Array[Byte]): AudioMeta =
+    decodePcmWavFast(id, bytes).getOrElse(decodeAudioGeneral(id, bytes))
+
+  /** RIFF/WAVE chunk walk over the payload bytes for the plain-PCM
+    * contract (format tag 1, 16-bit samples): fmt fields read from the
+    * header, peak/sum-of-squares from the data chunk bytes in place.
+    * Identical arithmetic to [[decodeAudioGeneral]] — RMS divides the
+    * all-channel square sum by the FRAME count, duration = frames/rate.
+    * Returns None (→ general path) for any other container/encoding.
+    */
+  private[operators] def decodePcmWavFast(id: Long, bytes: Array[Byte]): Option[AudioMeta] = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtSeen = false
+    var rate = 0
+    var channels = 0
+    while (off + 8 <= bytes.length) {
+      val chunk = tag(off)
+      val size = u32(off + 4).toInt
+      if (chunk == "fmt ") {
+        if (size < 16 || off + 8 + 16 > bytes.length) return None
+        if (u16(off + 8) != 1) return None // not plain PCM (float/ADPCM/…)
+        channels = u16(off + 10)
+        rate = u32(off + 12).toInt
+        if (u16(off + 22) != 16) return None // sample loop below is 16-bit
+        if (channels < 1 || rate <= 0) return None
+        fmtSeen = true
+      } else if (chunk == "data") {
+        if (!fmtSeen) return None
+        val start = off + 8
+        val end = math.min(start + size, bytes.length)
+        var peak = 0
+        var sumSq = 0L
+        var i = start
+        while (i < end - 1) {
+          val v = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumSq += v.toLong * v
+          i += 2
+        }
+        val frames = (end - start) / (2 * channels)
+        return Some(AudioMeta(
+          doc_id = id,
+          size_bytes = bytes.length,
+          magic = magicHex(bytes),
+          sample_rate = rate,
+          channels = channels,
+          bits = 16,
+          n_samples = frames.toLong,
+          duration_s = frames.toDouble / rate,
+          peak = peak,
+          rms = math.sqrt(sumSq.toDouble / frames)))
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  /** General decode through `javax.sound.sampled` (any SPI-supported
+    * container); the reference arithmetic the fast path must match.
+    */
+  private[operators] def decodeAudioGeneral(id: Long, bytes: Array[Byte]): AudioMeta = {
     import javax.sound.sampled.AudioSystem
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {

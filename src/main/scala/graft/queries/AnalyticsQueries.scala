@@ -823,6 +823,12 @@ object AnalyticsQueries {
   // one agg, the exact countDistinct's (group, user) pre-aggregation
   // drags the rsd=0.01 HLL buffer (1639 longs) through the shuffle
   // once per distinct pair — measured ~5x this plan's cost.
+  // The gated projection carries the exact count plus a BANDED
+  // SELF-CHECK boolean (sketch within 5% of exact — 5x the rsd=0.01
+  // expected error), so the oracle CAN check the row exactly: it
+  // recomputes the exact count and asserts the band literally TRUE.
+  // The sketch's raw value stays ScalaTest-gated (SketchSpec) — its
+  // bit pattern is implementation-defined, its error bound is not.
   def qSketchDistinct(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val approx = e.groupBy(col("event_type"))
@@ -830,25 +836,33 @@ object AnalyticsQueries {
     val exact = e.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
     approx.join(exact, "event_type")
-      .select(col("event_type"), col("approx_users"), col("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(1L), round(col("exact_users") * 0.05)))
+          .as("approx_ok"))
       .orderBy("event_type")
   }
 
-  // A11 (rows-only): quantile sketch (GK/KLL-style) next to exact
-  // percentiles; sketch state is bounded by accuracy, not group size.
-  // Output is flattened to scalar columns — the driver's rows-only
-  // harness sorts the frame, and array cells aren't sortable there.
+  // A11: quantile sketch (GK/KLL-style) with sketch state bounded by
+  // accuracy, not group size. Same banded-self-check device as A10:
+  // the gated row is (exact count, band boolean) — the sketch's p50/
+  // p99 must land inside the exact ±0.005-rank percentile band (5x
+  // the accuracy=1000 GK rank-error guarantee of 0.001). The band
+  // comparison runs entirely Spark-side against Spark's OWN exact
+  // percentiles, so no cross-engine interpolation float can flip it;
+  // the oracle asserts the boolean literally TRUE plus the exact
+  // group count. Raw sketch values stay in SketchSpec.
   def qSketchQuantile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
         expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("ap"),
-        expr("percentile(value, array(0.5, 0.99))").as("ep"),
-        max(col("value")).as("max_value"))
-      .select(col("event_type"),
-        r4(col("ap")(0)).as("approx_p50"), r4(col("ap")(1)).as("approx_p99"),
-        r4(col("ep")(0)).as("exact_p50"), r4(col("ep")(1)).as("exact_p99"),
-        r4(col("max_value")).as("max_value"))
+        expr("percentile(value, array(0.495, 0.505, 0.985, 0.995))").as("band"),
+        count(lit(1)).as("n_rows"))
+      .select(col("event_type"), col("n_rows"),
+        (col("ap")(0) >= col("band")(0) && col("ap")(0) <= col("band")(1) &&
+          col("ap")(1) >= col("band")(2) && col("ap")(1) <= col("band")(3))
+          .as("approx_ok"))
       .orderBy("event_type")
 
   // A23: interval join — purchases within an hour of a click, per
@@ -1141,6 +1155,16 @@ object AnalyticsQueries {
     "q_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // A10/A11 banded self-checks: the oracle recomputes the EXACT
+    // column and asserts the sketch-error band literally TRUE — the
+    // sketch value itself is implementation-defined, its bound is not.
+    "q_sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_quantile" ->
+      """SELECT event_type, count(*) AS n_rows, TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentile" ->
       """WITH r AS (

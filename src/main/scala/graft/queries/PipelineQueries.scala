@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Contamination, Dedup, IvfIndex, Multimodal, Packing, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Contamination, Dedup, IvfIndex, Materializer, Multimodal, Packing, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -551,10 +551,35 @@ object PipelineQueries {
   // samples, and the oracle recomputes them from the synthesis formula
   // (sample sums/squares are exact integers; duration and rms are one
   // IEEE division / correctly-rounded sqrt each).
+  // The trailing orderBy's range partitioner runs a SAMPLE pass that
+  // would re-execute the whole synth+decode chain (measured at ~4x the
+  // codec cost at sf0.1) — materialize the small decoded frame first so
+  // the sort (and any downstream consumer) reads rows, not the codec.
   def qMmAudio(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractAudioMeta(
+    Materializer.of(s)(
+      Multimodal.extractAudioMeta(
         Multimodal.synthesizeAudioCorpus(t(s, dir, "documents"), "doc_id"),
-        "doc_id", "media")
+        "doc_id", "media"))
+      .orderBy("doc_id")
+
+  // M3: REAL resize, verified end-to-end — synthesize, resize to a
+  // 64px long side (aspect preserved, never upscaled), then DECODE THE
+  // RESIZED PAYLOAD and read its dimensions back out of the re-encoded
+  // PNG. The oracle recomputes the dims from the synthesis params and
+  // the documented scale rule (floor(x+0.5) mirrors Java math.round;
+  // the scale double is the identical IEEE quotient on both engines).
+  // Pixel CONTENT after Graphics2D interpolation is encoder-defined and
+  // stays out of the gated projection (MultimodalSpec covers it).
+  def qMmResize(s: SparkSession, dir: String): DataFrame =
+    Materializer.of(s)(
+      Multimodal.extractMeta(
+        Multimodal.resize(
+            Multimodal.synthesizeCorpus(t(s, dir, "documents"), "doc_id"),
+            "doc_id", "media", maxSide = 64)
+          .select(col("doc_id"), col("resized")),
+        "doc_id", "resized"))
+      .select(col("doc_id"), col("magic").as("out_magic"),
+        col("width").as("out_width"), col("height").as("out_height"))
       .orderBy("doc_id")
 
   // P1: composite curation pipeline — dedup the (duplicated) corpus,
@@ -623,6 +648,7 @@ object PipelineQueries {
     "q_mm_meta" -> qMmMeta,
     "q_mm_frames" -> qMmFrames,
     "q_mm_audio" -> qMmAudio,
+    "q_mm_resize" -> qMmResize,
     "q_heavy_hitters" -> qHeavyHitters)
 
   // ---------------------------------------------------------------- oracle
@@ -1514,6 +1540,18 @@ object PipelineQueries {
          |  CAST(n AS DOUBLE) / rate AS duration_s,
          |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak,
          |  sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n) AS rms
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_mm_resize" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    64 + (doc_id % 16) * 4 AS w,
+         |    32 + (doc_id % 12) * 8 AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, w, h,
+         |    least(1.0, 64.0 / greatest(w, h)) AS sc FROM p)
+         |SELECT doc_id,
+         |  '89504e47' AS out_magic,
+         |  CAST(greatest(1, floor(w * sc + 0.5)) AS INTEGER) AS out_width,
+         |  CAST(greatest(1, floor(h * sc + 0.5)) AS INTEGER) AS out_height
          |FROM s ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       s"""WITH p AS (SELECT doc_id,

@@ -33,6 +33,14 @@ object Tables {
           // `div` keeps the arithmetic integral (a double round-trip would
           // lose precision above 2^53 — epoch nanos are ~1.7e18).
           acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+          // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+          // TIMESTAMP_NTZ, which unix_micros() and every event-time
+          // consumer reject. Every entrypoint pins the session TZ to UTC,
+          // so casting to the instant-carrying TIMESTAMP type is
+          // value-identical — and DuckDB, which reads the same file as
+          // naive micros, still agrees bit-for-bit.
+          acc.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
         case (acc, _) => acc
       }
     })

@@ -105,6 +105,30 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("PCM WAV header fast path is bit-identical to the AudioSystem decode") {
+    // Differential check over every (rate, samples, slope, offset)
+    // combination the synthesis produces: the header-parse fast path
+    // must reproduce the general SPI decode field-for-field (incl. the
+    // IEEE division/sqrt in duration/rms).
+    for (id <- 0L until 48L) {
+      val bytes = Multimodal.synthesizeWav(id)
+      val fast = Multimodal.decodePcmWavFast(id, bytes)
+      assert(fast.isDefined, s"fast path must accept the PCM contract (id=$id)")
+      assert(fast.get == Multimodal.decodeAudioGeneral(id, bytes))
+    }
+  }
+
+  test("non-PCM / non-WAV payloads fall off the fast path, not through it") {
+    // A PNG (valid binary, wrong container) and a truncated RIFF header
+    // must both return None so decodeAudio routes to the general path.
+    assert(Multimodal.decodePcmWavFast(1L, Multimodal.synthesizePng(1L)).isEmpty)
+    assert(Multimodal.decodePcmWavFast(1L, "RIFF".getBytes("US-ASCII")).isEmpty)
+    // Float-PCM WAV (format tag 3) must be rejected by the fmt check.
+    val wav = Multimodal.synthesizeWav(3L)
+    val floatTag = wav.clone(); floatTag(20) = 3 // fmt chunk audioFormat lo byte
+    assert(Multimodal.decodePcmWavFast(3L, floatTag).isEmpty)
+  }
+
   test("undecodable payloads fail loudly (caller owns corrupt-input policy)") {
     val rows = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
     val e = intercept[org.apache.spark.SparkException] {
