@@ -51,13 +51,18 @@ object Bench {
       val ok = times.length == runs
       (name, if (ok) times.sorted.apply(runs / 2) else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // failed queries serialize as null (JSON has no NaN) and are listed
+    // in "failed"; "value" sums SUCCESSFUL queries only — a round with a
+    // non-empty failed list is incomparable on totals by construction,
+    // and the explicit null keeps a -1 sentinel from reading as a time.
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_covers":"successful_queries_only","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // stdout is the driver contract, but its tail-scrape truncated the
     // head of the (now ~90-entry) line in round 5 — also write the
     // whole artifact to files the driver (and a human) can read intact
