@@ -528,21 +528,25 @@ object PipelineQueries {
   // stats from the closed-form synthesis parameters; the decoded
   // payload size is real but encoder-dependent, so it stays out of the
   // gated projection and is asserted > 0 in MultimodalSpec).
+  // Same device as qMmAudio: the sort's sample pass must not re-run
+  // the synth+decode chain — materialize the small decoded frame first.
   def qMmMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractMeta(
-        Multimodal.synthesizeCorpus(t(s, dir, "documents"), "doc_id"),
-        "doc_id", "media")
-      .select(col("doc_id"), col("magic"), col("width"), col("height"),
-        col("n_frames"), col("mean_px"))
+    Materializer.of(s)(
+      Multimodal.extractMeta(
+          Multimodal.synthesizeCorpus(t(s, dir, "documents"), "doc_id"),
+          "doc_id", "media")
+        .select(col("doc_id"), col("magic"), col("width"), col("height"),
+          col("n_frames"), col("mean_px")))
       .orderBy("doc_id")
 
   // M2: 1:N frame sampling — REAL multi-frame GIF decode (1..4 frames
   // per doc), one row per decoded frame with exact pixel statistics.
   def qMmFrames(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(
-        Multimodal.synthesizeCorpus(t(s, dir, "documents"), "doc_id",
-          gifOnly = true),
-        "doc_id", "media")
+    Materializer.of(s)(
+      Multimodal.sampleFrames(
+          Multimodal.synthesizeCorpus(t(s, dir, "documents"), "doc_id",
+            gifOnly = true),
+          "doc_id", "media"))
       .orderBy("doc_id", "frame_idx")
 
   // M4: REAL audio decode — mono 16-bit PCM WAV payloads synthesized
