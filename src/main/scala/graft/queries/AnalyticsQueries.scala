@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Funnel, IntervalJoin}
+import graft.operators.{AsofJoin, Funnel, IntervalJoin, Profiling}
 import Shared._
 
 /** SURVEY.md §2.2 — the general-analytics surface ClickHouse gave the
@@ -882,7 +882,31 @@ object AnalyticsQueries {
       .orderBy("click_id", "buy_id")
   }
 
+  // A49: per-key cardinality histogram — the skew audit that decides
+  // salt-or-not before a big join. Log2 buckets via integer bit-length
+  // (no float log); one keyed agg + one tiny agg.
+  def qKeySkew(s: SparkSession, dir: String): DataFrame =
+    Profiling.keySkew(t(s, dir, "events"), "user_id")
+      .orderBy("bucket")
+
+  // A50: per-group equi-width value histogram — the distribution
+  // snapshot behind range boundaries and outlier cuts; bin arithmetic
+  // mirrored op-for-op in the oracle (Profiling.histogramBinSql).
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Profiling.histogram(t(s, dir, "events"), "event_type", "value", 10)
+      .orderBy("event_type", "bin")
+
+  // A51: per-column completeness profile (exact null/distinct counts)
+  // — the audit pass before trusting a column as a join/dedup key.
+  def qColProfile(s: SparkSession, dir: String): DataFrame =
+    Profiling.columnProfile(t(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "ts", "value"))
+      .orderBy("col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew" -> qKeySkew,
+    "q_histogram" -> qHistogram,
+    "q_col_profile" -> qColProfile,
     "q_retention" -> qRetention,
     "q_funnel" -> qFunnel,
     "q_interval_join" -> qIntervalJoin,
@@ -1156,6 +1180,33 @@ object AnalyticsQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_key_skew" ->
+      """WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        |SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS bucket,
+        |  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(n) AS BIGINT) AS max_key_rows
+        |FROM k GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_histogram" ->
+      s"""WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_type,
+         |  ${graft.operators.Profiling.histogramBinSql("e.value", "mn", "mx", 10)} AS bin,
+         |  count(*) AS n_rows
+         |FROM events e JOIN s USING (event_type)
+         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+    "q_col_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_null,
+        |  count(DISTINCT event_id) AS n_distinct FROM events
+        |UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+        |  count(DISTINCT user_id) FROM events
+        |UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'ts', count(*), count(*) - count(ts),
+        |  count(DISTINCT ts) FROM events
+        |UNION ALL SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value) FROM events
+        |ORDER BY col_name""".stripMargin,
     // A10/A11 banded self-checks: the oracle recomputes the EXACT
     // column and asserts the sketch-error band literally TRUE — the
     // sketch value itself is implementation-defined, its bound is not.
