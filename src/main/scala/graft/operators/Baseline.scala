@@ -151,6 +151,54 @@ object Baseline {
         regexp_replace(regexp_replace(col("network"), "\\.", "_"), "/", "_"))
   }
 
+  /** R19 (beyond the reference): exponentially-decayed event-rate
+    * baseline per fixed-prefix network — the recency-weighted smoothing
+    * a detector wants when last night's flood should stop dominating
+    * the threshold by lunch. Half-life = one hour bucket: the state
+    * halves each hour and adds that hour's event count,
+    * `s_h = s_{h-1} div 2 + n_h` folded oldest -> newest over a dense
+    * hour spine (missing hours decay the state, contributing 0).
+    *
+    * ALL-INTEGER recurrence: counts are longs and the decay is integral
+    * halving, so the fold has no float accumulation order to disagree
+    * across engines — the DuckDB oracle runs the identical fold as
+    * `list_reduce(list_prepend(0, list(n ORDER BY h)), (a,b) -> a//2+b)`.
+    *
+    * Scale: one count aggregation keyed (network, hour) + a per-network
+    * fold whose state is `windowHours` longs (168 for a week) — bounded
+    * by construction, the same per-group-bounded contract as the
+    * seasonal profile. The spine join broadcasts (networks x hours is
+    * config-sized next to the event corpus).
+    */
+  def ewmaRate(df: DataFrame, hostCol: String, tsCol: String,
+      windowHours: Int, prefix: Int): DataFrame = {
+    require(windowHours > 0, s"windowHours=$windowHours")
+    val hourUs = 3600L * 1000000L
+    val maxTs = df.agg(max(unix_micros(col(tsCol))).as("__end"))
+    val counted = df.crossJoin(broadcast(maxTs))
+      .withColumn("__ago",
+        expr(s"(__end - unix_micros($tsCol)) div $hourUs"))
+      .filter(col("__ago") < windowHours)
+      .withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
+      .withColumn("h", (lit(windowHours - 1) - col("__ago")).cast("int"))
+      .groupBy(col("network"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val hours = df.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(windowHours - 1))).as("__h"))
+      .select(col("__h").cast("int").as("h"))
+    val spine = counted.select(col("network")).distinct()
+      .crossJoin(broadcast(hours))
+    spine.join(counted, Seq("network", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .groupBy(col("network"))
+      .agg(
+        expr("aggregate(sort_array(collect_list(struct(h, n))), 0L," +
+          " (s, x) -> s div 2 + x.n)").as("ewma_rate"),
+        sum(col("n")).as("n_events"))
+  }
+
   /** R15 (beyond the reference): seasonality-aware baseline — metrics
     * aggregated per (network, season bucket), where the bucket is any
     * derivation of the timestamp (hour-of-day, day-of-week). A flat

@@ -165,6 +165,14 @@ object ReferenceQueries {
     Baseline.profileReport(Baseline.mergeProfiles(slices)).orderBy("network")
   }
 
+  // R19: exponentially-decayed event-rate baseline per /24 — hourly
+  // half-life fold over a dense week spine; all-integer recurrence, so
+  // the DuckDB oracle runs the identical fold via list_reduce.
+  def qBaselineEwma(s: SparkSession, dir: String): DataFrame =
+    Baseline.ewmaRate(hostEvents(s, dir), "host", "ts",
+        windowHours = 168, prefix = 24)
+      .orderBy("network")
+
   // R16: robust MAD anomaly scoring — last hour vs 7-day median/MAD
   // per /24, threshold 3x MAD.
   def qMadAnomaly(s: SparkSession, dir: String): DataFrame =
@@ -199,6 +207,7 @@ object ReferenceQueries {
     "q_baseline_avg" -> qBaselineAvg,
     "q_baseline_max" -> qBaselineMax,
     "q_baseline_p95" -> qBaselineP95,
+    "q_baseline_ewma" -> qBaselineEwma,
     "q_baseline_p95_rs" -> qBaselineP95Rs,
     "q_mad_anomaly_rs" -> qMadAnomalyRs,
     "q_baseline_incremental" -> qBaselineIncremental,
@@ -305,6 +314,27 @@ object ReferenceQueries {
          |  CAST(floor(min(value)) AS BIGINT) AS p95_value
          |FROM r WHERE rk * 20 >= 19 * n
          |GROUP BY network ORDER BY network""".stripMargin,
+    // R19: the IDENTICAL integer fold — list_reduce over the dense
+    // hour spine, state halved per hour (integer division both sides).
+    "q_baseline_ewma" ->
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS e FROM events),
+         |w AS (SELECT $ipNumSql AS ip_num,
+         |        ((SELECT e FROM mx) - epoch_us(ts)) // 3600000000 AS ago
+         |      FROM events
+         |      WHERE ((SELECT e FROM mx) - epoch_us(ts)) // 3600000000 < 168),
+         |n AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network,
+         |        167 - ago AS h FROM w),
+         |c AS (SELECT network, h, count(*) AS n FROM n GROUP BY 1, 2),
+         |spine AS (SELECT s.network, gs.h
+         |  FROM (SELECT DISTINCT network FROM n) s
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 167)) AS h) gs),
+         |d AS (SELECT spine.network, spine.h, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+         |  FROM spine LEFT JOIN c ON c.network = spine.network AND c.h = spine.h)
+         |SELECT network,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(n ORDER BY h)),
+         |    (a, b) -> a // 2 + b) AS ewma_rate,
+         |  CAST(sum(n) AS BIGINT) AS n_events
+         |FROM d GROUP BY network ORDER BY network""".stripMargin,
     "q_mad_anomaly" ->
       s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
          |n AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network, value,

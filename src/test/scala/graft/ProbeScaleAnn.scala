@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Similarity}
+
+/** Scale-stress probe for the ANN family (dev tooling, test scope):
+  * replicates the sf0.1 embeddings corpus k = 1/4/16/64 times (2k ->
+  * 128k vectors) with ids shifted and dimension 0 perturbed per copy
+  * (no degenerate all-tie rankings), then times brute-force vs IVF
+  * search over the SAME 10 queries. The claim under test is the scale
+  * story IVF sells: brute grows linearly with the corpus while IVF
+  * grows at ~nprobe/nlist of that slope, with the crossover visible
+  * well before 100x. Run via `sbt "Test/runMain graft.ProbeScaleAnn"`.
+  */
+object ProbeScaleAnn {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    noop(spark.range(1000000).selectExpr("sum(id*2)")) // warm
+
+    val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def corpusTimes(k: Int): DataFrame =
+      (0 until k).map { c =>
+        e0.select((col("vec_id") + c * 10000000L).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> x + IF(i = 0, CAST($c AS FLOAT) * 0.001f, 0f))")
+            .as("embedding"))
+      }.reduce(_ union _)
+
+    def time(name: String, runs: Int = 3)(f: => Long): Unit = {
+      val rs = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val med = rs.map(_._1).sorted.apply(runs / 2)
+      println(f"[scale] $name%-22s median $med%6.2f s  rows=${rs.head._2}%9d  (${rs.map(r => f"${r._1}%.2f").mkString(", ")})")
+    }
+
+    val queries = e0.filter(col("vec_id") < 10)
+    for (k <- Seq(1, 4, 16, 64)) {
+      val corpus = corpusTimes(k).localCheckpoint(eager = true)
+      println(s"[scale] ---- k=$k  vectors=${corpus.count()} ----")
+      time(s"brute  k=$k") {
+        Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", 5).count()
+      }
+      // index build is one corpus pass; amortized across every query
+      // batch in a deployment, timed separately from search
+      val index = IvfIndex.buildDeterministic(corpus, "vec_id", "embedding",
+        nlist = 16)
+      val cells = index.copy(cells = index.cells.localCheckpoint(eager = true))
+      time(s"ivf np=4 k=$k") {
+        IvfIndex.search(cells, queries, "vec_id", "embedding",
+          k = 5, nprobe = 4).count()
+      }
+      time(s"lsh 8pl k=$k") {
+        Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5, 8, 64)
+          .count()
+      }
+    }
+    spark.stop()
+  }
+}

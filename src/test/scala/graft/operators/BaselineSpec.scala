@@ -86,6 +86,35 @@ class BaselineSpec extends SparkSuite {
     }
   }
 
+  test("ewmaRate: integer half-life fold over a dense hour spine") {
+    // Buckets anchor at max ts (12:15). One /24 with 4 events 1h45m
+    // before the anchor (bucket ago=1 → h=1) and 6 events 5m before it
+    // (ago=0 → h=2); h=0 is empty. Fold over ascending h [0, 4, 6]:
+    // 0/2+0=0 → 0/2+4=4 → 4/2+6=8. A second network only at the newest
+    // hour decays nothing: ewma = its count.
+    val rows =
+      Seq.fill(4)(("10.1.2.3", ts("2024-01-10 10:30:00"), 1.0)) ++
+      Seq.fill(6)(("10.1.2.9", ts("2024-01-10 12:10:00"), 1.0)) ++
+      Seq.fill(3)(("10.9.9.9", ts("2024-01-10 12:15:00"), 1.0))
+    val got = Baseline.ewmaRate(rows.toDF("host", "ts", "value"),
+        "host", "ts", windowHours = 3, prefix = 24)
+      .orderBy("network")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("10.1.2.0", 8L, 10L), ("10.9.9.0", 3L, 3L)))
+  }
+
+  test("ewmaRate: state decays fully across an empty window tail") {
+    // All events at the OLDEST hour of a 64-hour window: 63 halvings
+    // drive any count to zero (integer floor division).
+    val rows = Seq.fill(1000)(("10.1.2.3", ts("2024-01-01 00:00:00"), 1.0)) ++
+      Seq(("10.9.9.9", ts("2024-01-03 15:00:00"), 1.0)) // anchors max ts
+    val got = Baseline.ewmaRate(rows.toDF("host", "ts", "value"),
+        "host", "ts", windowHours = 64, prefix = 24)
+      .orderBy("network")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("10.1.2.0", 0L, 1000L), ("10.9.9.0", 1L, 1L)))
+  }
+
   test("incremental profile: merged slice states equal the full recompute bit-for-bit") {
     // values chosen so the avg has a non-terminating binary expansion
     // (the case where a float re-aggregation would drift)
