@@ -30,12 +30,15 @@ object ProbeScaleAnn {
 
     val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    // crossJoin replication: one plan regardless of k (a k-arm union
+    // blows the plan up past k~100), dimension 0 perturbed per copy
     def corpusTimes(k: Int): DataFrame =
-      (0 until k).map { c =>
-        e0.select((col("vec_id") + c * 10000000L).as("vec_id"),
-          expr(s"transform(embedding, (x, i) -> x + IF(i = 0, CAST($c AS FLOAT) * 0.001f, 0f))")
+      e0.crossJoin(broadcast(
+          spark.range(k).select(col("id").cast("int").as("__c"))))
+        .select((col("vec_id") + col("__c") * 10000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) ->" +
+            " x + IF(i = 0, CAST(__c AS FLOAT) * 0.001f, 0f))")
             .as("embedding"))
-      }.reduce(_ union _)
 
     def time(name: String, runs: Int = 3)(f: => Long): Unit = {
       val rs = (1 to runs).map { _ =>
@@ -48,7 +51,8 @@ object ProbeScaleAnn {
     }
 
     val queries = e0.filter(col("vec_id") < 10)
-    for (k <- Seq(1, 4, 16, 64)) {
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, 64, 512)
+    for (k <- ks) {
       val corpus = corpusTimes(k).localCheckpoint(eager = true)
       println(s"[scale] ---- k=$k  vectors=${corpus.count()} ----")
       time(s"brute  k=$k") {
