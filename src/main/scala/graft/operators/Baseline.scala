@@ -199,6 +199,36 @@ object Baseline {
         sum(col("n")).as("n_events"))
   }
 
+  /** Absolute-hour variant of [[ewmaRate]] — the streaming twin's
+    * batch parity kernel (`graft.streaming.StreamingEwma`). Hours are
+    * absolute epoch-hour indexes: no anchor and NO window, because the
+    * decay IS the forgetting — a week-old hour has halved 168 times
+    * and contributes nothing. Empty-hour gaps decay the state in one
+    * `shiftright` (iterated integer halving = div 2^gap for
+    * non-negative state; shift capped at 63). Same all-integer
+    * recurrence as [[ewmaRate]]: no float to diverge between the
+    * batch fold, the streaming state machine, and a recompute.
+    */
+  def ewmaRateAbsolute(df: DataFrame, hostCol: String, tsCol: String,
+      prefix: Int): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    df.withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
+      .withColumn("h", expr(s"unix_micros($tsCol) div $hourUs"))
+      .groupBy(col("network"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("network"))
+      .agg(
+        max(col("h")).as("last_hour"),
+        expr("aggregate(sort_array(collect_list(struct(h, n))), " +
+          "named_struct('ph', CAST(-1 AS BIGINT), 's', CAST(0 AS BIGINT)), " +
+          "(a, x) -> named_struct('ph', x.h, 's', " +
+          "IF(a.ph < 0, x.n, " +
+          "shiftright(a.s, CAST(least(63, x.h - a.ph) AS INT)) + x.n)), " +
+          "a -> a.s)").as("ewma_rate"))
+  }
+
   /** R15 (beyond the reference): seasonality-aware baseline — metrics
     * aggregated per (network, season bucket), where the bucket is any
     * derivation of the timestamp (hour-of-day, day-of-week). A flat
