@@ -305,7 +305,12 @@ object Baseline {
     *   - `bucket`: [[RankSelect.quantiles]] — histogram + offsets, no
     *     per-group sort; each sort is ~n/1024 of a group. The hot-group
     *     path for deployments whose network groups go large enough
-    *     that a one-task group sort straggles.
+    *     that a one-task group sort straggles. MEASURED crossover
+    *     (ProbeSkew, local[32]): at a 17M-row hot /24 the bucket
+    *     kernel wins MAD (14.4 s vs 18.0 s — two selections pay the
+    *     one-task sort twice) with p95 at parity; at 1.7M rows the
+    *     window kernel still wins locally. Cluster executors with
+    *     per-task memory caps hit the crossover earlier.
     *
     * Contract (both kernels): the value population must be non-null —
     * callers pass metric columns, which are.

@@ -165,6 +165,28 @@ object ReferenceQueries {
     Baseline.profileReport(Baseline.mergeProfiles(slices)).orderBy("network")
   }
 
+  // R13: IPv6 codec roundtrip, ORACLE-GATED without an oracle-side
+  // inet parser — the multimodal device applied to addresses: the v6
+  // strings are synthesized from integer groups, so DuckDB computes
+  // the EXPECTED parse bytes (hex concat) and the RFC 5952 canonical
+  // re-format (closed-form CASE arms: the fixed 2001:db8 prefix makes
+  // the longest-zero-run compression enumerable) purely arithmetically
+  // while Spark runs the real parse/format expressions.
+  def qIp6Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Ip6Expressions
+    t(s, dir, "events").select(col("user_id")).distinct()
+      .withColumn("g7", shiftright(col("user_id"), 16).bitwiseAND(lit(65535L)))
+      .withColumn("g8", col("user_id").bitwiseAND(lit(65535L)))
+      .withColumn("ip6", concat(lit("2001:0db8:0000:0000:0000:0000:"),
+        lpad(lower(hex(col("g7"))), 4, "0"), lit(":"),
+        lpad(lower(hex(col("g8"))), 4, "0")))
+      .withColumn("b", Ip6Expressions.ip6ToBytes(col("ip6")))
+      .select(col("user_id"), col("ip6"),
+        lower(hex(col("b"))).as("bytes_hex"),
+        Ip6Expressions.bytesToIp6(col("b")).as("canonical"))
+      .orderBy("user_id")
+  }
+
   // R19: exponentially-decayed event-rate baseline per /24 — hourly
   // half-life fold over a dense week spine; all-integer recurrence, so
   // the DuckDB oracle runs the identical fold via list_reduce.
@@ -208,6 +230,7 @@ object ReferenceQueries {
     "q_baseline_max" -> qBaselineMax,
     "q_baseline_p95" -> qBaselineP95,
     "q_baseline_ewma" -> qBaselineEwma,
+    "q_ip6_roundtrip" -> qIp6Roundtrip,
     "q_baseline_p95_rs" -> qBaselineP95Rs,
     "q_mad_anomaly_rs" -> qMadAnomalyRs,
     "q_baseline_incremental" -> qBaselineIncremental,
@@ -314,6 +337,22 @@ object ReferenceQueries {
          |  CAST(floor(min(value)) AS BIGINT) AS p95_value
          |FROM r WHERE rk * 20 >= 19 * n
          |GROUP BY network ORDER BY network""".stripMargin,
+    // R13: expected parse bytes and canonical form computed
+    // arithmetically from the integer groups (no oracle-side parser).
+    "q_ip6_roundtrip" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT user_id, (user_id >> 16) & 65535 AS g7,
+        |        user_id & 65535 AS g8 FROM u)
+        |SELECT user_id,
+        |  '2001:0db8:0000:0000:0000:0000:' || printf('%04x', g7)
+        |    || ':' || printf('%04x', g8) AS ip6,
+        |  '20010db80000000000000000' || printf('%04x', g7)
+        |    || printf('%04x', g8) AS bytes_hex,
+        |  CASE WHEN g7 = 0 AND g8 = 0 THEN '2001:db8::'
+        |       WHEN g7 = 0 THEN '2001:db8::' || printf('%x', g8)
+        |       ELSE '2001:db8::' || printf('%x', g7) || ':' || printf('%x', g8)
+        |  END AS canonical
+        |FROM g ORDER BY user_id""".stripMargin,
     // R19: the IDENTICAL integer fold — list_reduce over the dense
     // hour spine, state halved per hour (integer division both sides).
     "q_baseline_ewma" ->

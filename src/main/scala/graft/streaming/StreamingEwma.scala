@@ -27,6 +27,13 @@ import graft.functions.IpFunctions
   * late-row arm; run the stream behind a watermark sized to the
   * acceptable lag. Update mode: every batch re-emits each touched
   * network's refreshed (last_hour, ewma_rate).
+  *
+  * State boundedness: O(distinct networks) entries of 16 bytes — the
+  * network universe is config-sized (the reference's networks list),
+  * worst-case the seen /24 space. No timeout is wired because none is
+  * semantically needed: a network idle for >= 63 hours has a state
+  * that shifts to zero on its next event anyway, so a deployment that
+  * wants eviction can add a GroupStateTimeout with no result change.
   */
 object StreamingEwma {
 
