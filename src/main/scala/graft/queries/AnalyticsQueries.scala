@@ -726,6 +726,28 @@ object AnalyticsQueries {
       .orderBy("day", "user_id")
   }
 
+  // A52: forward-fill (LOCF) over the gap-filled spine — the
+  // time-series resampling step after gap fill: missing days carry
+  // the last observed per-key value forward (null before the first
+  // observation on both engines). One keyed ordered window; the
+  // filled value is the exact decimal daily sum, so no float drifts.
+  def qFillForward(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id") < 20)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+    val daily = e.groupBy("day", "user_id")
+      .agg(sum2(col("value")).as("sum_value"))
+    val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(e.select(col("user_id")).distinct())
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day", "user_id"), "left")
+      .select(col("day"), col("user_id"),
+        col("sum_value").isNotNull.as("observed"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("day", "user_id")
+  }
+
   // A16: hierarchical rollup (subtotals + grand total in one pass).
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -916,6 +938,7 @@ object AnalyticsQueries {
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
     "q_gap_fill" -> qGapFill,
+    "q_fill_forward" -> qFillForward,
     "q_pivot" -> qPivot,
     "q_setops" -> qSetOps,
     "q_sketch_distinct" -> qSketchDistinct,
@@ -995,6 +1018,23 @@ object AnalyticsQueries {
          |  COALESCE(d.n, 0) AS n, COALESCE(d.sum_value, 0.0) AS sum_value
          |FROM slots s LEFT JOIN daily d ON s.day = d.day AND s.user_id = d.user_id
          |ORDER BY s.day, s.user_id""".stripMargin,
+    "q_fill_forward" ->
+      s"""WITH e AS (SELECT *, CAST(date_trunc('day', ts) AS DATE) AS day
+         |  FROM events WHERE user_id < 20),
+         |daily AS (SELECT day, user_id, ${sum2Sql("value")} AS sum_value
+         |  FROM e GROUP BY day, user_id),
+         |spine AS (SELECT unnest(generate_series((SELECT min(day) FROM e),
+         |    (SELECT max(day) FROM e), INTERVAL 1 DAY))::DATE AS day),
+         |slots AS (SELECT day, user_id FROM spine
+         |  CROSS JOIN (SELECT DISTINCT user_id FROM e)),
+         |sparse AS (SELECT s.day, s.user_id, d.sum_value
+         |  FROM slots s LEFT JOIN daily d
+         |    ON s.day = d.day AND s.user_id = d.user_id)
+         |SELECT day, user_id, sum_value IS NOT NULL AS observed,
+         |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS filled_value
+         |FROM sparse ORDER BY day, user_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
