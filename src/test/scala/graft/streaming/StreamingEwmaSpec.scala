@@ -59,6 +59,42 @@ class StreamingEwmaSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("state survives a checkpointed restart (decay resumes, not resets)") {
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ewma-ckpt").toString
+    val in = MemoryStream[Tick]
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink shape, collecting emissions on the driver
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[StreamingEwma.NetworkEwma]
+    def start() = StreamingEwma.perNetwork(in.toDS())
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingEwma.NetworkEwma], _: Long) =>
+          df.collect().foreach(got.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+
+    val q1 = start()
+    try {
+      in.addData(Seq.fill(8)(Tick("10.0.0.0", 300L)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart against the same checkpoint: the (hour, rate) state must
+    // come back from the state store — NOT restart at zero
+    val q2 = start()
+    try {
+      in.addData(Tick("10.0.0.0", 302L))
+      q2.processAllAvailable()
+      // restored (h=300, s=8) decays two hours and adds 1: 8>>2 + 1 = 3
+      val rows = got.toArray(Array.empty[StreamingEwma.NetworkEwma]).toSeq
+      assert(rows.contains(StreamingEwma.NetworkEwma("10.0.0.0", 302L, 3L)),
+        s"state not restored: $rows")
+    } finally q2.stop()
+  }
+
   test("late cross-batch rows fold in pre-decayed, never reversing decay") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Tick]
