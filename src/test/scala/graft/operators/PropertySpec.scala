@@ -18,6 +18,83 @@ class PropertySpec extends SparkSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("ewmaRate fold equals an independent sequential recurrence") {
+    // random sparse (hour -> count) maps, incl. empty hours and long
+    // gaps; the operator's distributed fold must equal a plain Scala
+    // loop running s = s/2 + n over the dense ascending spine
+    val gen = for {
+      nHours <- Gen.chooseNum(1, 30)
+      counts <- Gen.listOfN(nHours, Gen.chooseNum(0L, 1000L))
+    } yield counts
+    check(Prop.forAll(gen) { counts =>
+      val windowHours = counts.length
+      // one event row per count unit would explode; use hour offsets
+      // with a synthetic host and MANY rows compressed via repetition
+      // only for small counts — cap at 40 rows/hour for test speed
+      val capped = counts.map(c => math.min(c, 40L))
+      val hourUs = 3600L * 1000000L
+      val anchor = 1700000000000000L
+      val rows = capped.zipWithIndex.flatMap { case (n, h) =>
+        Seq.fill(n.toInt)(("10.7.7.7",
+          anchor + h * hourUs + 1L))
+      } :+ (("10.7.7.7", anchor + (windowHours - 1) * hourUs + 2L))
+      // the appended row anchors max(ts) in the newest hour; include
+      // it in the expected fold (hour index windowHours-1)
+      val expectedCounts = capped.updated(windowHours - 1,
+        capped(windowHours - 1) + 1)
+      val df = rows.toDF("host", "hus")
+        .select(col("host"), expr("timestamp_micros(hus)").as("ts"))
+      val got = Baseline.ewmaRate(df, "host", "ts", windowHours, 24)
+        .head
+      val expected = expectedCounts.foldLeft(0L)((s, n) => s / 2 + n)
+      got.getAs[Long]("ewma_rate") == expected &&
+        got.getAs[Long]("n_events") == expectedCounts.sum
+    }, 10)
+  }
+
+  test("keySkew buckets equal independent integer log2 arithmetic") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 200))
+    check(Prop.forAll(gen) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, k) =>
+        Seq.fill(n)((s"k$k", 1))
+      }
+      val got = Profiling.keySkew(rows.toDF("k", "v"), "k")
+        .orderBy("bucket")
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      val expected = sizes.map(_.toLong)
+        .groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+        .toSeq.sortBy(_._1)
+        .map { case (b, ns) => (b.toInt, ns.size.toLong, ns.sum, ns.max) }
+      got == expected
+    }, 10)
+  }
+
+  test("PCM WAV fast path equals AudioSystem decode on random sample data") {
+    // the example-based differential covers the synthesis ramps; this
+    // one feeds arbitrary 16-bit sample content and rates
+    val gen = for {
+      n <- Gen.chooseNum(1, 500)
+      rate <- Gen.oneOf(8000, 11025, 16000, 44100)
+      samples <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+    } yield (rate, samples)
+    check(Prop.forAll(gen) { case (rate, samples) =>
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      val bytes = out.toByteArray
+      val fast = Multimodal.decodePcmWavFast(7L, bytes)
+      fast.isDefined && fast.get == Multimodal.decodeAudioGeneral(7L, bytes)
+    }, 20)
+  }
+
   test("rankSelect returns the exact order statistic, duplicates and all") {
     val gen = for {
       vals <- Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)) // dense -> many ties
