@@ -38,11 +38,14 @@ def main(oracle_path, sf_dir, bench_path=None):
     print(f"{'query':22s} {'duckdb':>8s} {'spark':>8s} {'ratio':>7s}")
     for name in sorted(duck):
         d = duck[name]
+        # Bench serializes failed queries as JSON null (older artifacts
+        # used -1.0) — treat both as "no number".
         s = spark.get(name)
         ratio = f"{s / d:6.1f}x" if (s and d > 0) else "      -"
         print(f"{name:22s} {d:8.2f} {s if s else float('nan'):8.2f} {ratio}")
     if spark:
-        total_s = sum(v for k, v in spark.items() if k in duck and v > 0)
+        total_s = sum(v for k, v in spark.items()
+                      if k in duck and isinstance(v, (int, float)) and v > 0)
         print(f"{'TOTAL (oracle set)':22s} {total_d:8.2f} {total_s:8.2f} "
               f"{total_s / total_d:6.1f}x")
 

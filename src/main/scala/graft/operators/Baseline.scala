@@ -221,10 +221,13 @@ object Baseline {
       .groupBy(col("network"))
       .agg(
         max(col("h")).as("last_hour"),
+        // The accumulator carries an explicit init flag rather than a
+        // ph=-1 sentinel: absolute epoch hours are negative before
+        // 1970, and a sentinel would reset (not decay) after them.
         expr("aggregate(sort_array(collect_list(struct(h, n))), " +
-          "named_struct('ph', CAST(-1 AS BIGINT), 's', CAST(0 AS BIGINT)), " +
-          "(a, x) -> named_struct('ph', x.h, 's', " +
-          "IF(a.ph < 0, x.n, " +
+          "named_struct('init', false, 'ph', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)), " +
+          "(a, x) -> named_struct('init', true, 'ph', x.h, 's', " +
+          "IF(NOT a.init, x.n, " +
           "shiftright(a.s, CAST(least(63, x.h - a.ph) AS INT)) + x.n)), " +
           "a -> a.s)").as("ewma_rate"))
   }

@@ -256,6 +256,10 @@ object Multimodal {
     while (off + 8 <= bytes.length) {
       val chunk = tag(off)
       val size = u32(off + 4).toInt
+      // Declared sizes >= 0x80000000 wrap negative in the Int cast and
+      // would stall or reverse the chunk advance below — route such
+      // corrupt payloads to the general path, which raises cleanly.
+      if (size < 0) return None
       if (chunk == "fmt ") {
         if (size < 16 || off + 8 + 16 > bytes.length) return None
         if (u16(off + 8) != 1) return None // not plain PCM (float/ADPCM/…)
@@ -290,7 +294,11 @@ object Multimodal {
           peak = peak,
           rms = math.sqrt(sumSq.toDouble / frames)))
       }
-      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      // RIFF chunks are word-aligned; advance in Long so a declared
+      // size near Int.MaxValue can't wrap `off` negative and index OOB.
+      val next = off.toLong + 8L + size.toLong + (size & 1)
+      if (next > bytes.length.toLong) return None
+      off = next.toInt
     }
     None
   }

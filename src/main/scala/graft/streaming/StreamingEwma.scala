@@ -64,12 +64,17 @@ object StreamingEwma {
 
     def update(network: String, rows: Iterator[Tick],
         state: GroupState[(Long, Long)]): Iterator[NetworkEwma] = {
-      var (curH, s) = state.getOption.getOrElse((-1L, 0L))
+      // Initialization is state.exists, NOT a negative-hour sentinel:
+      // epoch-hour indexes are legitimately negative for pre-1970
+      // timestamps, and a sentinel would silently reset (instead of
+      // decay) the state on the row after any such hour.
+      var init = state.exists
+      var (curH, s) = state.getOption.getOrElse((0L, 0L))
       // fold per (hour, count) in hour order — the batch kernel's walk
       rows.toSeq.groupBy(_.hourIdx).toSeq.sortBy(_._1).foreach {
         case (h, hr) =>
           val n = hr.size.toLong
-          if (curH < 0) { curH = h; s = n }
+          if (!init) { init = true; curH = h; s = n }
           else if (h == curH) s += n
           else if (h > curH) {
             s = (s >> math.min(63L, h - curH).toInt) + n

@@ -129,6 +129,34 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodePcmWavFast(3L, floatTag).isEmpty)
   }
 
+  test("corrupt chunk sizes terminate the RIFF walk instead of hanging it") {
+    // A declared u32 chunk size >= 0x80000000 wraps negative in the Int
+    // cast; sizes of -8/-9 make the word-aligned advance step 0 or
+    // backwards. The walk must return None (-> general path raises
+    // cleanly), never loop forever or index out of bounds.
+    def withChunk(tag: String, size: Long): Array[Byte] = {
+      val b = Multimodal.synthesizeWav(7L).clone()
+      // First sub-chunk header lives at offset 12 (4-byte tag + LE u32 size)
+      val t = tag.getBytes("US-ASCII")
+      System.arraycopy(t, 0, b, 12, 4)
+      b(16) = (size & 0xff).toByte
+      b(17) = ((size >> 8) & 0xff).toByte
+      b(18) = ((size >> 16) & 0xff).toByte
+      b(19) = ((size >> 24) & 0xff).toByte
+      b
+    }
+    // Unknown chunk + wrapped-negative size: the advance would step 0
+    // (size -8) or backwards (-9, -16) — the historical infinite loop.
+    for (size <- Seq(0xfffffff8L, 0xfffffff7L, 0xfffffff0L, 0xffffffffL, 0x80000000L)) {
+      val out = Multimodal.decodePcmWavFast(7L, withChunk("LIST", size))
+      assert(out.isEmpty, s"declared chunk size 0x${size.toHexString} must fall off the fast path")
+    }
+    // Huge positive size: the Int advance would wrap `off` negative and
+    // index out of bounds; the Long-advance guard must return None.
+    assert(Multimodal.decodePcmWavFast(7L, withChunk("fmt ", 0x7ffffff0L)).isEmpty)
+    assert(Multimodal.decodePcmWavFast(7L, withChunk("LIST", 0x7ffffff0L)).isEmpty)
+  }
+
   test("undecodable payloads fail loudly (caller owns corrupt-input policy)") {
     val rows = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
     val e = intercept[org.apache.spark.SparkException] {

@@ -95,6 +95,36 @@ class StreamingEwmaSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("pre-1970 hours decay, not reset (no negative-hour sentinel)") {
+    // Absolute epoch-hour indexes are negative before 1970. A -1
+    // initialization sentinel would treat every post-negative-hour row
+    // as a fresh state (reset) instead of decaying; both the batch SQL
+    // fold and the streaming state machine must use an explicit init
+    // flag. h=-5 with 8 events, then h=-3 with 1: s = (8 >> 2) + 1 = 3.
+    val hourUs = 3600L * 1000000L
+    val evs = Seq.fill(8)(("10.1.2.3", -5L * hourUs)) :+ (("10.1.2.3", -3L * hourUs))
+    val batch = Baseline.ewmaRateAbsolute(hostRows(evs), "host", "ts", 24)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(batch == Seq(("10.1.2.0", -3L, 3L)), s"batch reset instead of decayed: $batch")
+
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val query = StreamingEwma.perNetwork(in.toDS())
+      .writeStream.format("memory").queryName("ewma_neg")
+      .outputMode("update").start()
+    try {
+      in.addData(Seq.fill(8)(Tick("10.1.2.0", -5L)): _*)
+      query.processAllAvailable()
+      in.addData(Tick("10.1.2.0", -3L))
+      query.processAllAvailable()
+      val last = spark.table("ewma_neg")
+        .orderBy(col("last_hour")).as[StreamingEwma.NetworkEwma]
+        .collect().last
+      assert(last == StreamingEwma.NetworkEwma("10.1.2.0", -3L, 3L),
+        s"stream reset instead of decayed: $last")
+    } finally query.stop()
+  }
+
   test("late cross-batch rows fold in pre-decayed, never reversing decay") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Tick]
