@@ -187,6 +187,48 @@ object ReferenceQueries {
       .orderBy("user_id")
   }
 
+  // R13: IPv6 CIDR MEMBERSHIP, oracle-gated — the flagship
+  // beyond-reference claim (/root/reference/main.go:223 skips IPv6
+  // networks outright). Same closed-form device as the roundtrip gate:
+  // addresses are synthesized from integer groups (a multiplicative
+  // hash spreads them over the full 16-bit group space, plus four
+  // crafted rows sitting exactly ON and just OUTSIDE a /99's binary
+  // range bounds), so DuckDB evaluates membership as pure integer
+  // prefix arithmetic while Spark runs the REAL path: text -> 16-byte
+  // binary (Ip6ToBytes codegen) -> inclusive binary-range predicate
+  // (Cidr6.parse + cidr6Contains — the sargable form a 100 TB scan
+  // pushes down). Prefix lengths cross every boundary class: whole
+  // prefix (/32), non-member sibling (/32), mid-nibble (/100),
+  // byte (/104), mid-group (/99), group+byte (/120), exact (/128).
+  def qIp6Cidr(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Ip6Expressions._
+    val spread = lit(2654435761L) // Knuth multiplicative constant
+    val hashed = t(s, dir, "events").select(col("user_id")).distinct()
+      .withColumn("g7",
+        shiftright(col("user_id") * spread, 16).bitwiseAND(lit(65535L)))
+      .withColumn("g8", (col("user_id") * spread).bitwiseAND(lit(65535L)))
+    // exact start / exact end / one-below / one-above of the /99 range
+    // [2001:db8::2000:0, 2001:db8::3fff:ffff] — inclusive-bound pins
+    val boundary = s.createDataFrame(Seq(
+      (-1L, 0x2000L, 0x0000L), (-2L, 0x3fffL, 0xffffL),
+      (-3L, 0x1fffL, 0xffffL), (-4L, 0x4000L, 0x0000L)))
+      .toDF("user_id", "g7", "g8")
+    hashed.unionByName(boundary)
+      .withColumn("ip6", concat(lit("2001:0db8:0000:0000:0000:0000:"),
+        lpad(lower(hex(col("g7"))), 4, "0"), lit(":"),
+        lpad(lower(hex(col("g8"))), 4, "0")))
+      .withColumn("b", ip6ToBytes(col("ip6")))
+      .select(col("user_id"), col("ip6"),
+        cidr6Contains("2001:db8::/32", col("b")).as("in_db8_32"),
+        cidr6Contains("2001:db9::/32", col("b")).as("in_db9_32"),
+        cidr6Contains("2001:db8::3000:0/100", col("b")).as("in_p100"),
+        cidr6Contains("2001:db8::aa00:0/104", col("b")).as("in_p104"),
+        cidr6Contains("2001:db8::2000:0/99", col("b")).as("in_p99"),
+        cidr6Contains("2001:db8::2000:7700/120", col("b")).as("in_p120"),
+        cidr6Contains("2001:db8::2000:0/128", col("b")).as("in_p128"))
+      .orderBy("user_id")
+  }
+
   // R19: exponentially-decayed event-rate baseline per /24 — hourly
   // half-life fold over a dense week spine; all-integer recurrence, so
   // the DuckDB oracle runs the identical fold via list_reduce.
@@ -231,6 +273,7 @@ object ReferenceQueries {
     "q_baseline_p95" -> qBaselineP95,
     "q_baseline_ewma" -> qBaselineEwma,
     "q_ip6_roundtrip" -> qIp6Roundtrip,
+    "q_ip6_cidr" -> qIp6Cidr,
     "q_baseline_p95_rs" -> qBaselineP95Rs,
     "q_mad_anomaly_rs" -> qMadAnomalyRs,
     "q_baseline_incremental" -> qBaselineIncremental,
@@ -352,6 +395,32 @@ object ReferenceQueries {
         |       WHEN g7 = 0 THEN '2001:db8::' || printf('%x', g8)
         |       ELSE '2001:db8::' || printf('%x', g7) || ':' || printf('%x', g8)
         |  END AS canonical
+        |FROM g ORDER BY user_id""".stripMargin,
+    // R13: CIDR membership as closed-form integer prefix arithmetic on
+    // the synthesized groups — Spark runs the real binary-range
+    // predicate; agreement proves parse + inclusive range bounds.
+    "q_ip6_cidr" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT user_id,
+        |        ((user_id * 2654435761) >> 16) & 65535 AS g7,
+        |        (user_id * 2654435761) & 65535 AS g8 FROM u
+        |      UNION ALL
+        |      SELECT * FROM (VALUES
+        |        (CAST(-1 AS BIGINT), CAST(8192 AS BIGINT), CAST(0 AS BIGINT)),
+        |        (CAST(-2 AS BIGINT), CAST(16383 AS BIGINT), CAST(65535 AS BIGINT)),
+        |        (CAST(-3 AS BIGINT), CAST(8191 AS BIGINT), CAST(65535 AS BIGINT)),
+        |        (CAST(-4 AS BIGINT), CAST(16384 AS BIGINT), CAST(0 AS BIGINT)))
+        |        v(user_id, g7, g8))
+        |SELECT user_id,
+        |  '2001:0db8:0000:0000:0000:0000:' || printf('%04x', g7)
+        |    || ':' || printf('%04x', g8) AS ip6,
+        |  TRUE AS in_db8_32,
+        |  FALSE AS in_db9_32,
+        |  (g7 >> 12) = 3 AS in_p100,
+        |  (g7 >> 8) = 170 AS in_p104,
+        |  (g7 >> 13) = 1 AS in_p99,
+        |  g7 = 8192 AND (g8 >> 8) = 119 AS in_p120,
+        |  g7 = 8192 AND g8 = 0 AS in_p128
         |FROM g ORDER BY user_id""".stripMargin,
     // R19: the IDENTICAL integer fold — list_reduce over the dense
     // hour spine, state halved per hour (integer division both sides).
