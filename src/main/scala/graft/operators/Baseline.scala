@@ -320,14 +320,44 @@ object Baseline {
     */
   val RankKernelKey = "graft.rankKernel"
 
+  /** Hot-group row-count threshold for `graft.rankKernel=auto`: the
+    * bucket kernel takes over when any single group reaches this many
+    * rows. Default sits between the two MEASURED regimes (ProbeSkew,
+    * local[32]): at a 1.7M-row hottest group the window kernel still
+    * wins; at 17M the bucket kernel does (MAD 14.4 s vs 18.0 s).
+    * Cluster executors with per-task memory caps hit the crossover
+    * earlier — deployments tune this down with the conf.
+    */
+  val RankKernelAutoThresholdKey = "graft.rankKernel.autoThreshold"
+  private val AutoThresholdDefault = 4L * 1000 * 1000
+
+  /** The `auto` decision: ONE count-per-key aggregate (map-side
+    * combinable — the cheapest possible pass over the selection input,
+    * the same audit shape as Profiling.keySkew's first stage) reduced
+    * to the hottest group's row count, compared against
+    * [[RankKernelAutoThresholdKey]]. This is a driver-side scalar by
+    * necessity — a PHYSICAL-plan choice cannot stay lazy — and is the
+    * skew audit (A49) wired into the knob so the ProbeSkew crossover
+    * is an automatic decision instead of operator trivia.
+    */
+  private[graft] def chooseRankKernel(df: DataFrame, keyCol: String): String = {
+    val threshold = df.sparkSession.conf
+      .get(RankKernelAutoThresholdKey, AutoThresholdDefault.toString).toLong
+    val row = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val hottest = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (hottest >= threshold) "bucket" else "window"
+  }
+
   /** Exact `num/den`-percentile of `valCol` per `keyCol` via integer
     * rank selection (see [[percentileByPrefix]]): returns one row per
     * key with the selected element as `sel` plus the group size `n`.
-    * Physical plan per [[RankKernelKey]].
+    * Physical plan per [[RankKernelKey]]; `auto` delegates to
+    * [[chooseRankKernel]].
     */
   private[graft] def rankSelect(df: DataFrame, keyCol: String,
-      valCol: String, num: Long, den: Long): DataFrame =
-    df.sparkSession.conf.get(RankKernelKey, "window") match {
+      valCol: String, num: Long, den: Long): DataFrame = {
+    def run(kernel: String): DataFrame = kernel match {
       case "window" =>
         val w = Window.partitionBy(col(keyCol))
         df.select(col(keyCol), col(valCol).as("__v"))
@@ -340,9 +370,12 @@ object Baseline {
         RankSelect.quantiles(df, keyCol, valCol,
             Seq(("sel", num, den)), countCol = Some("n"))
           .select(col(keyCol), col("n"), col("sel"))
+      case "auto" => run(chooseRankKernel(df, keyCol))
       case other => throw new IllegalArgumentException(
-        s"$RankKernelKey=$other (want window | bucket)")
+        s"$RankKernelKey=$other (want window | bucket | auto)")
     }
+    run(df.sparkSession.conf.get(RankKernelKey, "window"))
+  }
 
   /** R16 (beyond the reference): robust anomaly scoring — flag
     * networks whose CURRENT traffic deviates from the historical

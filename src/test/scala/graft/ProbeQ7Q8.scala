@@ -16,11 +16,22 @@ object ProbeQ7Q8 {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def time(name: String)(f: => Unit): Unit = {
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to 8).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-      println(f"[probe] $name median ${ts.sorted.apply(1)}%.2f s (${ts.map(t => f"$t%.2f").mkString(", ")})")
+      println(f"[probe] $name median ${ts.sorted.apply(4)}%.2f s (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
     val dir = "/root/testdata/sf0.1"
+    // Join-strategy fingerprint: a broadcast->SMJ flip on the
+    // lineitem x orders edge is the plausible real cause if the probe
+    // medians do not return to the r7 floor.
+    for ((n, q) <- Seq(
+        "q7_volume" -> graft.queries.AnalyticsQueries.q7Volume(spark, dir),
+        "q8_mkt_share" -> graft.queries.AnalyticsQueries.q8MarketShare(spark, dir))) {
+      val phys = q.queryExecution.executedPlan.toString
+      def count(tag: String) = tag.r.findAllIn(phys).length
+      println(s"[probe] $n joins: bhj=${count("BroadcastHashJoin")} " +
+        s"smj=${count("SortMergeJoin")} shj=${count("ShuffledHashJoin")}")
+    }
     time("q7_volume")(noop(graft.queries.AnalyticsQueries.q7Volume(spark, dir)))
     time("q8_mkt_share")(noop(graft.queries.AnalyticsQueries.q8MarketShare(spark, dir)))
     spark.stop()
