@@ -5,32 +5,81 @@ import graft.operators.Materializer
 
 /** Continuous plan audit over the ENTIRE gated surface — the invariant
   * half of the per-round PLANS_r{N}.md review, run on every `sbt test`
-  * instead of episodically: no query may plan a cartesian product.
-  * (Broadcast-vs-SMJ choices are stats-driven and AQE re-plans them at
-  * runtime, so they stay in the human-reviewed dump; a cartesian is
-  * wrong at every scale and every stats estimate.)
+  * instead of episodically:
   *
-  * Plans build under the `lazy` materializer so constructing ~100 plans
+  *   1. no query may plan a cartesian product (wrong at every scale
+  *      and every stats estimate);
+  *   2. the SortMergeJoin set must stay inside the documented
+  *      large x large allowlist — a dim table growing past
+  *      autoBroadcastJoinThreshold, a stats loss, or a dropped
+  *      broadcast() hint shows up as a NEW SMJ here as a red test,
+  *      not as a plan-dump diff a human must catch. (AQE can still
+  *      demote an SMJ to broadcast at runtime; it never adds one, so
+  *      the build-time set is the conservative bound.)
+  *
+  * Plans build under the `lazy` materializer so constructing ~110 plans
   * runs zero Spark jobs — the materializer only truncates lineage, it
-  * never introduces a join, so the no-cartesian invariant is unchanged.
+  * never introduces a join, so neither invariant is affected.
   */
 class PlanAuditSpec extends SparkSuite {
 
-  test("no gated query plans a CartesianProduct") {
+  /** Queries whose plans legitimately sort-merge: both sides are
+    * data-sized at scale (per the PLANS_r8 review — corpus x corpus
+    * joins in dedup/contamination/snapshot-diff, the bucket kernel's
+    * rank join, and Q2's part x partsupp min-cost correlation).
+    */
+  private val smjAllowlist = Set(
+    "q2_min_cost", "q_contamination", "q_dedup_incremental",
+    "q_dedup_ngram", "q_mad_anomaly_rs", "q_snapshot_diff") ++
+    // SMJ only under THIS audit's lazy materializer: at runtime these
+    // materialize their shared truth/index/frontier subplans, the
+    // consumers read small materialized tables, and the SMJs are gone
+    // (verified in the PLANS_r8 dump after the r8 sharing fix). The
+    // lazy audit keeps the full un-truncated lineage, so the planner
+    // sees the pre-materialization join shape.
+    Set("q_ann_recall", "q_ann_ivf_sweep", "q_dedup_clusters")
+
+  private lazy val plans: Map[String, String] = {
     val prev = spark.conf.getOption(Materializer.ConfKey)
     spark.conf.set(Materializer.ConfKey, "lazy")
-    try {
-      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-        case (name, fn) =>
-          val plan = fn(spark, "/root/testdata/sf0.001")
-            .queryExecution.executedPlan.toString
-          if (plan.contains("CartesianProduct")) Some(name) else None
-      }
-      assert(offenders.isEmpty,
-        s"cartesian product planned by: ${offenders.mkString(", ")}")
+    try SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
     } finally prev match {
       case Some(v) => spark.conf.set(Materializer.ConfKey, v)
       case None => spark.conf.unset(Materializer.ConfKey)
     }
+  }
+
+  test("no gated query plans a CartesianProduct") {
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name }
+    assert(offenders.isEmpty,
+      s"cartesian product planned by: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("SortMergeJoins stay inside the documented large-x-large allowlist") {
+    val smjs = plans.collect {
+      case (name, plan) if plan.contains("SortMergeJoin") => name }.toSet
+    val rogue = smjs -- smjAllowlist
+    assert(rogue.isEmpty,
+      s"undocumented SortMergeJoin planned by: ${rogue.toSeq.sorted.mkString(", ")} " +
+        "— either restore the broadcast or document the join in the " +
+        "allowlist + PLANS dump")
+  }
+
+  test("the SMJ detector fires when broadcasts are disabled") {
+    // sensitivity check: force every equi-join to SMJ on one
+    // representative star-join query and confirm the detector's
+    // predicate sees what the allowlist test would flag
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = AnalyticsQueries.q5Join(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "q5_join kept broadcasting with the threshold disabled — the " +
+          "allowlist test would not catch a real broadcast regression")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 }
