@@ -4,7 +4,7 @@ import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BytesToIp6, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6ToBytes, NumToIp4, TopKAgg, ZOrder2}
+import graft.functions.{BytesToIp6, CmsEstimate, CountMinAgg, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6ToBytes, NumToIp4, TopKAgg, ZOrder2}
 
 /** Spark extension entry point: registers graft's native expressions
   * into the session's function registry, so the library's surface is
@@ -88,6 +88,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_topk", 3, args)
         val k = intLiteral("graft_topk", args(2))
         TopKAgg(args(0), args(1), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "graft_cms"),
+      (args: Seq[Expression]) => {
+        arity("graft_cms", 3, args)
+        CountMinAgg(args(0),
+          intLiteral("graft_cms", args(1)),
+          intLiteral("graft_cms", args(2))).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (args: Seq[Expression]) => {
+        arity("graft_cms_estimate", 4, args)
+        CmsEstimate(args(0), args(1),
+          intLiteral("graft_cms_estimate", args(2)),
+          intLiteral("graft_cms_estimate", args(3)))
       }))
   }
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift audits between two corpus snapshots (SURVEY.md
+  * §2.3) — the statistical complement to Snapshot.diff: row-level diff
+  * says WHICH documents changed; these say whether the DISTRIBUTION a
+  * model trains on moved. A pipeline runs them per source/group before
+  * promoting a snapshot, and between the batch profile and a live
+  * stream (the A50s histogram emits exactly the state [[psi]] bins).
+  *
+  *   - [[ksStatistic]]: exact two-sample Kolmogorov-Smirnov distance,
+  *     ALL-INTEGER — D = max_x |F_a(x) - F_b(x)| is computed as
+  *     max |cum_a * n_b - cum_b * n_a| over the merged value ladder,
+  *     so both engines agree bit-for-bit with no float CDF anywhere
+  *     (the only float is one final IEEE division, exact on both).
+  *   - [[psi]]: population stability index over equi-width bins FIXED
+  *     by the reference side's [min, max] (current-side outliers clamp
+  *     into the edge bins — by construction of fixed bins, not data
+  *     loss), with additive alpha-smoothing so empty bins stay finite.
+  *     Per-bin counts are integer-exact; the PSI value itself sums ln
+  *     terms, so it is emitted rounded to 6 decimals — the documented
+  *     float-boundary discipline (Shared.moneySum) for a sum whose
+  *     cross-engine wobble is bounded far below the rounding grid.
+  *
+  * Scale shape (both): one groupBy(group, value-or-bin) partial
+  * aggregate per side (map-side combinable — the shuffle carries
+  * per-value/per-bin counts, never rows), one (group)-keyed full-outer
+  * merge, windows partitioned by group over the count ladder. No
+  * all-pairs term, no driver state; the group's ladder length bounds
+  * the window (distinct values for KS, nBins for PSI).
+  */
+object Drift {
+
+  /** Per-group exact two-sample KS: returns (group, n_a, n_b, d_num,
+    * ks) where ks = d_num / (n_a * n_b) and d_num is the integer
+    * max |cum_a * n_b - cum_b * n_a|. Long arithmetic is exact while
+    * n_a * n_b < 2^63 (~3e9 rows per side per group); past that the
+    * same plan runs with the three product columns cast to
+    * decimal(38,0) — documented upgrade path, not a silent overflow
+    * (Spark raises on long overflow under ANSI; the gate data is far
+    * inside the bound either way).
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    def sideCounts(df: DataFrame, cName: String) =
+      df.select(g, col(valueCol).as("__v")).filter(col("__v").isNotNull)
+        .groupBy(g, col("__v")).agg(count(lit(1)).as(cName))
+    val merged = sideCounts(a, "__ca")
+      .join(sideCounts(b, "__cb"), Seq(groupCol, "__v"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val ladder = Window.partitionBy(g).orderBy(col("__v"))
+    val whole = Window.partitionBy(g)
+    merged
+      .withColumn("__cuma", sum(col("__ca")).over(ladder))
+      .withColumn("__cumb", sum(col("__cb")).over(ladder))
+      .withColumn("n_a", sum(col("__ca")).over(whole))
+      .withColumn("n_b", sum(col("__cb")).over(whole))
+      .groupBy(g)
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        max(abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a")))
+          .as("d_num"))
+      .withColumn("ks",
+        col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+  }
+
+  /** The shared fixed-bin expression: reference-range equi-width with
+    * both-edge clamping (mirrored in [[psiBinSql]] so the oracle can
+    * compute the identical bin op-for-op).
+    */
+  private def refBin(v: Column, mn: Column, mx: Column, nBins: Int): Column =
+    when(mx === mn, lit(0)).otherwise(
+      least(lit(nBins - 1), greatest(lit(0),
+        floor((v - mn) * nBins / (mx - mn)).cast("int"))))
+
+  /** SQL twin of [[refBin]] for oracle authoring — kept next to the
+    * Scala definition so the two cannot drift (same convention as
+    * Profiling.histogramBinSql; outer CAST pins int32 on both engines).
+    */
+  def psiBinSql(v: String, mn: String, mx: String, nBins: Int): String =
+    s"CAST(CASE WHEN $mx = $mn THEN 0 ELSE " +
+      s"least(${nBins - 1}, greatest(0, " +
+      s"CAST(floor(($v - $mn) * $nBins / ($mx - $mn)) AS INTEGER))) END AS INTEGER)"
+
+  /** Per-(group, bin) PSI report: exact integer bin counts for both
+    * sides plus the group's PSI (repeated per row; one output frame,
+    * one gate hash). Smoothed proportions
+    * p = (c_ref + alpha) / (n_ref + alpha * nBins) keep empty bins
+    * finite; psi = round(sum (p - q) * ln(p / q), 6), summed in bin
+    * order (an ordered window, not an unordered aggregate — float sums
+    * must accumulate in a deterministic order to be comparable at
+    * all). Conventional read: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    * shifted.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valueCol: String, nBins: Int, alpha: Double = 1e-4): DataFrame = {
+    require(nBins > 0, s"nBins=$nBins")
+    val g = col(groupCol)
+    val refStats = ref.select(g, col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(g).agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    def sideBins(df: DataFrame, cName: String) =
+      df.select(g, col(valueCol).as("__v")).filter(col("__v").isNotNull)
+        .join(broadcast(refStats), groupCol)
+        .select(g, refBin(col("__v"), col("__mn"), col("__mx"), nBins).as("bin"))
+        .groupBy(g, col("bin")).agg(count(lit(1)).as(cName))
+    val merged = sideBins(ref, "c_ref")
+      .join(sideBins(cur, "c_cur"), Seq(groupCol, "bin"), "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    val whole = Window.partitionBy(g)
+    val ordered = Window.partitionBy(g).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    merged
+      .withColumn("n_ref", sum(col("c_ref")).over(whole))
+      .withColumn("n_cur", sum(col("c_cur")).over(whole))
+      // alpha * nBins as an IEEE expression (lit * lit), NOT a
+      // Scala-side constant fold — the oracle writes the same two-term
+      // product, and the two double multiplies must round identically
+      .withColumn("__p",
+        (col("c_ref") + lit(alpha)) / (col("n_ref") + lit(alpha) * lit(nBins)))
+      .withColumn("__q",
+        (col("c_cur") + lit(alpha)) / (col("n_cur") + lit(alpha) * lit(nBins)))
+      .withColumn("psi", round(
+        sum((col("__p") - col("__q")) * log(col("__p") / col("__q")))
+          .over(ordered), 6))
+      .select(g, col("bin"), col("c_ref"), col("c_cur"),
+        col("n_ref"), col("n_cur"), col("psi"))
+  }
+}

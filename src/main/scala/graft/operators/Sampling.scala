@@ -62,6 +62,31 @@ object Sampling {
     df.filter(bucketOf(key, salt, 1000) < permille)
   }
 
+  /** P9: exact-n quota sampling — keep EXACTLY min(n, stratum size)
+    * rows per stratum, chosen by deterministic hash order (md5 of the
+    * salted id, ties broken by id), so the quota set is reproducible
+    * across runs, engines, and partition layouts, and quotas for
+    * under-filled strata degrade to keep-all instead of upsampling.
+    * Rate-based sampling (stratifiedSample) cannot hit a row BUDGET;
+    * this is the operator behind "50k docs per source" data cards.
+    *
+    * Scale shape: one window sort per stratum — strata are enumerable
+    * sources, so the windows distribute across them; a pathological
+    * giant stratum would swap in the RankSelect bucket device (select
+    * the n-th smallest hash as a threshold, then filter) — same
+    * selection arithmetic, no one-task sort.
+    */
+  def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int, salt: String = "quota"): DataFrame = {
+    require(n > 0, s"invalid quota n=$n")
+    val key = md5(concat(lit(salt), lit("_"), col(idCol).cast("string")))
+    val w = Window.partitionBy(keyOf(col(stratumCol)))
+      .orderBy(key, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** P5: source mixing — downsample each source toward a target mix.
     * `shares(source)` is the share of the output each source should
     * contribute (missing sources get `defaultShare`), `totalFrac` the

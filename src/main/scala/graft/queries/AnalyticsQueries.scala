@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.CountMin
 import graft.operators.{AsofJoin, Funnel, IntervalJoin, Profiling}
 import Shared._
 
@@ -887,6 +888,30 @@ object AnalyticsQueries {
           .as("approx_ok"))
       .orderBy("event_type")
 
+  // A53: count-min sketch frequency estimates — same banded-self-check
+  // device as A10/A11: the CMS point estimate for every event type
+  // must sit in [exact, exact + 3 * total / width] (the one-sided CMS
+  // overcount guarantee with slack over the e/width expectation; the
+  // lower bound is structural — CMS never undercounts). Raw grid
+  // values stay in CountMinSpec; one depth x width grid aggregates
+  // the whole scan (mergeable, map-side combined), estimates read the
+  // broadcast result.
+  def qSketchCms(s: SparkSession, dir: String): DataFrame = {
+    val depth = 5
+    val width = 1024
+    val e = t(s, dir, "events")
+    val sk = e.agg(CountMin.sketch(col("event_type"), depth, width).as("sk"))
+    val est = CountMin.estimate(col("sk"), col("event_type"), depth, width)
+    e.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      .withColumn("__total", sum(col("exact_n")).over(Window.partitionBy()))
+      .crossJoin(broadcast(sk))
+      .select(col("event_type"), col("exact_n"),
+        (est >= col("exact_n") &&
+          est <= col("exact_n") + ceil(col("__total") * 3.0 / width).cast("long"))
+          .as("cms_ok"))
+      .orderBy("event_type")
+  }
+
   // A23: interval join — purchases within an hour of a click, per
   // user, via the bucketized window equi-join (never a per-key
   // cartesian product).
@@ -943,6 +968,7 @@ object AnalyticsQueries {
     "q_setops" -> qSetOps,
     "q_sketch_distinct" -> qSketchDistinct,
     "q_sketch_quantile" -> qSketchQuantile,
+    "q_sketch_cms" -> qSketchCms,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q5_join" -> q5Join,
@@ -1256,6 +1282,9 @@ object AnalyticsQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sketch_quantile" ->
       """SELECT event_type, count(*) AS n_rows, TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_cms" ->
+      """SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentile" ->
       """WITH r AS (

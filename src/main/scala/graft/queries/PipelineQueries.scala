@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Contamination, Dedup, IvfIndex, Materializer, Multimodal, Packing, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Packing, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -287,6 +287,42 @@ object PipelineQueries {
         least(col("n_chars"), lit(500)).cast("double") / lit(500.0),
         targetFrac = 0.25)
       .orderBy("doc_id")
+
+  // P9: exact-n quota sampling — 40 docs per source by deterministic
+  // hash order; under-filled sources keep everything.
+  def qQuotaSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.quotaSample(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", 40)
+      .orderBy("doc_id")
+
+  // C2: distribution-drift KS — the corpus is split into two synthetic
+  // snapshots by event-id parity (deterministic, roughly equal halves
+  // with the same distribution, so the gate exercises the full ladder
+  // merge at near-zero true drift) and the exact integer KS statistic
+  // is compared per event_type.
+  def qDriftKs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    Drift.ksStatistic(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 =!= 0),
+        "event_type", "value")
+      .orderBy("event_type")
+  }
+
+  // C3: distribution-drift PSI over 10 reference-range bins, same
+  // parity split; per-bin counts integer-exact, the PSI value itself
+  // round-6 (documented ln discipline in Drift.psi).
+  def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    Drift.psi(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 =!= 0),
+        "event_type", "value", nBins = 10)
+      .orderBy("event_type", "bin")
+  }
 
   // P7: corpus snapshot diff — the next pipeline run is synthesized
   // from the corpus (drop %7==0, rewrite %7==1, add %7==2 under new
@@ -637,6 +673,9 @@ object PipelineQueries {
     "q_ann_recall" -> qAnnRecall,
     "q_split" -> qSplit,
     "q_sample" -> qSample,
+    "q_quota_sample" -> qQuotaSample,
+    "q_drift_ks" -> qDriftKs,
+    "q_drift_psi" -> qDriftPsi,
     "q_weighted_sample" -> qWeightedSample,
     "q_shuffle" -> qShuffle,
     "q_normalize" -> qNormalize,
@@ -1052,6 +1091,76 @@ object PipelineQueries {
          |       WHEN $b < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // P9: the identical hash-order row_number cut. NULL sources form
+    // one partition on both sides (keyOf's sentinel vs SQL's NULL
+    // group — same grouping, no real source collides with either).
+    "q_quota_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5('quota_' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+    // C2: the same all-integer ladder — sums CAST back to BIGINT
+    // (DuckDB widens sum(BIGINT) to HUGEINT), products exact in 64-bit
+    // at gate scale, the one division on DOUBLEs on both engines.
+    "q_drift_ks" ->
+      """WITH a AS (SELECT event_type, value AS v, count(*) AS c1 FROM events
+        |           WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT event_type, value AS v, count(*) AS c2 FROM events
+        |      WHERE event_id % 2 <> 0 AND value IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |        coalesce(a.v, b.v) AS v,
+        |        coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+        |      FROM a FULL OUTER JOIN b
+        |        ON a.event_type = b.event_type AND a.v = b.v),
+        |c AS (SELECT event_type,
+        |        CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cuma,
+        |        CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cumb,
+        |        CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |        CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |      FROM m)
+        |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |  max(abs(cuma * nb - cumb * na)) AS d_num,
+        |  CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+        |    / CAST(max(na) * max(nb) AS DOUBLE) AS ks
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C3: bins via Drift.psiBinSql (the shared expression), smoothing
+    // constants CAST to DOUBLE so DuckDB's decimal literals never
+    // enter (Spark computes in doubles); psi summed in bin order.
+    "q_drift_psi" -> {
+      val bin = Drift.psiBinSql("e.value", "mn", "mx", 10)
+      """WITH rs AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |            FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+        |            GROUP BY 1),
+        |r AS (SELECT e.event_type, BINEXPR AS bin, count(*) AS c_ref
+        |      FROM events e JOIN rs USING (event_type)
+        |      WHERE e.event_id % 2 = 0 AND e.value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT e.event_type, BINEXPR AS bin, count(*) AS c_cur
+        |      FROM events e JOIN rs USING (event_type)
+        |      WHERE e.event_id % 2 <> 0 AND e.value IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT coalesce(r.event_type, c.event_type) AS event_type,
+        |        coalesce(r.bin, c.bin) AS bin,
+        |        coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+        |      FROM r FULL OUTER JOIN c
+        |        ON r.event_type = c.event_type AND r.bin = c.bin),
+        |t AS (SELECT event_type, bin, c_ref, c_cur,
+        |        CAST(sum(c_ref) OVER (PARTITION BY event_type) AS BIGINT) AS n_ref,
+        |        CAST(sum(c_cur) OVER (PARTITION BY event_type) AS BIGINT) AS n_cur
+        |      FROM m),
+        |p AS (SELECT *,
+        |        (c_ref + CAST(0.0001 AS DOUBLE))
+        |          / (n_ref + CAST(0.0001 AS DOUBLE) * 10) AS p,
+        |        (c_cur + CAST(0.0001 AS DOUBLE))
+        |          / (n_cur + CAST(0.0001 AS DOUBLE) * 10) AS q
+        |      FROM t)
+        |SELECT event_type, bin, c_ref, c_cur, n_ref, n_cur,
+        |  round(sum((p - q) * ln(p / q)) OVER (PARTITION BY event_type
+        |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING), 6) AS psi
+        |FROM p ORDER BY event_type, bin""".stripMargin
+        .replace("BINEXPR", bin)
     },
     "q_dedup_incremental" -> {
       val combine3 = {

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Drift
+
+/** Streaming twin of Drift.psi (C3): PSI of a LIVE stream against a
+  * static reference profile — the drift alarm a serving pipeline runs
+  * between nightly batch audits, from the same bin/smoothing
+  * definitions as the batch operator (zero train/serve drift; the
+  * parity spec replays a corpus through both paths and the round-6
+  * PSI values must agree exactly).
+  *
+  * The reference profile (per-group [min, max] + bin counts) is
+  * computed once from the reference corpus and broadcast into the
+  * update function — groups x nBins longs, the same config-sized
+  * footprint as the stream-vs-static anomaly profile
+  * (StreamingAnomaly). Per-group state is the current side's nBins
+  * counters — bounded forever, no watermark needed; each micro-batch
+  * emits the group's refreshed PSI (Update mode).
+  */
+// Serializable: the state-update closure calls psiOf, so the lambda
+// captures this object and ships it into the stateful operator's tasks
+object StreamingDrift extends Serializable {
+
+  final case class Valued(grp: String, v: Double)
+
+  final case class RefProfile(grp: String, mn: Double, mx: Double,
+      bins: Array[Long])
+
+  final case class PsiRow(grp: String, nCur: Long, psi: Double)
+
+  /** Build the broadcastable reference profile from a batch frame —
+    * the SAME bin expression as Drift.psi (clamped reference-range
+    * equi-width), collected per group. Bounded by construction:
+    * groups are an enumerable dimension x nBins longs.
+    */
+  def referenceProfile(ref: DataFrame, groupCol: String, valueCol: String,
+      nBins: Int): Map[String, RefProfile] = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val stats = ref.select(g, v).filter(v.isNotNull)
+      .groupBy(g).agg(min(v).as("__mn"), max(v).as("__mx"))
+    val bin = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+      least(lit(nBins - 1), greatest(lit(0),
+        floor((v - col("__mn")) * nBins / (col("__mx") - col("__mn")))
+          .cast("int"))))
+    ref.select(g, v).filter(v.isNotNull)
+      .join(broadcast(stats), groupCol)
+      .select(g.as("grp"), col("__mn"), col("__mx"), bin.as("__b"))
+      .groupBy(col("grp"), col("__mn"), col("__mx"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (grp, rows) =>
+        val bins = new Array[Long](nBins)
+        rows.foreach(r => bins(r.getInt(3)) = r.getLong(4))
+        grp -> RefProfile(grp, rows.head.getDouble(1), rows.head.getDouble(2),
+          bins)
+      }
+  }
+
+  /** The identical smoothed-PSI fold as Drift.psi, accumulated in bin
+    * order (the batch side sums an ordered window frame left to right
+    * — same order, same IEEE result, asserted in the spec).
+    */
+  private[streaming] def psiOf(cRef: Array[Long], cCur: Array[Long],
+      alpha: Double): Double = {
+    val nBins = cRef.length
+    val nRef = cRef.sum
+    val nCur = cCur.sum
+    var acc = 0.0
+    var i = 0
+    while (i < nBins) {
+      // a bin empty on BOTH sides has no row in the batch operator's
+      // merged frame (full-outer of two count tables) and contributes
+      // nothing there — skip it here too, or the smoothed p != q term
+      // of an absent bin would break round-6 parity when n_ref != n_cur
+      if (cRef(i) != 0L || cCur(i) != 0L) {
+        val p = (cRef(i) + alpha) / (nRef + alpha * nBins)
+        val q = (cCur(i) + alpha) / (nCur + alpha * nBins)
+        acc += (p - q) * math.log(p / q)
+      }
+      i += 1
+    }
+    BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  def psiVsReference(stream: Dataset[Valued], ref: Map[String, RefProfile],
+      nBins: Int, alpha: Double = 1e-4): Dataset[PsiRow] = {
+    require(nBins > 0, s"nBins=$nBins")
+    require(ref.values.forall(_.bins.length == nBins),
+      "reference profile bin count != nBins")
+    val spark = stream.sparkSession
+    import spark.implicits._
+
+    def update(grp: String, it: Iterator[Valued],
+        state: GroupState[Array[Long]]): Iterator[PsiRow] =
+      ref.get(grp) match {
+        case None => Iterator.empty // group unseen in the reference
+        case Some(profile) =>
+          val cur = state.getOption.getOrElse(new Array[Long](nBins))
+          it.foreach { r =>
+            val b =
+              if (profile.mx == profile.mn) 0
+              else math.min(nBins - 1, math.max(0,
+                math.floor((r.v - profile.mn) * nBins /
+                  (profile.mx - profile.mn)).toInt))
+            cur(b) += 1
+          }
+          state.update(cur)
+          Iterator.single(PsiRow(grp, cur.sum, psiOf(profile.bins, cur, alpha)))
+      }
+
+    stream.groupByKey(_.grp)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+}

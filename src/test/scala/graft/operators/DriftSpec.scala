@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DriftSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ksStatistic: hand-computed ladder, integer-exact") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: F_a - F_b peaks at x in [2,3):
+    // cum_a=2, cum_b=0 → |2*4 - 0*4| = 8, ks = 8/16 = 0.5
+    val a = Seq(1, 2, 3, 4).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val b = Seq(3, 4, 5, 6).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val got = Drift.ksStatistic(a, b, "grp", "v")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("g", 4L, 4L, 8L, 0.5)))
+  }
+
+  test("ksStatistic: identical samples give zero, disjoint give one") {
+    val x = (1 to 100).map(v => ("g", (v % 13).toDouble)).toDF("grp", "v")
+    val same = Drift.ksStatistic(x, x, "grp", "v")
+      .select("d_num", "ks").as[(Long, Double)].head()
+    assert(same == ((0L, 0.0)))
+
+    val lo = (1 to 50).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val hi = (1 to 50).map(v => ("g", (v + 100).toDouble)).toDF("grp", "v")
+    val apart = Drift.ksStatistic(lo, hi, "grp", "v")
+      .select("ks").as[Double].head()
+    assert(apart == 1.0)
+  }
+
+  test("ksStatistic: ties across sides merge into one ladder rung") {
+    // duplicated values on both sides; independent groups isolated
+    val a = Seq(("g", 1.0), ("g", 1.0), ("g", 2.0), ("h", 5.0))
+      .toDF("grp", "v")
+    val b = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("h", 5.0))
+      .toDF("grp", "v")
+    val got = Drift.ksStatistic(a, b, "grp", "v")
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // g: at v=1 |2*3 - 1*3| = 3 → ks = 3/9; h: identical → 0
+    assert(got == Seq(("g", 3L, 3L, 3L, 3.0 / 9.0), ("h", 1L, 1L, 0L, 0.0)))
+  }
+
+  test("psi: zero for identical sides, large for a shifted distribution") {
+    val ref = (1 to 200).map(v => ("g", (v % 10).toDouble)).toDF("grp", "v")
+    val zero = Drift.psi(ref, ref, "grp", "v", nBins = 5)
+      .select("psi").as[Double].collect()
+    assert(zero.forall(_ == 0.0))
+
+    // current mass entirely in the top of the reference range
+    val cur = (1 to 200).map(v => ("g", 9.0)).toDF("grp", "v")
+    val shifted = Drift.psi(ref, cur, "grp", "v", nBins = 5)
+      .select("psi").as[Double].head()
+    assert(shifted > 0.25, s"psi=$shifted should flag a full shift")
+  }
+
+  test("psi: counts are exact, outliers clamp into edge bins, mass conserved") {
+    val ref = (0 until 100).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    // current has values far outside the reference range on both sides
+    val cur = (Seq(-500.0, -400.0, 600.0) ++
+      (0 until 97).map(_.toDouble)).map(("g", _)).toDF("grp", "v")
+    val rows = Drift.psi(ref, cur, "grp", "v", nBins = 4)
+      .orderBy("bin")
+      .as[(String, Int, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._2) == Seq(0, 1, 2, 3))
+    assert(rows.map(_._3).sum == 100L)
+    assert(rows.map(_._4).sum == 100L)
+    // bins are 25-wide over [0,99]; clamped: bin0 = 25 ref vs 25+2 cur
+    assert(rows(0)._3 == 25L && rows(0)._4 == 27L)
+    assert(rows(3)._3 == 25L && rows(3)._4 == 23L) // 22 in-range + 600.0
+  }
+}

@@ -155,4 +155,27 @@ class SamplingSpec extends SparkSuite {
     assert(viaFilter.select("doc_id").except(direct.select("doc_id")).isEmpty)
     assert(direct.select("doc_id").except(viaFilter.select("doc_id")).isEmpty)
   }
+
+  test("quotaSample: exactly n per stratum, keep-all when under-filled") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 110).map(i => (i.toLong, "small")) ++
+      (111 to 113).map(i => (i.toLong, null: String)))
+      .toDF("doc_id", "src")
+    val got = Sampling.quotaSample(df, "src", "doc_id", 20)
+    val bySrc = got.groupBy("src").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(bySrc == Map(Some("big") -> 20L, Some("small") -> 10L,
+      None -> 3L))
+  }
+
+  test("quotaSample is layout-stable and salt-sensitive") {
+    val df = (1 to 200).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "src")
+    def ids(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.quotaSample(d, "src", "doc_id", 15, salt)
+        .select("doc_id").as[Long].collect().toSet
+    val base = ids(df, "quota")
+    assert(ids(df.repartition(13), "quota") == base)
+    assert(ids(df, "quota2") != base)
+    assert(base.size == 45)
+  }
 }

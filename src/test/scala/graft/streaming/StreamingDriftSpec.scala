@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.operators.Drift
+import StreamingDrift.Valued
+
+/** The streaming PSI must equal the batch Drift.psi round-6 value when
+  * the stream replays the current-side corpus — same bins, same
+  * smoothing, same accumulation order.
+  */
+class StreamingDriftSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val nBins = 8
+
+  test("replaying the current side reproduces the batch PSI exactly") {
+    implicit val ctx = spark.sqlContext
+    val rngR = new scala.util.Random(3)
+    val rngC = new scala.util.Random(4)
+    val refRows = (1 to 600).map(_ => Valued(s"g${rngR.nextInt(3)}",
+      rngR.nextDouble() * 50))
+    // current drawn from a shifted distribution + outliers beyond the
+    // reference range (exercises the clamp on the streaming side)
+    val curRows = (1 to 500).map(_ => Valued(s"g${rngC.nextInt(3)}",
+      rngC.nextDouble() * 70 - 10))
+
+    val refDf = refRows.map(v => (v.grp, v.v)).toDF("grp", "v")
+    val curDf = curRows.map(v => (v.grp, v.v)).toDF("grp", "v")
+    val batch = Drift.psi(refDf, curDf, "grp", "v", nBins)
+      .select("grp", "psi").distinct()
+      .as[(String, Double)].collect().toMap
+
+    val profile = StreamingDrift.referenceProfile(refDf, "grp", "v", nBins)
+    val in = MemoryStream[Valued]
+    val query = StreamingDrift.psiVsReference(in.toDS(), profile, nBins)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("update").start()
+    try {
+      curRows.grouped(180).foreach { b =>
+        in.addData(b: _*); query.processAllAvailable() }
+      val streamed = spark.table("drift_stream")
+        .withColumn("seq", monotonically_increasing_id())
+        .groupBy("grp")
+        .agg(max_by(struct(col("nCur"), col("psi")), col("seq")).as("e"))
+        .select(col("grp"), col("e.nCur"), col("e.psi"))
+        .as[(String, Long, Double)].collect()
+      assert(streamed.map(_._1).toSet == batch.keySet)
+      streamed.foreach { case (g, n, psi) =>
+        assert(n == curRows.count(_.grp == g))
+        assert(psi == batch(g), s"$g: streaming $psi != batch ${batch(g)}")
+      }
+    } finally query.stop()
+  }
+
+  test("groups unseen in the reference emit nothing; state stays bounded") {
+    implicit val ctx = spark.sqlContext
+    val refDf = (1 to 50).map(i => ("known", i.toDouble)).toDF("grp", "v")
+    val profile = StreamingDrift.referenceProfile(refDf, "grp", "v", nBins)
+    val in = MemoryStream[Valued]
+    val query = StreamingDrift.psiVsReference(in.toDS(), profile, nBins)
+      .writeStream.format("memory").queryName("drift_unknown")
+      .outputMode("update").start()
+    try {
+      in.addData(Valued("ghost", 1.0), Valued("known", 25.0))
+      query.processAllAvailable()
+      val rows = spark.table("drift_unknown")
+        .select("grp").as[String].collect().toSeq
+      assert(rows == Seq("known"))
+    } finally query.stop()
+  }
+}
