@@ -49,9 +49,34 @@ object Drift {
     def sideCounts(df: DataFrame, cName: String) =
       df.select(g, col(valueCol).as("__v")).filter(col("__v").isNotNull)
         .groupBy(g, col("__v")).agg(count(lit(1)).as(cName))
-    val merged = sideCounts(a, "__ca")
+    ksLadder(sideCounts(a, "__ca")
       .join(sideCounts(b, "__cb"), Seq(groupCol, "__v"), "full_outer")
-      .na.fill(0L, Seq("__ca", "__cb"))
+      .na.fill(0L, Seq("__ca", "__cb")), groupCol)
+  }
+
+  /** [[ksStatistic]] when both snapshots live in ONE frame separated
+    * by a boolean (snapshot-id, time-half, parity…): a single scan and
+    * a single (group, value) shuffle build both ladders as conditional
+    * counts — half the IO of the two-frame form, same result. This is
+    * the common monitoring shape ("this week vs last week of the same
+    * table"), so it gets the fused plan.
+    */
+  def ksStatisticSplit(df: DataFrame, sideA: Column, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    ksLadder(
+      df.select(g, col(valueCol).as("__v"), sideA.as("__sa"))
+        .filter(col("__v").isNotNull)
+        .groupBy(g, col("__v"))
+        .agg(
+          sum(when(col("__sa"), 1L).otherwise(0L)).as("__ca"),
+          sum(when(!col("__sa"), 1L).otherwise(0L)).as("__cb")),
+      groupCol)
+  }
+
+  /** Shared KS tail over a merged (group, __v, __ca, __cb) ladder. */
+  private def ksLadder(merged: DataFrame, groupCol: String): DataFrame = {
+    val g = col(groupCol)
     val ladder = Window.partitionBy(g).orderBy(col("__v"))
     val whole = Window.partitionBy(g)
     merged
@@ -109,9 +134,42 @@ object Drift {
         .join(broadcast(refStats), groupCol)
         .select(g, refBin(col("__v"), col("__mn"), col("__mx"), nBins).as("bin"))
         .groupBy(g, col("bin")).agg(count(lit(1)).as(cName))
-    val merged = sideBins(ref, "c_ref")
+    psiTail(sideBins(ref, "c_ref")
       .join(sideBins(cur, "c_cur"), Seq(groupCol, "bin"), "full_outer")
-      .na.fill(0L, Seq("c_ref", "c_cur"))
+      .na.fill(0L, Seq("c_ref", "c_cur")), groupCol, nBins, alpha)
+  }
+
+  /** [[psi]] when both sides live in ONE frame separated by a boolean
+    * — one stats pass over the reference rows, then ONE binning scan
+    * with conditional counts instead of two (the same fused-monitoring
+    * rationale as [[ksStatisticSplit]]).
+    */
+  def psiSplit(df: DataFrame, refSide: Column, groupCol: String,
+      valueCol: String, nBins: Int, alpha: Double = 1e-4): DataFrame = {
+    require(nBins > 0, s"nBins=$nBins")
+    val g = col(groupCol)
+    val rows = df.select(g, col(valueCol).as("__v"), refSide.as("__r"))
+      .filter(col("__v").isNotNull)
+    val refStats = rows.filter(col("__r"))
+      .groupBy(g).agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    psiTail(rows
+      .join(broadcast(refStats), groupCol)
+      .select(g, col("__r"),
+        refBin(col("__v"), col("__mn"), col("__mx"), nBins).as("bin"))
+      .groupBy(g, col("bin"))
+      .agg(
+        sum(when(col("__r"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("__r"), 1L).otherwise(0L)).as("c_cur")),
+      groupCol, nBins, alpha)
+      // (both-empty bins cannot arise here: every (group, bin) row is
+      // witnessed by at least one input row — same bin set as the
+      // two-frame full-outer merge)
+  }
+
+  /** Shared PSI tail over merged (group, bin, c_ref, c_cur) rows. */
+  private def psiTail(merged: DataFrame, groupCol: String, nBins: Int,
+      alpha: Double): DataFrame = {
+    val g = col(groupCol)
     val whole = Window.partitionBy(g)
     val ordered = Window.partitionBy(g).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid, TPAMI 2011): compress
+  * a D-dim vector to `m` small codes by splitting it into m subspaces
+  * and snapping each subvector to its nearest codeword from a
+  * per-subspace codebook of `ksub` entries. The 100 TB story: the
+  * embedding store shrinks from D doubles to m bytes per vector
+  * (64x here), small enough to keep the WHOLE corpus's codes hot in
+  * executor memory, and search touches no raw vectors at all —
+  * asymmetric distance (ADC) reads only the query vector and the
+  * codes. Composes with IVF (route with probeCells, then ADC inside
+  * the probed cells) for the standard IVF-PQ billion-scale layout.
+  *
+  * Like IvfIndex, the build here is the DETERMINISTIC bootstrap
+  * (codewords = the ksub lowest-id vectors' subvectors, zero Lloyd
+  * iterations) so every number — codes included — is reproducible
+  * bit-exactly by an external engine; a k-means refinement would slot
+  * into the same Codebook shape.
+  *
+  * Float discipline: every distance is built from sequential-fold dot
+  * products (Similarity.dotD == DuckDB list_dot_product, proven by the
+  * IVF gate) and the ADC sum folds subspaces in ascending order
+  * (aggregate == list_reduce over an s-ordered list), so estimates are
+  * bit-identical cross-engine and rank ties cannot flip.
+  */
+object PqIndex {
+
+  /** words(s)(j) = codeword j of subspace s (dsub doubles); norms
+    * precomputed by the same fold the data side uses.
+    */
+  final case class Codebook(m: Int, dsub: Int, ksub: Int,
+      words: Array[Array[Array[Double]]], norms: Array[Array[Double]])
+
+  /** Build the deterministic codebook and encode every vector:
+    * returns (codebook, codes frame with (vec_id, codes array<int>)).
+    * Assignment per subspace: argmin_j of (|w|^2 - 2<sub, w>) — the
+    * |sub|^2 term is constant per (vector, subspace) and cannot move
+    * the argmin, so both engines skip it identically; ties go to the
+    * lower j via the (d, j) struct sort.
+    */
+  def buildDeterministic(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): (Codebook, DataFrame) = {
+    val n = Similarity.withNorm(vecs, idCol, vecCol)
+    val sample = n.orderBy(col("vec_id")).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length == ksub, s"corpus smaller than ksub=$ksub")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val words = Array.tabulate(m, ksub)((s, j) =>
+      sample(j).slice(s * dsub, (s + 1) * dsub))
+    val norms = words.map(_.map(_.foldLeft(0.0)((acc, x) => acc + x * x)))
+    val cb = Codebook(m, dsub, ksub, words, norms)
+    (cb, n.select(col("vec_id"), encodeExpr(col("v"), cb).as("codes")))
+  }
+
+  /** codes = array over s of the argmin codeword index. */
+  private def encodeExpr(v: Column, cb: Codebook): Column =
+    array((0 until cb.m).map { s =>
+      val sub = slice(v, s * cb.dsub + 1, cb.dsub)
+      val dists = array((0 until cb.ksub).map { j =>
+        struct(
+          (lit(cb.norms(s)(j)) -
+            lit(2.0) * Similarity.dotD(sub, litArray(cb.words(s)(j))))
+            .as("d"),
+          lit(j).as("j"))
+      }: _*)
+      element_at(array_sort(dists), 1).getField("j")
+    }: _*)
+
+  private def litArray(xs: Array[Double]): Column =
+    array(xs.toIndexedSeq.map(lit): _*)
+
+  /** Top-k neighbors per query by ADC distance over the code table:
+    * d2est(q, x) = sum over s of |q_s|^2 - 2<q_s, w[s][code]> +
+    * |w[s][code]|^2 — the exact squared L2 to x's RECONSTRUCTION,
+    * folded in subspace order. The query set broadcasts; the scan
+    * reads only (vec_id, codes) — m ints per row, never a vector.
+    */
+  /** The ADC estimate expression over (query vector, candidate codes)
+    * — codebook words/norms as nested literals, subspaces folded
+    * ascending.
+    */
+  private def adcEst(cb: Codebook, qv: Column, codes: Column): Column = {
+    val wLit = array(cb.words.map(sw =>
+      array(sw.map(litArray).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val nLit = array(cb.norms.map(sn =>
+      array(sn.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
+    aggregate(
+      sequence(lit(0), lit(cb.m - 1)), lit(0.0),
+      (acc: Column, s: Column) => {
+        val sub = slice(qv, s * cb.dsub + 1, lit(cb.dsub))
+        val code = element_at(codes, s + 1)
+        acc + (Similarity.dotD(sub, sub)
+          - lit(2.0) * Similarity.dotD(sub,
+            element_at(element_at(wLit, s + 1), code + 1))
+          + element_at(element_at(nLit, s + 1), code + 1))
+      })
+  }
+
+  def searchAdc(cb: Codebook, codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = Similarity.withNorm(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2est"), col("vec_id"))
+    broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
+      .withColumn("d2est", adcEst(cb, col("qv"), col("codes")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"), round(col("d2est"), 6).as("d2est"))
+  }
+
+  /** IVF-PQ — the standard billion-scale layout (coarse quantizer
+    * routes, PQ codes rank): probe the `nprobe` nearest IVF cells per
+    * query, then ADC-rank ONLY the codes stored in those cells. The
+    * shuffle is the cell-id equi-join of the IVF search; the payload
+    * per candidate is m ints instead of the raw vector. Same ADC fold
+    * as [[searchAdc]], so the selection restricted to the probed cells
+    * is identical (spec-asserted).
+    */
+  def searchIvfAdc(ivf: IvfIndex.Index, cb: Codebook, codes: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val np = math.min(nprobe, ivf.centroids.length)
+    val cellCodes = ivf.cells.select(col("vec_id"), col("cell"))
+      .join(codes, "vec_id")
+    val q = Similarity.withNorm(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm2").as("qn"))
+      .withColumn("cell",
+        explode(IvfIndex.probeCells(col("qv"), col("qn"), ivf.centroids, np)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2est"), col("vec_id"))
+    broadcast(q).join(cellCodes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d2est", adcEst(cb, col("qv"), col("codes")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"), round(col("d2est"), 6).as("d2est"))
+  }
+}

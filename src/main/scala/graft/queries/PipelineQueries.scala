@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Packing, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Packing, PqIndex, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -263,6 +263,23 @@ object PipelineQueries {
       .orderBy("nprobe", "query_id")
   }
 
+  // S9: product-quantized ANN — deterministic codebook (the ksub
+  // lowest-id vectors' subvectors, zero Lloyd iterations — same
+  // bootstrap convention as the IVF gate), every vector compressed to
+  // m=8 codes, search by asymmetric distance over the code table
+  // only. Oracle-checked END-TO-END: DuckDB rebuilds the codebook,
+  // re-encodes every vector, and folds the identical ADC sum
+  // (list_reduce over an s-ordered list == the ascending aggregate
+  // fold), so codes, estimates, and ranks all match bit-for-bit.
+  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (cb, codes) = PqIndex.buildDeterministic(e, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    PqIndex.searchAdc(cb, codes, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .orderBy("query_id", "rnk")
+  }
+
   // P2: deterministic train/val/test split (80/10/10 by id hash).
   def qSplit(s: SparkSession, dir: String): DataFrame =
     Sampling.hashSplit(
@@ -301,28 +318,22 @@ object PipelineQueries {
   // with the same distribution, so the gate exercises the full ladder
   // merge at near-zero true drift) and the exact integer KS statistic
   // is compared per event_type.
-  def qDriftKs(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("event_type"), col("event_id"), col("value"))
-    Drift.ksStatistic(
-        e.filter(col("event_id") % 2 === 0),
-        e.filter(col("event_id") % 2 =!= 0),
-        "event_type", "value")
+  def qDriftKs(s: SparkSession, dir: String): DataFrame =
+    Drift.ksStatisticSplit(
+        t(s, dir, "events").select(col("event_type"), col("event_id"),
+          col("value")),
+        col("event_id") % 2 === 0, "event_type", "value")
       .orderBy("event_type")
-  }
 
   // C3: distribution-drift PSI over 10 reference-range bins, same
   // parity split; per-bin counts integer-exact, the PSI value itself
   // round-6 (documented ln discipline in Drift.psi).
-  def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("event_type"), col("event_id"), col("value"))
-    Drift.psi(
-        e.filter(col("event_id") % 2 === 0),
-        e.filter(col("event_id") % 2 =!= 0),
-        "event_type", "value", nBins = 10)
+  def qDriftPsi(s: SparkSession, dir: String): DataFrame =
+    Drift.psiSplit(
+        t(s, dir, "events").select(col("event_type"), col("event_id"),
+          col("value")),
+        col("event_id") % 2 === 0, "event_type", "value", nBins = 10)
       .orderBy("event_type", "bin")
-  }
 
   // P7: corpus snapshot diff — the next pipeline run is synthesized
   // from the corpus (drop %7==0, rewrite %7==1, add %7==2 under new
@@ -671,6 +682,7 @@ object PipelineQueries {
     "q_ann_stream_topk" -> qAnnStreamTopk,
     "q_ann_ivf_sweep" -> qAnnIvfSweep,
     "q_ann_recall" -> qAnnRecall,
+    "q_ann_pq" -> qAnnPq,
     "q_split" -> qSplit,
     "q_sample" -> qSample,
     "q_quota_sample" -> qQuotaSample,
@@ -1084,6 +1096,46 @@ object PipelineQueries {
          |  AND bn.neighbor_id = iv.neighbor_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    // S9: DuckDB rebuilds the whole PQ pipeline — codebook from the 16
+    // lowest-id vectors' slices, per-subspace argmin encode (same
+    // reduced |w|^2 - 2<sub,w> objective; the |sub|^2 term is
+    // rank-invariant on both engines), then the ADC fold as
+    // list_reduce over an s-ORDERED list_transform (== Spark's
+    // ascending aggregate; t0 + 0.0 == t0, so the missing init is
+    // exact). The codebook flattens s-major into one 128-entry list so
+    // the per-candidate lookup is pure indexing, no joins inside the
+    // fold.
+    "q_ann_pq" ->
+      s"""WITH $normCte,
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS w
+         |       FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)),
+         |cw AS (SELECT ss.s, cb.j, cb.w[ss.s*8+1 : ss.s*8+8] AS cw
+         |       FROM cb, (SELECT unnest(generate_series(0, 7)) AS s) ss),
+         |cwn AS (SELECT s, j, cw, list_dot_product(cw, cw) AS wn FROM cw),
+         |enc0 AS (SELECT n.vec_id, c.s, c.j,
+         |           c.wn - 2.0 * list_dot_product(n.v[c.s*8+1 : c.s*8+8], c.cw) AS d
+         |         FROM n, cwn c),
+         |enc AS (SELECT vec_id, s, j AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY d, j) AS rn FROM enc0) WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(code ORDER BY s) AS codes
+         |          FROM enc GROUP BY vec_id),
+         |cbl AS (SELECT list(cw ORDER BY s, j) AS flat,
+         |               list(wn ORDER BY s, j) AS flatn FROM cwn),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id < 10),
+         |est AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(generate_series(0, 7), s ->
+         |      list_dot_product(q.qv[s*8+1 : s*8+8], q.qv[s*8+1 : s*8+8])
+         |      - 2.0 * list_dot_product(q.qv[s*8+1 : s*8+8],
+         |          b.flat[s*16 + c.codes[s+1] + 1])
+         |      + b.flatn[s*16 + c.codes[s+1] + 1]),
+         |     (x, y) -> x + y) AS d2
+         |  FROM q, codes c, cbl b WHERE q.query_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY d2, neighbor_id) AS rnk FROM est)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+         |  round(d2, 6) AS d2est
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_split" -> {
       val b = graft.operators.Sampling.bucketOfSql("doc_id", "split", 100)
       s"""SELECT doc_id, lang,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{IvfIndex, Similarity}
+import graft.operators.{IvfIndex, PqIndex, Similarity}
 
 /** Scale-stress probe for the ANN family (dev tooling, test scope):
   * replicates the sf0.1 embeddings corpus k = 1/4/16/64 times (2k ->
@@ -70,6 +70,21 @@ object ProbeScaleAnn {
       time(s"lsh 8pl k=$k") {
         Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5, 8, 64)
           .count()
+      }
+      // PQ: encode once (the nightly compression pass, timed
+      // separately), then ADC scans m ints per vector instead of 64
+      // floats — the slope should sit between brute and IVF, with the
+      // win growing as the corpus stops fitting raw vectors in memory
+      val (cb, codes0) = PqIndex.buildDeterministic(corpus, "vec_id",
+        "embedding", m = 8, ksub = 16)
+      val codes = codes0.localCheckpoint(eager = true)
+      time(s"pq adc k=$k") {
+        PqIndex.searchAdc(cb, codes, queries, "vec_id", "embedding", 5)
+          .count()
+      }
+      time(s"ivfpq np=4 k=$k") {
+        PqIndex.searchIvfAdc(cells, cb, codes, queries, "vec_id",
+          "embedding", k = 5, nprobe = 4).count()
       }
     }
     spark.stop()

@@ -43,6 +43,27 @@ class DriftSpec extends SparkSuite {
     assert(got == Seq(("g", 3L, 3L, 3L, 3.0 / 9.0), ("h", 1L, 1L, 0L, 0.0)))
   }
 
+  test("split variants equal the two-frame forms row-for-row") {
+    val rng = new scala.util.Random(19)
+    val rows = (1 to 800).map(i =>
+      (s"g${rng.nextInt(3)}", rng.nextDouble() * 40, i % 2 == 0))
+    val df = rows.toDF("grp", "v", "is_a")
+    val a = df.filter(col("is_a")).select("grp", "v")
+    val b = df.filter(!col("is_a")).select("grp", "v")
+
+    val ks2 = Drift.ksStatistic(a, b, "grp", "v")
+      .orderBy("grp").collect().toSeq
+    val ks1 = Drift.ksStatisticSplit(df, col("is_a"), "grp", "v")
+      .orderBy("grp").collect().toSeq
+    assert(ks1 == ks2)
+
+    val psi2 = Drift.psi(a, b, "grp", "v", nBins = 6)
+      .orderBy("grp", "bin").collect().toSeq
+    val psi1 = Drift.psiSplit(df, col("is_a"), "grp", "v", nBins = 6)
+      .orderBy("grp", "bin").collect().toSeq
+    assert(psi1 == psi2)
+  }
+
   test("psi: zero for identical sides, large for a shifted distribution") {
     val ref = (1 to 200).map(v => ("g", (v % 10).toDouble)).toDF("grp", "v")
     val zero = Drift.psi(ref, ref, "grp", "v", nBins = 5)

@@ -37,7 +37,14 @@ class PlanAuditSpec extends SparkSuite {
     // (verified in the PLANS_r8 dump after the r8 sharing fix). The
     // lazy audit keeps the full un-truncated lineage, so the planner
     // sees the pre-materialization join shape.
-    Set("q_ann_recall", "q_ann_ivf_sweep", "q_dedup_clusters")
+    Set("q_ann_recall", "q_ann_ivf_sweep", "q_dedup_clusters") ++
+    // SMJ at sf0.1+ only (PLANS_r9, AQE-final plans): both join
+    // per-network aggregates that the preceding rank/spine window
+    // already hash-partitioned on network — the SMJ reuses that
+    // partitioning with a sort and no exchange, where a broadcast
+    // would ADD one. Correct plan, documented, allowlisted so a stats
+    // shift at sf0.001 doesn't read as a regression.
+    Set("q_mad_anomaly", "q_baseline_ewma")
 
   private lazy val plans: Map[String, String] = {
     val prev = spark.conf.getOption(Materializer.ConfKey)
