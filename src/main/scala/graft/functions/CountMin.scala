@@ -34,7 +34,7 @@ object CountMin {
     * with a per-row seed, finished with a splitmix64 avalanche — the
     * standard pairwise-independent-enough family for CMS in practice.
     */
-  private[functions] def hashAt(item: UTF8String, r: Int, width: Int): Int = {
+  private[graft] def hashAt(item: UTF8String, r: Int, width: Int): Int = {
     val bytes = item.getBytes
     var h = 0xcbf29ce484222325L ^ (0x9e3779b97f4a7c15L * (r + 1))
     var i = 0

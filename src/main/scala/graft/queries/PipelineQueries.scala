@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Packing, PqIndex, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Packing, PqIndex, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -304,6 +304,14 @@ object PipelineQueries {
         least(col("n_chars"), lit(500)).cast("double") / lit(500.0),
         targetFrac = 0.25)
       .orderBy("doc_id")
+
+  // T14: BPE merge training — 8 merges learned from the documents
+  // corpus; the oracle RE-TRAINS in SQL (8 unrolled stages of
+  // pair-count -> argmax -> greedy-fold merge), so the learned merges
+  // themselves are the gated artifact.
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(t(s, dir, "documents").select("text"), "text", merges = 8)
+      .orderBy("iter")
 
   // P9: exact-n quota sampling — 40 docs per source by deterministic
   // hash order; under-filled sources keep everything.
@@ -686,6 +694,7 @@ object PipelineQueries {
     "q_split" -> qSplit,
     "q_sample" -> qSample,
     "q_quota_sample" -> qQuotaSample,
+    "q_bpe_merges" -> qBpeMerges,
     "q_drift_ks" -> qDriftKs,
     "q_drift_psi" -> qDriftPsi,
     "q_weighted_sample" -> qWeightedSample,
@@ -1143,6 +1152,35 @@ object PipelineQueries {
          |       WHEN $b < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // T14: DuckDB re-trains BPE end-to-end — the k stages unroll into
+    // k CTE triples (pair counts via the unnest device, argmax with
+    // the same (c DESC, l, r) total order, the merge applied by
+    // Bpe.mergeFoldSql's list_reduce — the Spark fold's SQL twin,
+    // learning l/r from the cross-joined 1-row argmax CTE).
+    "q_bpe_merges" -> {
+      val k = 8
+      val init =
+        """w0 AS (SELECT trim(regexp_replace(token, '(.)', '\1 ', 'g')) AS syms,
+          |         CAST(count(*) AS BIGINT) AS wc
+          |       FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          |             FROM documents) tk
+          |       WHERE regexp_matches(token, '^[a-z]+$')
+          |       GROUP BY 1)""".stripMargin
+      val stages = (1 to k).map { i =>
+        s"""p$i AS (SELECT a[i] AS l, a[i + 1] AS r, sum(wc) AS c FROM
+           |    (SELECT wc, a, unnest(generate_series(1, len(a) - 1)) AS i
+           |     FROM (SELECT wc, string_split(syms, ' ') AS a FROM w${i - 1}) t0) t1
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+           |w$i AS (SELECT ${Bpe.mergeFoldSql("w.syms", "b.l", "b.r")} AS syms, w.wc
+           |        FROM w${i - 1} w, b$i b)""".stripMargin
+      }
+      val sel = (1 to k).map(i =>
+        s"""SELECT $i AS iter, l AS "left", r AS "right",
+           |  CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
+        .mkString("\nUNION ALL ")
+      s"WITH $init,\n${stages.mkString(",\n")}\n$sel\nORDER BY iter"
     },
     // P9: the identical hash-order row_number cut. NULL sources form
     // one partition on both sides (keyOf's sentinel vs SQL's NULL

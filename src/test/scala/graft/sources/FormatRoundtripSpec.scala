@@ -11,20 +11,26 @@ import graft.SparkSuite
   */
 class FormatRoundtripSpec extends SparkSuite {
 
-  test("operators are source-agnostic (parquet == csv == json)") {
+  // (spark-avro is not bundled in this container's /opt/spark/jars —
+  // the Avro leg is environment-blocked, same honesty rule as the
+  // MP3/AAC codec seam; ORC ships inside spark-sql and is covered.)
+  test("operators are source-agnostic (parquet == csv == json == orc)") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.load(spark, dir, "documents")
 
     val csvPath = "/tmp/graft-docs-csv"
     val jsonPath = "/tmp/graft-docs-json"
+    val orcPath = "/tmp/graft-docs-orc"
     docs.write.mode("overwrite").option("header", "true")
       .option("quote", "\"").option("escape", "\"").csv(csvPath)
     docs.write.mode("overwrite").json(jsonPath)
+    docs.write.mode("overwrite").orc(orcPath)
 
     val fromCsv = spark.read.option("header", "true")
       .option("quote", "\"").option("escape", "\"")
       .schema(docs.schema).csv(csvPath)
     val fromJson = spark.read.schema(docs.schema).json(jsonPath)
+    val fromOrc = spark.read.schema(docs.schema).orc(orcPath)
 
     def fingerprints(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       graft.operators.TextAnalysis.fingerprint(df, "doc_id", "text")
@@ -35,6 +41,7 @@ class FormatRoundtripSpec extends SparkSuite {
     assert(base.size == 500)
     assert(fingerprints(fromCsv) == base)
     assert(fingerprints(fromJson) == base)
+    assert(fingerprints(fromOrc) == base)
   }
 
   import graft.operators.Baseline
