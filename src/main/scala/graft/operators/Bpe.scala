@@ -37,7 +37,17 @@ object Bpe {
     * pair_count at selection time).
     */
   def train(df: DataFrame, textCol: String, merges: Int,
-      minWordCount: Long = 1L): DataFrame = {
+      minWordCount: Long = 1L): DataFrame =
+    trainWithVocab(df, textCol, merges, minWordCount)._1
+
+  /** The trained tokenizer artifact pair: (learned merges, the vocab
+    * segmented by them — one row (word, syms, wc) with `syms` the
+    * space-joined subword sequence). The segmented vocab IS the
+    * serving-time tokenizer table: segmenting a new word replays the
+    * merges; segmenting a KNOWN word is a broadcast lookup.
+    */
+  def trainWithVocab(df: DataFrame, textCol: String, merges: Int,
+      minWordCount: Long = 1L): (DataFrame, DataFrame) = {
     require(merges > 0, s"merges=$merges")
     val spark = df.sparkSession
     val mat = Materializer.of(spark)
@@ -48,7 +58,7 @@ object Bpe {
         .filter(col("token").rlike("^[a-z]+$"))
         .groupBy(col("token")).agg(count(lit(1)).as("wc"))
         .filter(col("wc") >= minWordCount)
-        .select(
+        .select(col("token").as("word"),
           trim(regexp_replace(col("token"), "(.)", "$1 ")).as("syms"),
           col("wc")))
 
@@ -62,10 +72,11 @@ object Bpe {
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       learned += ((i, l, r, c))
       words = mat.eager(
-        words.select(mergeFold(col("syms"), l, r).as("syms"), col("wc")))
+        words.select(col("word"), mergeFold(col("syms"), l, r).as("syms"),
+          col("wc")))
     }
     import spark.implicits._
-    learned.result().toDF("iter", "left", "right", "pair_count")
+    (learned.result().toDF("iter", "left", "right", "pair_count"), words)
   }
 
   /** Weighted adjacent-pair counts over the symbol strings. */

@@ -313,6 +313,14 @@ object PipelineQueries {
     Bpe.train(t(s, dir, "documents").select("text"), "text", merges = 8)
       .orderBy("iter")
 
+  // T14b: the segmented vocabulary those merges produce — the
+  // serving-time tokenizer table itself, hash-checked word-for-word
+  // against the oracle's re-trained w8 state.
+  def qBpeSegment(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainWithVocab(t(s, dir, "documents").select("text"), "text",
+        merges = 8)._2
+      .orderBy("word")
+
   // P9: exact-n quota sampling — 40 docs per source by deterministic
   // hash order; under-filled sources keep everything.
   def qQuotaSample(s: SparkSession, dir: String): DataFrame =
@@ -695,6 +703,7 @@ object PipelineQueries {
     "q_sample" -> qSample,
     "q_quota_sample" -> qQuotaSample,
     "q_bpe_merges" -> qBpeMerges,
+    "q_bpe_segment" -> qBpeSegment,
     "q_drift_ks" -> qDriftKs,
     "q_drift_psi" -> qDriftPsi,
     "q_weighted_sample" -> qWeightedSample,
@@ -726,6 +735,31 @@ object PipelineQueries {
     "q_heavy_hitters" -> qHeavyHitters)
 
   // ---------------------------------------------------------------- oracle
+
+  /** T14 oracle device: the k-stage BPE re-training CTE chain — per
+    * stage a (pair-count, argmax, merged-words) triple; `word` rides
+    * through so the final stage doubles as the segmented vocab.
+    */
+  private def bpeChainCtes(k: Int): String = {
+    val init =
+      """w0 AS (SELECT token AS word,
+        |         trim(regexp_replace(token, '(.)', '\1 ', 'g')) AS syms,
+        |         CAST(count(*) AS BIGINT) AS wc
+        |       FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |             FROM documents) tk
+        |       WHERE regexp_matches(token, '^[a-z]+$')
+        |       GROUP BY 1, 2)""".stripMargin
+    val stages = (1 to k).map { i =>
+      s"""p$i AS (SELECT a[i] AS l, a[i + 1] AS r, sum(wc) AS c FROM
+         |    (SELECT wc, a, unnest(generate_series(1, len(a) - 1)) AS i
+         |     FROM (SELECT wc, string_split(syms, ' ') AS a FROM w${i - 1}) t0) t1
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |w$i AS (SELECT w.word, ${Bpe.mergeFoldSql("w.syms", "b.l", "b.r")} AS syms, w.wc
+         |        FROM w${i - 1} w, b$i b)""".stripMargin
+    }
+    s"$init,\n${stages.mkString(",\n")}"
+  }
 
   private val h60 = Hashing.md5Long60Sql _
 
@@ -1159,29 +1193,17 @@ object PipelineQueries {
     // Bpe.mergeFoldSql's list_reduce — the Spark fold's SQL twin,
     // learning l/r from the cross-joined 1-row argmax CTE).
     "q_bpe_merges" -> {
-      val k = 8
-      val init =
-        """w0 AS (SELECT trim(regexp_replace(token, '(.)', '\1 ', 'g')) AS syms,
-          |         CAST(count(*) AS BIGINT) AS wc
-          |       FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-          |             FROM documents) tk
-          |       WHERE regexp_matches(token, '^[a-z]+$')
-          |       GROUP BY 1)""".stripMargin
-      val stages = (1 to k).map { i =>
-        s"""p$i AS (SELECT a[i] AS l, a[i + 1] AS r, sum(wc) AS c FROM
-           |    (SELECT wc, a, unnest(generate_series(1, len(a) - 1)) AS i
-           |     FROM (SELECT wc, string_split(syms, ' ') AS a FROM w${i - 1}) t0) t1
-           |  GROUP BY 1, 2),
-           |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-           |w$i AS (SELECT ${Bpe.mergeFoldSql("w.syms", "b.l", "b.r")} AS syms, w.wc
-           |        FROM w${i - 1} w, b$i b)""".stripMargin
-      }
-      val sel = (1 to k).map(i =>
+      val sel = (1 to 8).map(i =>
         s"""SELECT $i AS iter, l AS "left", r AS "right",
            |  CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
         .mkString("\nUNION ALL ")
-      s"WITH $init,\n${stages.mkString(",\n")}\n$sel\nORDER BY iter"
+      s"WITH ${bpeChainCtes(8)}\n$sel\nORDER BY iter"
     },
+    // T14b: the re-trained chain's final w8 state IS the segmented
+    // vocabulary — gated word-for-word.
+    "q_bpe_segment" ->
+      s"""WITH ${bpeChainCtes(8)}
+         |SELECT word, syms, wc FROM w8 ORDER BY word""".stripMargin,
     // P9: the identical hash-order row_number cut. NULL sources form
     // one partition on both sides (keyOf's sentinel vs SQL's NULL
     // group — same grouping, no real source collides with either).

@@ -28,6 +28,19 @@ class BpeSpec extends SparkSuite {
     assert(got == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
   }
 
+  test("segmented vocab: symbols reassemble to the word, merges applied") {
+    val df = Seq("aaab aaab aaab aab aab").toDF("text")
+    val (merges, vocab) = Bpe.trainWithVocab(df, "text", merges = 3)
+    val rows = vocab.orderBy("word")
+      .as[(String, String, Long)].collect().toSeq
+    // every word's subwords concatenate back to the word
+    assert(rows.forall { case (w, syms, _) => syms.replace(" ", "") == w })
+    // after (a,a), (a,b), (aa,ab): aaab -> [aaab] (iter3 fuses the
+    // whole word); aab -> [aa, b]
+    assert(rows == Seq(("aaab", "aaab", 3L), ("aab", "aa b", 2L)))
+    assert(merges.count() == 3)
+  }
+
   test("non-alpha tokens are excluded; merges are layout-stable") {
     val rows = (1 to 50).map(i =>
       s"hello hello99 world wo2rld hello world the${i % 7}") // mixed junk

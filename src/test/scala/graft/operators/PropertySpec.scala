@@ -265,4 +265,60 @@ class PropertySpec extends SparkSuite {
       out.forall(b => b >= 0 && b < buckets)
     }, 10)
   }
+
+  test("ksStatistic equals an independent O(n log n) two-sample scan") {
+    val gen = for {
+      na <- Gen.chooseNum(1, 40)
+      nb <- Gen.chooseNum(1, 40)
+      a <- Gen.listOfN(na, Gen.chooseNum(0, 9).map(_.toDouble))
+      b <- Gen.listOfN(nb, Gen.chooseNum(0, 9).map(_.toDouble))
+    } yield (a, b)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val got = Drift.ksStatistic(
+          a.map(("g", _)).toDF("grp", "v"),
+          b.map(("g", _)).toDF("grp", "v"), "grp", "v")
+        .select("n_a", "n_b", "d_num").as[(Long, Long, Long)].head()
+      // independent: walk the sorted distinct values, tracking CDFs
+      val values = (a ++ b).distinct.sorted
+      val dNum = values.map { x =>
+        math.abs(a.count(_ <= x).toLong * b.length -
+          b.count(_ <= x).toLong * a.length)
+      }.max
+      got == ((a.length.toLong, b.length.toLong, dNum))
+    }, 30)
+  }
+
+  test("quotaSample: exact-n per stratum for arbitrary corpora") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 8)
+      rows <- Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 999L),
+        Gen.oneOf("s1", "s2", "s3")))
+    } yield (n, rows.distinctBy(_._1))
+    check(Prop.forAll(gen) { case (n, rows) =>
+      val got = Sampling.quotaSample(rows.toDF("id", "src"), "src", "id", n)
+        .as[(Long, String)].collect()
+      val bySrc = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      got.groupBy(_._2).forall { case (src, sel) =>
+        sel.length == math.min(n, bySrc(src)) } &&
+        got.toSet.subsetOf(rows.toSet)
+    }, 20)
+  }
+
+  test("BPE merge fold reassembles to the word for arbitrary pairs") {
+    // whatever pair is merged, concatenating the segmented symbols
+    // must reproduce the original corpus words after every iteration
+    val word = Gen.chooseNum(1, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = Gen.listOfN(12, word)
+    check(Prop.forAll(gen) { words =>
+      val (_, vocab) = Bpe.trainWithVocab(
+        words.mkString(" ").pure, "text", merges = 3)
+      vocab.as[(String, String, Long)].collect().forall {
+        case (w, syms, _) => syms.replace(" ", "") == w }
+    }, 15)
+  }
+
+  private implicit class PureText(s: String) {
+    def pure: org.apache.spark.sql.DataFrame = Seq(s).toDF("text")
+  }
 }
