@@ -280,6 +280,19 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // S9b: the IVF-PQ composition gated end-to-end — deterministic IVF
+  // routing (S3's convention) over PQ codes (S9's), nprobe=4 of 16
+  // cells; the oracle fuses the two proven CTE chains.
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (cb, codes) = PqIndex.buildDeterministic(e, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val ivf = IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16)
+    PqIndex.searchIvfAdc(ivf, cb, codes, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
   // P2: deterministic train/val/test split (80/10/10 by id hash).
   def qSplit(s: SparkSession, dir: String): DataFrame =
     Sampling.hashSplit(
@@ -699,6 +712,7 @@ object PipelineQueries {
     "q_ann_ivf_sweep" -> qAnnIvfSweep,
     "q_ann_recall" -> qAnnRecall,
     "q_ann_pq" -> qAnnPq,
+    "q_ann_ivfpq" -> qAnnIvfPq,
     "q_split" -> qSplit,
     "q_sample" -> qSample,
     "q_quota_sample" -> qQuotaSample,
@@ -1174,6 +1188,62 @@ object PipelineQueries {
          |      + b.flatn[s*16 + c.codes[s+1] + 1]),
          |     (x, y) -> x + y) AS d2
          |  FROM q, codes c, cbl b WHERE q.query_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY d2, neighbor_id) AS rnk FROM est)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+         |  round(d2, 6) AS d2est
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // S9b: IVF routing CTEs (cc/ad/asg/q/qp — verbatim the q_ann_ivf
+    // devices at nprobe=4) fused with the PQ codebook/encode CTEs
+    // (verbatim q_ann_pq's), candidates restricted to the probed
+    // cells, ranked by the same ADC fold.
+    "q_ann_ivfpq" ->
+      s"""WITH $normCte,
+         |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         v AS cv, nrm2 AS cn
+         |       FROM (SELECT vec_id, v, nrm2 FROM n ORDER BY vec_id LIMIT 16)),
+         |ad AS (SELECT n.vec_id, cc.cell,
+         |         n.nrm2 - 2.0 * list_dot_product(n.v, cc.cv) + cc.cn AS d
+         |       FROM n, cc),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d, cell) AS rn FROM ad)
+         |  WHERE rn = 1),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS w
+         |       FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)),
+         |cw AS (SELECT ss.s, cb.j, cb.w[ss.s*8+1 : ss.s*8+8] AS cw
+         |       FROM cb, (SELECT unnest(generate_series(0, 7)) AS s) ss),
+         |cwn AS (SELECT s, j, cw, list_dot_product(cw, cw) AS wn FROM cw),
+         |enc0 AS (SELECT n.vec_id, c.s, c.j,
+         |           c.wn - 2.0 * list_dot_product(n.v[c.s*8+1 : c.s*8+8], c.cw) AS d
+         |         FROM n, cwn c),
+         |enc AS (SELECT vec_id, s, j AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY d, j) AS rn FROM enc0) WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(code ORDER BY s) AS codes
+         |          FROM enc GROUP BY vec_id),
+         |cbl AS (SELECT list(cw ORDER BY s, j) AS flat,
+         |               list(wn ORDER BY s, j) AS flatn FROM cwn),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn
+         |      FROM n WHERE vec_id < 10),
+         |qp AS (SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, cc.cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY q.qn - 2.0 * list_dot_product(q.qv, cc.cv) + cc.cn,
+         |          cc.cell) AS pr
+         |    FROM q, cc)
+         |  WHERE pr <= 4),
+         |cd AS (SELECT a.vec_id, a.cell, c.codes
+         |       FROM asg a JOIN codes c USING (vec_id)),
+         |est AS (SELECT qp.query_id, cd.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(generate_series(0, 7), s ->
+         |      list_dot_product(qp.qv[s*8+1 : s*8+8], qp.qv[s*8+1 : s*8+8])
+         |      - 2.0 * list_dot_product(qp.qv[s*8+1 : s*8+8],
+         |          b.flat[s*16 + cd.codes[s+1] + 1])
+         |      + b.flatn[s*16 + cd.codes[s+1] + 1]),
+         |     (x, y) -> x + y) AS d2
+         |  FROM qp JOIN cd USING (cell), cbl b
+         |  WHERE qp.query_id <> cd.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY d2, neighbor_id) AS rnk FROM est)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,

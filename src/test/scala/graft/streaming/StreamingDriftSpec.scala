@@ -55,6 +55,43 @@ class StreamingDriftSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("bin-count state survives a checkpointed restart") {
+    implicit val ctx = spark.sqlContext
+    val refDf = (0 until 100).map(i => ("g", (i % 10).toDouble))
+      .toDF("grp", "v")
+    val profile = StreamingDrift.referenceProfile(refDf, "grp", "v", nBins)
+    val curRows = (0 until 10).map(i => Valued("g", (i % 4).toDouble))
+    val (c1, c2) = curRows.splitAt(5)
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-drift-ckpt").toString
+    val in = MemoryStream[Valued]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[StreamingDrift.PsiRow]
+    def start() = StreamingDrift.psiVsReference(in.toDS(), profile, nBins)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingDrift.PsiRow], _: Long) =>
+          df.collect().foreach(got.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+
+    val q1 = start()
+    try { in.addData(c1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(c2: _*); q2.processAllAvailable()
+      val last = got.toArray(Array.empty[StreamingDrift.PsiRow]).last
+      // restored state: the second emission covers ALL 10 rows and its
+      // psi equals the batch value over the full current side
+      assert(last.nCur == 10L, s"state lost across restart: $last")
+      val batch = Drift.psi(refDf,
+          curRows.map(v => (v.grp, v.v)).toDF("grp", "v"), "grp", "v", nBins)
+        .select("psi").distinct().as[Double].head()
+      assert(last.psi == batch)
+    } finally q2.stop()
+  }
+
   test("groups unseen in the reference emit nothing; state stays bounded") {
     implicit val ctx = spark.sqlContext
     val refDf = (1 to 50).map(i => ("known", i.toDouble)).toDF("grp", "v")
