@@ -94,6 +94,50 @@ object Drift {
         col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
   }
 
+  /** Binned two-sample KS over reference-range equi-width bins — the
+    * scale-friendly variant: the exact KS ladder ([[ksStatistic]])
+    * grows with the DISTINCT VALUES per group, which on a continuous
+    * column is the row count; binning caps the ladder at nBins rows
+    * per group forever (the price: D is computed on the binned CDFs —
+    * a lower bound on the exact D, off by at most the bin mass). Same
+    * all-integer cross-multiplication, so the gate hash-checks it.
+    * This is also the form a STREAM can maintain (bounded bin-count
+    * state — StreamingDrift.ksVsReference shares the definitions).
+    */
+  def ksBinnedSplit(df: DataFrame, refSide: Column, groupCol: String,
+      valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins=$nBins")
+    val g = col(groupCol)
+    val rows = df.select(g, col(valueCol).as("__v"), refSide.as("__r"))
+      .filter(col("__v").isNotNull)
+    val refStats = rows.filter(col("__r"))
+      .groupBy(g).agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val binned = rows
+      .join(broadcast(refStats), groupCol)
+      .select(g, col("__r"),
+        refBin(col("__v"), col("__mn"), col("__mx"), nBins).as("bin"))
+      .groupBy(g, col("bin"))
+      .agg(
+        sum(when(col("__r"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__r"), 1L).otherwise(0L)).as("__cb"))
+    val ladder = Window.partitionBy(g).orderBy(col("bin"))
+    val whole = Window.partitionBy(g)
+    binned
+      .withColumn("__cuma", sum(col("__ca")).over(ladder))
+      .withColumn("__cumb", sum(col("__cb")).over(ladder))
+      .withColumn("n_ref", sum(col("__ca")).over(whole))
+      .withColumn("n_cur", sum(col("__cb")).over(whole))
+      .groupBy(g)
+      .agg(
+        max(col("n_ref")).as("n_ref"),
+        max(col("n_cur")).as("n_cur"),
+        max(abs(col("__cuma") * col("n_cur") - col("__cumb") * col("n_ref")))
+          .as("d_num"))
+      .withColumn("ks",
+        col("d_num").cast("double") /
+          (col("n_ref") * col("n_cur")).cast("double"))
+  }
+
   /** The shared fixed-bin expression: reference-range equi-width with
     * both-edge clamping (mirrored in [[psiBinSql]] so the oracle can
     * compute the identical bin op-for-op).

@@ -58,6 +58,57 @@ object PqIndex {
     (cb, n.select(col("vec_id"), encodeExpr(col("v"), cb).as("codes")))
   }
 
+  /** Lloyd-refine a codebook: `iters` rounds of (re-encode the corpus,
+    * recenter every codeword on the mean of its assigned subvectors).
+    * One scan + one (s, code, dim)-keyed aggregation per round; the
+    * m x ksub x dsub mean table (1024 doubles here) collects to the
+    * driver like the IVF centroids — config-sized by definition. A
+    * codeword that attracts no vectors keeps its previous value.
+    * Returns the refined codebook + final codes. k-means means are
+    * float averages (partition-order dependent), so this is the
+    * QUALITY path exercised by ScalaTest (monotone reconstruction
+    * error); the deterministic bootstrap stays the oracle path.
+    */
+  def refineKMeans(vecs: DataFrame, idCol: String, vecCol: String,
+      cb0: Codebook, iters: Int): (Codebook, DataFrame) = {
+    require(iters >= 0, s"iters=$iters")
+    val n = Similarity.withNorm(vecs, idCol, vecCol)
+    var cb = cb0
+    for (_ <- 1 to iters) {
+      val means = n
+        .select(col("v"), encodeExpr(col("v"), cb).as("codes"))
+        .select(col("v"), explode(expr(
+          s"transform(sequence(0, ${cb.m - 1})," +
+            " s -> struct(s AS s, element_at(codes, s + 1) AS code))"))
+          .as("sc"))
+        .select(col("sc.s").as("s"), col("sc.code").as("code"),
+          posexplode(slice(col("v"), col("sc.s") * cb.dsub + 1,
+            lit(cb.dsub))).as(Seq("d", "x")))
+        .groupBy(col("s"), col("code"), col("d"))
+        .agg(avg(col("x")).as("mu"))
+        .collect()
+      val words = cb.words.map(_.map(_.clone()))
+      means.foreach { r =>
+        words(r.getAs[Int]("s"))(r.getAs[Int]("code"))(r.getAs[Int]("d")) =
+          r.getAs[Double]("mu")
+      }
+      val norms = words.map(_.map(_.foldLeft(0.0)((acc, x) => acc + x * x)))
+      cb = cb.copy(words = words, norms = norms)
+    }
+    (cb, n.select(col("vec_id"), encodeExpr(col("v"), cb).as("codes")))
+  }
+
+  /** Mean squared distance from each vector to its PQ reconstruction —
+    * the codebook-quality metric Lloyd refinement must not worsen.
+    */
+  def reconstructionMse(vecs: DataFrame, idCol: String, vecCol: String,
+      cb: Codebook): Double = {
+    val n = Similarity.withNorm(vecs, idCol, vecCol)
+    n.select(col("v"), encodeExpr(col("v"), cb).as("codes"))
+      .select(adcEst(cb, adcTable(cb, col("v")), col("codes")).as("d2"))
+      .agg(avg(col("d2"))).head().getDouble(0)
+  }
+
   /** codes = array over s of the argmin codeword index. */
   private def encodeExpr(v: Column, cb: Codebook): Column =
     array((0 until cb.m).map { s =>

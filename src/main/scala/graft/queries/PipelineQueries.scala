@@ -354,6 +354,15 @@ object PipelineQueries {
         col("event_id") % 2 === 0, "event_type", "value")
       .orderBy("event_type")
 
+  // C2b: binned KS — the bounded-ladder variant a stream can maintain
+  // (nBins rows per group forever); all-integer like C2.
+  def qDriftKsBinned(s: SparkSession, dir: String): DataFrame =
+    Drift.ksBinnedSplit(
+        t(s, dir, "events").select(col("event_type"), col("event_id"),
+          col("value")),
+        col("event_id") % 2 === 0, "event_type", "value", nBins = 10)
+      .orderBy("event_type")
+
   // C3: distribution-drift PSI over 10 reference-range bins, same
   // parity split; per-bin counts integer-exact, the PSI value itself
   // round-6 (documented ln discipline in Drift.psi).
@@ -719,6 +728,7 @@ object PipelineQueries {
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_segment" -> qBpeSegment,
     "q_drift_ks" -> qDriftKs,
+    "q_drift_ks_binned" -> qDriftKsBinned,
     "q_drift_psi" -> qDriftPsi,
     "q_weighted_sample" -> qWeightedSample,
     "q_shuffle" -> qShuffle,
@@ -1308,6 +1318,30 @@ object PipelineQueries {
         |  CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
         |    / CAST(max(na) * max(nb) AS DOUBLE) AS ks
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C2b: the C2 integer ladder over C3's reference-range bins.
+    "q_drift_ks_binned" -> {
+      val bin = Drift.psiBinSql("e.value", "mn", "mx", 10)
+      """WITH rs AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |            FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+        |            GROUP BY 1),
+        |bb AS (SELECT e.event_type, BINEXPR AS bin,
+        |         CAST(sum(CASE WHEN e.event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN e.event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |       FROM events e JOIN rs USING (event_type)
+        |       WHERE e.value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |        CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cuma,
+        |        CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cumb,
+        |        CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |        CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |      FROM bb)
+        |SELECT event_type, max(na) AS n_ref, max(nb) AS n_cur,
+        |  max(abs(cuma * nb - cumb * na)) AS d_num,
+        |  CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+        |    / CAST(max(na) * max(nb) AS DOUBLE) AS ks
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+        .replace("BINEXPR", bin)
+    },
     // C3: bins via Drift.psiBinSql (the shared expression), smoothing
     // constants CAST to DOUBLE so DuckDB's decimal literals never
     // enter (Spark computes in doubles); psi summed in bin order.

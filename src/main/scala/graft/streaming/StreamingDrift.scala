@@ -88,6 +88,59 @@ object StreamingDrift extends Serializable {
     BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  final case class KsRow(grp: String, nCur: Long, dNum: Long, ks: Double)
+
+  /** Streaming BINNED KS vs the static reference profile — the same
+    * bounded bin-count state as [[psiVsReference]], emitting the
+    * all-integer binned-KS distance of Drift.ksBinnedSplit: over the
+    * same corpus the streamed (nCur, dNum, ks) equal the batch
+    * operator's row exactly (spec-pinned).
+    */
+  def ksVsReference(stream: Dataset[Valued], ref: Map[String, RefProfile],
+      nBins: Int): Dataset[KsRow] = {
+    require(nBins > 0, s"nBins=$nBins")
+    require(ref.values.forall(_.bins.length == nBins),
+      "reference profile bin count != nBins")
+    val spark = stream.sparkSession
+    import spark.implicits._
+
+    def update(grp: String, it: Iterator[Valued],
+        state: GroupState[Array[Long]]): Iterator[KsRow] =
+      ref.get(grp) match {
+        case None => Iterator.empty
+        case Some(profile) =>
+          val cur = state.getOption.getOrElse(new Array[Long](nBins))
+          it.foreach { r =>
+            val b =
+              if (profile.mx == profile.mn) 0
+              else math.min(nBins - 1, math.max(0,
+                math.floor((r.v - profile.mn) * nBins /
+                  (profile.mx - profile.mn)).toInt))
+            cur(b) += 1
+          }
+          state.update(cur)
+          val nRef = profile.bins.sum
+          val nCur = cur.sum
+          var cumR = 0L
+          var cumC = 0L
+          var dNum = 0L
+          var i = 0
+          while (i < nBins) {
+            cumR += profile.bins(i)
+            cumC += cur(i)
+            val d = math.abs(cumR * nCur - cumC * nRef)
+            if (d > dNum) dNum = d
+            i += 1
+          }
+          Iterator.single(
+            KsRow(grp, nCur, dNum, dNum.toDouble / (nRef * nCur).toDouble))
+      }
+
+    stream.groupByKey(_.grp)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   def psiVsReference(stream: Dataset[Valued], ref: Map[String, RefProfile],
       nBins: Int, alpha: Double = 1e-4): Dataset[PsiRow] = {
     require(nBins > 0, s"nBins=$nBins")

@@ -64,6 +64,34 @@ class DriftSpec extends SparkSuite {
     assert(psi1 == psi2)
   }
 
+  test("ksBinnedSplit: equals exact KS when every value gets its own bin") {
+    // values 0..9, 10 bins over the ref range [0,9]: wait — bin width
+    // 0.9 puts 0,9 alone but some values share; use values 0..4 with
+    // ref range [0,4] and 5 bins — each integer lands in its own bin
+    // except the max (clamped), still its own. Binned == exact.
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 400).map(i =>
+      ("g", (rng.nextInt(5)).toDouble, i % 2 == 0))
+    val df = rows.toDF("grp", "v", "is_ref")
+    val binned = Drift.ksBinnedSplit(df, col("is_ref"), "grp", "v", nBins = 5)
+      .select("d_num", "ks").as[(Long, Double)].head()
+    val exact = Drift.ksStatisticSplit(df, col("is_ref"), "grp", "v")
+      .select("d_num", "ks").as[(Long, Double)].head()
+    assert(binned == exact)
+  }
+
+  test("ksBinnedSplit never exceeds the exact KS (coarse bins lower-bound D)") {
+    val rng = new scala.util.Random(37)
+    val rows = (1 to 600).map(i =>
+      ("g", rng.nextDouble() * 50 + (if (i % 2 == 0) 0 else 10), i % 2 == 0))
+    val df = rows.toDF("grp", "v", "is_ref")
+    val binned = Drift.ksBinnedSplit(df, col("is_ref"), "grp", "v", nBins = 8)
+      .select("ks").as[Double].head()
+    val exact = Drift.ksStatisticSplit(df, col("is_ref"), "grp", "v")
+      .select("ks").as[Double].head()
+    assert(binned <= exact && binned > 0.0, s"binned $binned exact $exact")
+  }
+
   test("psi: zero for identical sides, large for a shifted distribution") {
     val ref = (1 to 200).map(v => ("g", (v % 10).toDouble)).toDF("grp", "v")
     val zero = Drift.psi(ref, ref, "grp", "v", nBins = 5)

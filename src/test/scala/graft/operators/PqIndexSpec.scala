@@ -102,6 +102,23 @@ class PqIndexSpec extends SparkSuite {
     assert(all == plain)
   }
 
+  test("Lloyd refinement never worsens reconstruction error") {
+    val df = corpus(120, 33)
+    val (cb0, _) = PqIndex.buildDeterministic(df, "vec_id", "embedding",
+      m, ksub)
+    val mse0 = PqIndex.reconstructionMse(df, "vec_id", "embedding", cb0)
+    val (cb3, codes3) = PqIndex.refineKMeans(df, "vec_id", "embedding",
+      cb0, iters = 3)
+    val mse3 = PqIndex.reconstructionMse(df, "vec_id", "embedding", cb3)
+    assert(mse3 <= mse0, s"refinement regressed: $mse3 > $mse0")
+    assert(mse3 < mse0 * 0.9,
+      s"3 Lloyd rounds should cut MSE materially: $mse3 vs $mse0")
+    // refined codes stay well-formed
+    val rows = codes3.as[(Long, Seq[Int])].collect()
+    assert(rows.length == 120)
+    assert(rows.forall(_._2.forall(c => c >= 0 && c < ksub)))
+  }
+
   test("a vector sharing its codes with the query's nearest ranks first") {
     // construct: 20 base vectors; vector 30 = exact copy of vector 12
     // shifted out of the sample range, so it shares vector 12's codes

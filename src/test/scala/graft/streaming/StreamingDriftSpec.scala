@@ -55,6 +55,37 @@ class StreamingDriftSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming binned KS equals the batch operator on replay") {
+    implicit val ctx = spark.sqlContext
+    val rngR = new scala.util.Random(41)
+    val rngC = new scala.util.Random(43)
+    val refRows = (1 to 500).map(_ => ("g", rngR.nextDouble() * 30))
+    val curRows = (1 to 400).map(_ => Valued("g", rngC.nextDouble() * 45 - 5))
+
+    val refDf = refRows.toDF("grp", "v")
+    val both = refRows.map { case (g, v) => (g, v, true) } ++
+      curRows.map(v => (v.grp, v.v, false))
+    val batch = Drift.ksBinnedSplit(both.toDF("grp", "v", "is_ref"),
+        col("is_ref"), "grp", "v", nBins)
+      .select("n_cur", "d_num", "ks").as[(Long, Long, Double)].head()
+
+    val profile = StreamingDrift.referenceProfile(refDf, "grp", "v", nBins)
+    val in = MemoryStream[Valued]
+    val query = StreamingDrift.ksVsReference(in.toDS(), profile, nBins)
+      .writeStream.format("memory").queryName("ksdrift_stream")
+      .outputMode("update").start()
+    try {
+      curRows.grouped(150).foreach { b =>
+        in.addData(b: _*); query.processAllAvailable() }
+      val last = spark.table("ksdrift_stream")
+        .withColumn("seq", monotonically_increasing_id())
+        .orderBy(col("seq").desc)
+        .select("nCur", "dNum", "ks")
+        .as[(Long, Long, Double)].head()
+      assert(last == batch, s"stream $last != batch $batch")
+    } finally query.stop()
+  }
+
   test("bin-count state survives a checkpointed restart") {
     implicit val ctx = spark.sqlContext
     val refDf = (0 until 100).map(i => ("g", (i % 10).toDouble))
