@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential change detection over keyed count series (SURVEY.md §2.1
+  * R20/R21) — the online complement to the level baselines
+  * (`Baseline.avg/max`, reference main.go:271-279) and the robust MAD
+  * scorer: CUSUM detects a SUSTAINED shift that never trips a
+  * per-bucket threshold, and the trend fit turns a window of buckets
+  * into a direction (is this network ramping?).
+  *
+  * Everything is integer arithmetic until the final display division,
+  * so a SQL oracle agrees bit-for-bit.
+  */
+object Changepoint {
+
+  /** R20: one-sided (upper) CUSUM over an already-bucketed series.
+    *
+    * The textbook recurrence `s_i = max(0, s_{i-1} + x_i - k)` is
+    * sequential, but it has a closed form over prefix sums: with
+    * `P_i = sum_{j<=i} (x_j - k)` (and the implicit `P_0 = 0`),
+    *
+    *   s_i = P_i - min(0, min_{j<=i} P_j)
+    *
+    * — so the whole series computes as two cumulative windows per key,
+    * no recursion, no UDF, distributed across keys. All-integer for
+    * integer `x` and allowance `k`; `alarm` fires where s >= h.
+    *
+    * Scale shape: the windows partition by key, so the sort distributes
+    * across the key universe (networks); no global sort, no state.
+    */
+  def cusumSeries(series: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, allowance: Long, threshold: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("__cum", sum(col(valueCol) - allowance).over(w))
+      .withColumn("__rm", min(col("__cum")).over(w))
+      .select(col(keyCol), col(orderCol), col(valueCol).cast("long"),
+        (col("__cum") - least(col("__rm"), lit(0L))).as("cusum"))
+      .withColumn("alarm",
+        (col("cusum") >= threshold).cast("int"))
+  }
+
+  /** [[cusumSeries]] over raw events: per-(key, bucket) counts first
+    * (one partial-aggregated shuffle), then the CUSUM windows. Buckets
+    * are observed buckets only — compose with the date-spine gap fill
+    * (A20) upstream when empty buckets must count as zero.
+    */
+  def cusumEvents(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long, allowance: Long, threshold: Long): DataFrame = {
+    val bucketUs = bucketSeconds * 1000000L
+    val counts = events
+      .withColumn("bucket", expr(s"unix_micros($tsCol) div $bucketUs"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("x"))
+    cusumSeries(counts, keyCol, "bucket", "x", allowance, threshold)
+  }
+
+  /** R21: per-key OLS trend of bucket counts against the bucket index
+    * (relative to each key's first bucket, which keeps every moment sum
+    * small).
+    *
+    * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept from the
+    * normal equation. Moment sums and cross products are exact longs —
+    * long-exact past 10^5 buckets per key (centuries of daily buckets;
+    * both engines RAISE on overflow rather than wrap, so the bound is a
+    * loud canary, not silent corruption). Each engine then performs one
+    * identical long->double cast per term and ONE IEEE division — no
+    * accumulation-order dependence anywhere.
+    *
+    * One aggregation per key after the count pass; keys with a single
+    * bucket have an undefined slope and are dropped (den = 0).
+    */
+  def trendEvents(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val bucketUs = bucketSeconds * 1000000L
+    val counts = events
+      .withColumn("bucket", expr(s"unix_micros($tsCol) div $bucketUs"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("y"))
+    val rel = counts
+      .withColumn("x",
+        col("bucket") - min(col("bucket")).over(Window.partitionBy(col(keyCol))))
+    val agg = rel.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val num = col("n_buckets") * col("sxy") - col("sx") * col("sy")
+    val den = col("n_buckets") * col("sxx") - col("sx") * col("sx")
+    agg
+      .withColumn("slope", round(num.cast("double") / den.cast("double"), 6))
+      .filter(den =!= 0)
+      .withColumn("intercept",
+        round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n_buckets"), 6))
+      .select(keyCol, "n_buckets", "slope", "intercept")
+  }
+}

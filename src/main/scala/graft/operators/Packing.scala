@@ -39,6 +39,44 @@ object Packing {
         (col("start_off") % seqLen).as("pack_offset"))
   }
 
+  /** P10: token-window chunking — cut each document into `window`-token
+    * chunks whose starts advance by `stride` tokens (overlap =
+    * window - stride), the within-doc complement of [[concatChunk]]
+    * (which packs ACROSS docs) and the prep step for context-bounded
+    * training/retrieval. Chunk count is closed-form
+    * (`1 + ceil((n - window) / stride)` for n > window, else 1), so the
+    * layout is pure integer arithmetic — exact and engine-independent;
+    * the final chunk is the only short one and always has >= 1 token
+    * (requires stride <= window).
+    *
+    * Emits `chunk_hash` (md5 of the space-joined token slice) rather
+    * than the chunk text — content-exact for verification without
+    * re-materializing ~(window/stride)x the corpus bytes.
+    *
+    * Scale shape: entirely row-local (tokenize, sequence, explode) —
+    * no shuffle, no state; runs unchanged on a stream.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"invalid chunking: window=$window stride=$stride")
+    df.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= window, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(n_tokens - $window + $stride - 1) DIV $stride")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1L)))
+      .withColumn("token_start", col("chunk_id") * stride + 1L)
+      .withColumn("chunk_tokens",
+        least(lit(window.toLong), col("n_tokens") - col("token_start") + 1L))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"),
+        col("token_start"), col("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"),
+          col("token_start").cast("int"),
+          col("chunk_tokens").cast("int")))).as("chunk_hash"))
+  }
+
   /** Shard-level pack summary: blocks produced and the padding wasted
     * in each shard's final partial block.
     */

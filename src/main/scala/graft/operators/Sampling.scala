@@ -210,6 +210,54 @@ object Sampling {
       .drop("__scale")
   }
 
+  /** P5b: temperature-flattened source mixing — the multilingual-
+    * pretraining standard where SMALL sources are up-weighted relative
+    * to their size: share_s ∝ sqrt(n_s) (temperature T = 2), so a
+    * source 100x larger contributes only 10x the share. Same
+    * deterministic id-hash cut and keep-all oversubscription cap as
+    * [[mixSample]]; the difference is that the share comes from the
+    * corpus itself instead of a hand-written table.
+    *
+    * Temperature is FIXED at 2: sqrt is the one power IEEE 754
+    * guarantees correctly rounded, so every engine computes the
+    * identical share; arbitrary-alpha pow differs in the last ulp
+    * across libm implementations and would break reproducibility (the
+    * same reason weightedSample rejected Efraimidis-Spirakis keys).
+    * The share denominator is an exact decimal sum of round-6 weights
+    * (order-independent), double-cast once — the moneySum discipline.
+    *
+    * Scale shape: identical to mixSample — a sources-sized profile
+    * broadcast back onto the corpus; no data-row shuffle.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      totalFrac: Double, salt: String = "tmix"): DataFrame =
+    df.withColumn("__src", keyOf(col(sourceCol)))
+      .join(broadcast(temperatureMixProfile(df, sourceCol, totalFrac)), "__src")
+      .filter(bucketOf(col(idCol), salt, 1000000) < col("__thr"))
+      .drop("__src", "__thr")
+
+  /** The per-source (`__src`, `__thr`) profile behind
+    * [[temperatureMix]] — broadcastable onto a live stream like the
+    * other profile tables.
+    */
+  def temperatureMixProfile(df: DataFrame, sourceCol: String,
+      totalFrac: Double): DataFrame = {
+    require(totalFrac >= 0.0 && totalFrac <= 1.0,
+      s"invalid totalFrac=$totalFrac")
+    val counts = df.withColumn("__src", keyOf(col(sourceCol)))
+      .groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(sqrt(col("__n")), 6).cast("decimal(18,6)"))
+    counts
+      .crossJoin(broadcast(counts.agg(
+        round(sum(col("__w")), 6).cast("double").as("__wsum"),
+        sum(col("__n")).as("__total"))))
+      .withColumn("__thr", least(lit(1000000L),
+        floor(lit(1e6) * lit(totalFrac) * col("__total")
+          * (col("__w").cast("double") / col("__wsum")) / col("__n"))
+          .cast("long")))
+      .select(col("__src"), col("__thr"))
+  }
+
   /** The per-source keep-threshold table behind [[mixSample]]:
     * (`__src` null-safe source key, `__thr` kept permillion). Computed
     * once from a batch profile pass; a STREAMING pipeline broadcasts

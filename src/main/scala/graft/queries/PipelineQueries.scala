@@ -510,6 +510,26 @@ object PipelineQueries {
         "doc_id", "source", MixShares, MixDefaultShare, MixTotalFrac)
       .orderBy("doc_id")
 
+  /** P10 gate params: 40-token windows advancing by 30 (25% overlap). */
+  val ChunkWindow = 40
+  val ChunkStride = 30
+
+  // P10: token-window chunking over the corpus.
+  def qChunk(s: SparkSession, dir: String): DataFrame =
+    Packing.chunk(t(s, dir, "documents"), "doc_id", "text",
+        ChunkWindow, ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+
+  /** P5b gate param: keep ~35% of the corpus, temperature-flattened. */
+  val TmixTotalFrac = 0.35
+
+  // P5b: temperature-flattened mixing — kept rows, deterministically.
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", TmixTotalFrac)
+      .orderBy("doc_id")
+
   // T1: per-document quality stats.
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")
@@ -702,8 +722,46 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** ER demo sides — two genuinely different tables carved from the
+    * corpus: left keeps even doc ids verbatim; right takes every third
+    * doc, shifts it into a disjoint id space, and perturbs the text
+    * (one appended token), so doc_id%6==0 rows have a true fuzzy match
+    * across the tables and everything else only accidental overlap.
+    */
+  private def erSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    (d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" zzev")).as("text")))
+  }
+
+  val ErMaxDf = 100L
+
+  // ER1: two-table fuzzy join, 3-gram Jaccard >= 2/5, production
+  // df-capped candidate path (cap counted across both sides).
+  def qErPairs(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = erSides(s, dir)
+    graft.operators.EntityResolution
+      .fuzzyJoin(l, r, "doc_id", "text", 3, 2, 5, tokenHash, maxDf = ErMaxDf)
+      .orderBy("left_id", "right_id")
+  }
+
+  // ER2: one-to-one resolution of the ER1 pair set by mutual best match.
+  def qErMatch(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = erSides(s, dir)
+    graft.operators.EntityResolution.bestMatch(
+        graft.operators.EntityResolution
+          .fuzzyJoin(l, r, "doc_id", "text", 3, 2, 5, tokenHash, maxDf = ErMaxDf))
+      .orderBy("left_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline" -> qPipeline,
+    "q_er_pairs" -> qErPairs,
+    "q_er_match" -> qErMatch,
+    "q_chunk" -> qChunk,
+    "q_mix_temperature" -> qMixTemperature,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -803,6 +861,42 @@ object PipelineQueries {
        |sh AS (SELECT DISTINCT doc_id, $shingleCombineSql AS sh
        |       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 2)) AS i FROM th) x),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** ER oracle CTE chain: both sides' shingle sets, the combined-df
+    * posting cap, candidates, full recount, sizes, and the thresholded
+    * pair table `erp` — mirroring EntityResolution.fuzzyJoin.
+    */
+  private val erCtes = {
+    def sideSh(src: String, id: String) =
+      s"""${id}th AS (SELECT $id, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |        FROM (SELECT $id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src) x0
+         |        WHERE len(toks) >= 3),
+         |${id}sh AS (SELECT DISTINCT $id, $shingleCombineSql AS sh
+         |        FROM (SELECT $id, th, unnest(generate_series(1, len(th) - 2)) AS i FROM ${id}th) x1)""".stripMargin
+    s"""lsrc AS (SELECT doc_id AS left_id, text FROM documents WHERE doc_id % 2 = 0),
+       |rsrc AS (SELECT doc_id + 5000000 AS right_id, text || ' zzev' AS text
+       |         FROM documents WHERE doc_id % 3 = 0),
+       |${sideSh("lsrc", "left_id")},
+       |${sideSh("rsrc", "right_id")},
+       |dfc AS (SELECT sh, count(*) AS df FROM
+       |          (SELECT sh FROM left_idsh UNION ALL SELECT sh FROM right_idsh) u
+       |        GROUP BY sh),
+       |cand AS (SELECT DISTINCT a.left_id, b.right_id
+       |         FROM left_idsh a JOIN dfc ON a.sh = dfc.sh
+       |         JOIN right_idsh b ON b.sh = a.sh
+       |         WHERE dfc.df <= $ErMaxDf),
+       |pr AS (SELECT c.left_id, c.right_id, count(*) AS shared
+       |       FROM cand c JOIN left_idsh a ON a.left_id = c.left_id
+       |       JOIN right_idsh b ON b.right_id = c.right_id AND b.sh = a.sh
+       |       GROUP BY 1, 2),
+       |szl AS (SELECT left_id, count(*) AS n_l FROM left_idsh GROUP BY 1),
+       |szr AS (SELECT right_id, count(*) AS n_r FROM right_idsh GROUP BY 1),
+       |erp AS (SELECT p.left_id, p.right_id, p.shared, sa.n_l, sb.n_r,
+       |          round(p.shared / (sa.n_l + sb.n_r - p.shared), 4) AS jaccard
+       |        FROM pr p JOIN szl sa ON p.left_id = sa.left_id
+       |        JOIN szr sb ON p.right_id = sb.right_id
+       |        WHERE 7 * p.shared >= 2 * (sa.n_l + sb.n_r))""".stripMargin
+  }
 
   /** Jaccard tail shared by D2/D3 (tau = 1/2 as integer arithmetic). */
   private val jaccardTail =
@@ -1030,6 +1124,55 @@ object PipelineQueries {
       s"""WITH corpus AS ($dupCorpusSql)
          |SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_chunk" -> {
+      val (w, s0) = (ChunkWindow, ChunkStride)
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |            FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk),
+         |c AS (SELECT doc_id, toks, n_tokens,
+         |        CASE WHEN n_tokens <= $w THEN 1
+         |             ELSE 1 + (n_tokens - $w + $s0 - 1) // $s0 END AS n_chunks
+         |      FROM n),
+         |e AS (SELECT doc_id, toks, n_tokens,
+         |        unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM c),
+         |x AS (SELECT doc_id, toks, n_tokens, chunk_id,
+         |        chunk_id * $s0 + 1 AS token_start,
+         |        least($w, n_tokens - (chunk_id * $s0 + 1) + 1) AS chunk_tokens
+         |      FROM e)
+         |SELECT doc_id, n_tokens, chunk_id, token_start, chunk_tokens,
+         |  md5(array_to_string(toks[token_start:(token_start + chunk_tokens - 1)], ' '))
+         |    AS chunk_hash
+         |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+    },
+    "q_mix_temperature" -> {
+      val b = Sampling.bucketOfSql("doc_id", "tmix", 1000000)
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |w AS (SELECT source, n, CAST(round(sqrt(n), 6) AS DECIMAL(18,6)) AS w FROM c),
+         |tot AS (SELECT CAST(round(sum(w), 6) AS DOUBLE) AS wsum,
+         |          CAST(sum(n) AS BIGINT) AS total FROM w),
+         |t AS (SELECT source, least(1000000, CAST(floor(
+         |          1e6 * $TmixTotalFrac * total * (CAST(w AS DOUBLE) / wsum) / n)
+         |        AS BIGINT)) AS thr
+         |      FROM w, tot)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN t ON d.source = t.source
+         |WHERE $b < t.thr
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "q_er_pairs" ->
+      s"""WITH $erCtes
+         |SELECT left_id, right_id, shared, n_l, n_r, jaccard FROM erp
+         |ORDER BY left_id, right_id""".stripMargin,
+    "q_er_match" ->
+      s"""WITH $erCtes,
+         |rk AS (SELECT *,
+         |         row_number() OVER (PARTITION BY left_id
+         |           ORDER BY jaccard DESC, right_id) AS rl,
+         |         row_number() OVER (PARTITION BY right_id
+         |           ORDER BY jaccard DESC, left_id) AS rr
+         |       FROM erp)
+         |SELECT left_id, right_id, shared, n_l, n_r, jaccard
+         |FROM rk WHERE rl = 1 AND rr = 1 ORDER BY left_id""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $shingleCtes,
          |shd AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh),

@@ -264,8 +264,35 @@ object ReferenceQueries {
   def qMadAnomalyRs(s: SparkSession, dir: String): DataFrame =
     withBucketKernel(s)(qMadAnomaly(s, dir))
 
+  /** R20/R21 share the per-/24 keying the other baselines use. */
+  private def netEvents(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IpFunctions
+    hostEvents(s, dir)
+      .withColumn("ip_num", IpFunctions.ip4ToNum(col("host")))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("ip_num"), 24)))
+  }
+
+  // R20: one-sided CUSUM changepoint per /24 on hourly event counts —
+  // allowance 7 (above the corpus hourly mean), alarm at 15. The
+  // sequential recurrence runs as its prefix-sum closed form, so the
+  // oracle is two window functions; every value is an integer.
+  def qCusum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.cusumEvents(netEvents(s, dir),
+        "network", "ts", bucketSeconds = 3600L, allowance = 7L, threshold = 15L)
+      .orderBy("network", "bucket")
+
+  // R21: per-host OLS trend of DAILY event counts — is this host
+  // ramping? Moment sums are exact; one IEEE division per coefficient.
+  def qTrend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.trendEvents(hostEvents(s, dir),
+        "host", "ts", bucketSeconds = 86400L)
+      .orderBy("host")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mad_anomaly" -> qMadAnomaly,
+    "q_cusum" -> qCusum,
+    "q_trend" -> qTrend,
     "q_ip_roundtrip" -> qIpRoundtrip,
     "q_cidr_filter" -> qCidrFilter,
     "q_baseline_avg" -> qBaselineAvg,
@@ -443,6 +470,48 @@ object ReferenceQueries {
          |    (a, b) -> a // 2 + b) AS ewma_rate,
          |  CAST(sum(n) AS BIGINT) AS n_events
          |FROM d GROUP BY network ORDER BY network""".stripMargin,
+    // R20: CUSUM via the prefix-sum closed form — the same two windows.
+    "q_cusum" ->
+      s"""WITH n AS (SELECT $ipNumSql AS ip_num, ts FROM events),
+         |b AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network,
+         |        epoch_us(ts) // 3600000000 AS bucket FROM n),
+         |c AS (SELECT network, bucket, count(*) AS x FROM b GROUP BY 1, 2),
+         |p AS (SELECT network, bucket, x,
+         |        sum(x - 7) OVER (PARTITION BY network ORDER BY bucket
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM c),
+         |s AS (SELECT network, bucket, x,
+         |        CAST(cum - least(min(cum) OVER (PARTITION BY network
+         |          ORDER BY bucket ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cusum
+         |      FROM p)
+         |SELECT network, bucket, x, cusum,
+         |  CAST(cusum >= 15 AS INTEGER) AS alarm
+         |FROM s ORDER BY network, bucket""".stripMargin,
+    // R21: OLS moments and cross products as exact longs (overflow
+    // raises, never wraps — long-exact past 10^5 buckets/key), one
+    // long->double cast per term, one IEEE division.
+    "q_trend" ->
+      s"""WITH n AS (SELECT $ipNumSql AS ip_num, ts FROM events),
+         |b AS (SELECT ${numToIpSql("ip_num")} AS host,
+         |        epoch_us(ts) // 86400000000 AS bucket FROM n),
+         |c AS (SELECT host, bucket, count(*) AS y FROM b GROUP BY 1, 2),
+         |rel AS (SELECT host, y,
+         |          bucket - min(bucket) OVER (PARTITION BY host) AS x
+         |        FROM c),
+         |m AS (SELECT host, count(*) AS n_buckets,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM rel GROUP BY host),
+         |f AS (SELECT host, n_buckets, sx, sy,
+         |        round(CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+         |          / CAST(n_buckets * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |        n_buckets * sxx - sx * sx AS den
+         |      FROM m)
+         |SELECT host, n_buckets, slope,
+         |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_buckets, 6)
+         |    AS intercept
+         |FROM f WHERE den <> 0 ORDER BY host""".stripMargin,
     "q_mad_anomaly" ->
       s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
          |n AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network, value,

@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ChangepointSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** The textbook sequential recurrence the closed form must equal. */
+  private def referenceCusum(xs: Seq[Long], k: Long): Seq[Long] =
+    xs.scanLeft(0L)((s, x) => math.max(0L, s + x - k)).tail
+
+  test("cusumSeries equals the sequential max(0, s + x - k) recurrence") {
+    val xs = Seq(5L, 9L, 2L, 14L, 14L, 1L, 0L, 20L, 8L, 8L, 8L)
+    val df = xs.zipWithIndex
+      .map { case (x, i) => ("k1", i.toLong, x) }
+      .toDF("key", "bucket", "x")
+    val out = Changepoint.cusumSeries(df, "key", "bucket", "x",
+        allowance = 7L, threshold = 10L)
+      .orderBy("bucket")
+      .select("cusum").as[Long].collect().toSeq
+    assert(out == referenceCusum(xs, 7L))
+  }
+
+  test("alarm fires exactly where the recurrence reaches the threshold") {
+    val xs = Seq(10L, 10L, 3L, 3L, 3L, 12L)
+    val df = xs.zipWithIndex
+      .map { case (x, i) => ("k1", i.toLong, x) }
+      .toDF("key", "bucket", "x")
+    val out = Changepoint.cusumSeries(df, "key", "bucket", "x", 7L, 5L)
+      .orderBy("bucket").select("cusum", "alarm")
+      .as[(Long, Int)].collect().toSeq
+    val expected = referenceCusum(xs, 7L).map(s => (s, if (s >= 5L) 1 else 0))
+    assert(out == expected)
+  }
+
+  test("keys are independent and the reset (max with 0) actually resets") {
+    val rows = Seq(
+      ("a", 0L, 20L), ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 20L),
+      ("b", 0L, 1L), ("b", 1L, 1L))
+    val out = Changepoint
+      .cusumSeries(rows.toDF("key", "bucket", "x"), "key", "bucket", "x", 7L, 10L)
+      .orderBy("key", "bucket")
+      .select("key", "cusum").as[(String, Long)].collect().toSeq
+    // a: 13, max(0,13-7)=6, max(0,6-7)=0, 13 ; b: 0, 0
+    assert(out == Seq(("a", 13L), ("a", 6L), ("a", 0L), ("a", 13L),
+      ("b", 0L), ("b", 0L)))
+  }
+
+  private def ev(host: Long, day: Int, n: Int) =
+    (0 until n).map(i =>
+      (host, new Timestamp(day * 86400000L + i * 1000L)))
+
+  test("trendEvents recovers an exact linear ramp") {
+    // host 1: daily counts 2,4,6,8 -> slope 2, intercept 2
+    // host 2: constant 5 -> slope 0, intercept 5
+    val rows = (ev(1L, 0, 2) ++ ev(1L, 1, 4) ++ ev(1L, 2, 6) ++ ev(1L, 3, 8) ++
+      (0 until 3).flatMap(d => ev(2L, d, 5)))
+      .toDF("host", "ts")
+    val out = Changepoint.trendEvents(rows, "host", "ts", 86400L)
+      .orderBy("host")
+      .select("host", "n_buckets", "slope", "intercept")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 2.0, 2.0), (2L, 3L, 0.0, 5.0)))
+  }
+
+  test("trendEvents drops single-bucket keys (undefined slope)") {
+    val rows = (ev(1L, 0, 3) ++ ev(2L, 0, 2) ++ ev(2L, 1, 4)).toDF("host", "ts")
+    val out = Changepoint.trendEvents(rows, "host", "ts", 86400L)
+      .select("host").as[Long].collect().toSeq
+    assert(out == Seq(2L))
+  }
+
+  test("trend x offsets are per-key relative (absolute epoch never enters)") {
+    // identical ramp placed at two distant epochs must fit identically
+    val early = (ev(1L, 0, 1) ++ ev(1L, 1, 2) ++ ev(1L, 2, 3)).toDF("host", "ts")
+    val late = (ev(2L, 10000, 1) ++ ev(2L, 10001, 2) ++ ev(2L, 10002, 3))
+      .toDF("host", "ts")
+    val out = Changepoint.trendEvents(early.union(late), "host", "ts", 86400L)
+      .select("slope", "intercept").distinct()
+      .as[(Double, Double)].collect().toSeq
+    assert(out == Seq((1.0, 1.0)))
+  }
+}
