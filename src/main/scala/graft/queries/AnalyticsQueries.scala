@@ -950,8 +950,24 @@ object AnalyticsQueries {
         Seq("event_id", "user_id", "event_type", "ts", "value"))
       .orderBy("col_name")
 
+  /** A54 gate param: 6-hour lookback — at the corpus's per-user event
+    * rate (~11 h median gap) roughly half the conversions have a touch
+    * in window, so both the attributed and the 'direct' arms are
+    * exercised.
+    */
+  val AttributionLookbackSeconds = 21600L
+
+  // A54: first/last-touch conversion attribution with a lookback
+  // window — purchase credits the nearest preceding click/view/signup.
+  def qAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.touchAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", "purchase",
+        Seq("click", "view", "signup"), AttributionLookbackSeconds)
+      .orderBy("conv_event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew" -> qKeySkew,
+    "q_attribution" -> qAttribution,
     "q_histogram" -> qHistogram,
     "q_col_profile" -> qColProfile,
     "q_retention" -> qRetention,
@@ -1006,6 +1022,30 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    // A54: struct min/max is lexicographic in BOTH engines (field
+    // order (us, id, ty); ids unique -> total order, no tie hazard).
+    "q_attribution" -> {
+      val lookUs = AttributionLookbackSeconds * 1000000L
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |           FROM events),
+         |conv AS (SELECT user_id, event_id AS conv_event_id, us AS conv_us
+         |         FROM e WHERE event_type = 'purchase'),
+         |touch AS (SELECT user_id, event_id AS t_id, event_type AS t_ty, us AS t_us
+         |          FROM e WHERE event_type IN ('click', 'view', 'signup')),
+         |j AS (SELECT c.user_id, c.conv_event_id, c.conv_us, t.t_us, t.t_id, t.t_ty
+         |      FROM conv c JOIN touch t ON c.user_id = t.user_id
+         |       AND t.t_us >= c.conv_us - $lookUs AND t.t_us < c.conv_us),
+         |a AS (SELECT user_id, conv_event_id, conv_us, count(*) AS n_touches,
+         |        min(struct_pack(u := t_us, i := t_id, y := t_ty)) AS f,
+         |        max(struct_pack(u := t_us, i := t_id, y := t_ty)) AS l
+         |      FROM j GROUP BY 1, 2, 3)
+         |SELECT c.conv_event_id, c.user_id, c.conv_us,
+         |  coalesce(a.n_touches, 0) AS n_touches,
+         |  coalesce(a.f.y, 'direct') AS first_touch, a.f.i AS first_event_id,
+         |  coalesce(a.l.y, 'direct') AS last_touch, a.l.i AS last_event_id
+         |FROM conv c LEFT JOIN a USING (user_id, conv_event_id, conv_us)
+         |ORDER BY conv_event_id""".stripMargin
+    },
     "q_semi_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

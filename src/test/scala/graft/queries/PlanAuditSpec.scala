@@ -30,7 +30,16 @@ class PlanAuditSpec extends SparkSuite {
     */
   private val smjAllowlist = Set(
     "q2_min_cost", "q_contamination", "q_dedup_incremental",
-    "q_dedup_ngram", "q_mad_anomaly_rs", "q_snapshot_diff") ++
+    "q_dedup_ngram", "q_mad_anomaly_rs", "q_snapshot_diff",
+    // ER's left x right posting join on the shingle hash — the same
+    // data-sized x data-sized class as q_dedup_ngram's self-join;
+    // neither side is broadcastable at corpus scale by construction
+    "q_er_pairs", "q_er_match",
+    // attribution's conversions x touches join keys on user_id with
+    // both sides carved from the event stream — data x data at any
+    // scale (the interval-join class); per-conversion fanout bounded
+    // by the lookback, never by broadcast
+    "q_attribution") ++
     // SMJ only under THIS audit's lazy materializer: at runtime these
     // materialize their shared truth/index/frontier subplans, the
     // consumers read small materialized tables, and the SMJs are gone

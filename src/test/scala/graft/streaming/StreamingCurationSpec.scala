@@ -35,6 +35,61 @@ class StreamingCurationSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming mix filter equals batch temperatureMix under the same profile") {
+    implicit val ctx = spark.sqlContext
+    // skewed corpus so the sqrt flattening actually changes thresholds
+    val skewed = (0L until 640L).map(i => MixDoc(i, "big")) ++
+      (640L until 680L).map(i => MixDoc(i, "small"))
+    val batch = skewed.toDF()
+    val profile = Sampling.temperatureMixProfile(batch, "source", 0.3)
+
+    val in = MemoryStream[MixDoc]
+    val query = StreamingCuration
+      .mixFilter(in.toDF(), "doc_id", "source", profile, salt = "tmix")
+      .writeStream.format("memory").queryName("tmix_stream").outputMode("append")
+      .start()
+    try {
+      in.addData(skewed.take(100): _*)
+      in.addData(skewed.drop(100): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("tmix_stream")
+        .select("doc_id").as[Long].collect().toSet
+      val batched = Sampling.temperatureMix(batch, "doc_id", "source", 0.3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batched && batched.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("token-window chunking applies to a stream verbatim (row-local op)") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq(
+      MixDoc(1L, "unused"), MixDoc(2L, "unused")) // ids only; text below
+    val texts = Map(1L -> (1 to 9).map(i => s"t$i").mkString(" "),
+      2L -> "short doc")
+    val in = MemoryStream[MixDoc]
+    val withText = graft.operators.Packing.chunk(
+      in.toDF().withColumn("text",
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.map(
+            docs.flatMap(d => Seq(
+              org.apache.spark.sql.functions.lit(d.doc_id),
+              org.apache.spark.sql.functions.lit(texts(d.doc_id)))): _*),
+          org.apache.spark.sql.functions.col("doc_id"))),
+      "doc_id", "text", 5, 3)
+    val query = withText.writeStream.format("memory")
+      .queryName("chunk_stream").outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+        .select("doc_id", "chunk_id", "token_start", "chunk_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == Set(
+        (1L, 0L, 1L, 5L), (1L, 1L, 4L, 5L), (1L, 2L, 7L, 3L),
+        (2L, 0L, 1L, 2L)))
+    } finally query.stop()
+  }
+
   test("hashSplit and stratifiedSample apply to a stream verbatim (row-local ops)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[MixDoc]
