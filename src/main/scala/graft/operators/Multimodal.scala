@@ -24,6 +24,17 @@ final case class MediaMeta(
     n_frames: Int,
     mean_px: Double)
 
+/** Perceptual fingerprint computed from a decoded raster. */
+final case class PerceptualHash(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    dhash: Long,
+    h4_0: Long,
+    h4_1: Long,
+    h4_2: Long,
+    h4_3: Long)
+
 /** Typed features decoded from an audio payload. */
 final case class AudioMeta(
     doc_id: Long,
@@ -456,6 +467,85 @@ object Multimodal {
           // ImageIO reader instances are per-payload; what amortizes
           // per batch in a real deployment is codec context setup
           batch.iterator.map { case (id, bytes) => decodeImage(id, bytes) }
+        }
+      }
+      .toDF()
+  }
+
+  /** M5: perceptual fingerprint from the REAL decoded raster — a
+    * 60-bit row-gradient dHash (bit j set when the pixel sum of sample
+    * row y_{j+1} exceeds sample row y_j, rows sampled at
+    * y_j = (j * (h-1)) div 60) plus a 4-bin luminance histogram
+    * (pixel count per gray quartile), both in ONE pass over the
+    * decoded samples. 60 bits keeps the hash positive in every
+    * engine's signed 64-bit integer; strict `>` makes equal rows a 0
+    * bit with no tie hazard.
+    *
+    * This is the content-addressing step of image near-dup pipelines
+    * (dHash buckets feed the same band-join machinery as SimHash, D4);
+    * unlike the classic resize-to-9x8 dHash, sampling rows of the
+    * ORIGINAL raster keeps the value engine-independent — interpolated
+    * resampling is encoder-defined (the documented reason q_mm_resize
+    * gates dims, not pixels), while raster reads round-trip exactly.
+    */
+  def perceptualHashOf(id: Long, bytes: Array[Byte]): PerceptualHash = {
+    memoryCachedIo
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"no ImageIO reader for payload of doc $id")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, true)
+      val img = reader.read(0)
+      val (w, h) = (img.getWidth, img.getHeight)
+      // gray samples with palette resolution (same contract as frameSum)
+      val gray: Array[Int] = img.getColorModel match {
+        case icm: IndexColorModel =>
+          val lut = new Array[Byte](icm.getMapSize)
+          icm.getBlues(lut)
+          img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+            .map(i => lut(i) & 0xff)
+        case _ if img.getRaster.getNumBands == 1 =>
+          img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+        case _ =>
+          val a = new Array[Int](w * h)
+          for (y <- 0 until h; x <- 0 until w) a(y * w + x) = img.getRGB(x, y) & 0xff
+          a
+      }
+      val rowSum = new Array[Long](h)
+      val hist = new Array[Long](4)
+      var i = 0
+      while (i < gray.length) {
+        val v = gray(i)
+        rowSum(i / w) += v
+        hist(v >> 6) += 1L
+        i += 1
+      }
+      var dh = 0L
+      var j = 0
+      while (j < 60) {
+        if (rowSum(((j + 1) * (h - 1)) / 60) > rowSum((j * (h - 1)) / 60))
+          dh |= 1L << j
+        j += 1
+      }
+      PerceptualHash(id, w, h, dh, hist(0), hist(1), hist(2), hist(3))
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** [[perceptualHashOf]] over an (id, media) DataFrame — the same
+    * per-partition batched decode contract as [[extractMeta]].
+    */
+  def perceptualHash(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => perceptualHashOf(id, bytes) }
         }
       }
       .toDF()

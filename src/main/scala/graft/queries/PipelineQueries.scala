@@ -701,6 +701,17 @@ object PipelineQueries {
         col("width").as("out_width"), col("height").as("out_height"))
       .orderBy("doc_id")
 
+  // M5: perceptual fingerprint (60-bit row-gradient dHash + 4-bin
+  // luminance histogram) from REAL decoded rasters (PNG and
+  // palette-resolved GIF both); the oracle recomputes every bit and
+  // bin from the closed-form synthesis ramp.
+  def qMmPhash(s: SparkSession, dir: String): DataFrame =
+    Materializer.of(s)(
+      Multimodal.perceptualHash(
+        Multimodal.synthesizeCorpus(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "media"))
+      .orderBy("doc_id")
+
   // P1: composite curation pipeline — dedup the (duplicated) corpus,
   // score quality, keep docs passing the bar, roll up per language.
   // The shape a real training-data job takes; one declarative plan.
@@ -811,6 +822,7 @@ object PipelineQueries {
     "q_url_domains" -> qUrlDomains,
     "q_linear_score" -> qLinearScore,
     "q_mm_meta" -> qMmMeta,
+    "q_mm_phash" -> qMmPhash,
     "q_mm_frames" -> qMmFrames,
     "q_mm_audio" -> qMmAudio,
     "q_mm_resize" -> qMmResize,
@@ -2035,6 +2047,30 @@ object PipelineQueries {
          |  CAST(greatest(1, floor(w * sc + 0.5)) AS INTEGER) AS out_width,
          |  CAST(greatest(1, floor(h * sc + 0.5)) AS INTEGER) AS out_height
          |FROM s ORDER BY doc_id""".stripMargin,
+    // M5: every dhash bit and histogram bin recomputed from the ramp;
+    // rowsum comparisons reduce to gray comparisons (rows constant
+    // along x, same width both sides of each comparison).
+    "q_mm_phash" -> {
+      val histBins = (0 to 3).map(b =>
+        s"""CAST(w * len(list_filter(generate_series(0, h - 1),
+           |      y -> ((a*y + c) % 256) // 64 = $b)) AS BIGINT) AS h4_$b""".stripMargin)
+        .mkString(",\n    ")
+      s"""WITH p AS (SELECT doc_id,
+         |    64 + (doc_id % 16) * 4 AS w,
+         |    32 + (doc_id % 12) * 8 AS h,
+         |    1 + (doc_id % 7) AS a,
+         |    doc_id % 256 AS c
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(w AS INTEGER) AS width,
+         |  CAST(h AS INTEGER) AS height,
+         |  CAST(list_sum(list_transform(generate_series(0, 59),
+         |    j -> CASE WHEN (a * (((j+1)*(h-1))//60) + c) % 256
+         |                 > (a * ((j*(h-1))//60) + c) % 256
+         |         THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS dhash,
+         |    $histBins
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "q_mm_meta" ->
       s"""WITH p AS (SELECT doc_id,
          |    64 + (doc_id % 16) * 4 AS w,

@@ -173,6 +173,33 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeOpaqueStub(9L, Array.empty[Byte]).mean_px == 0.0)
   }
 
+  test("perceptual hash is container-independent: PNG == GIF frame 0 per id") {
+    // the gray-raster path (PNG) and the palette-LUT path (GIF) must
+    // resolve to identical pixel values — a palette mishandling would
+    // flip dhash bits / histogram bins here
+    for (id <- Seq(3L, 7L, 40L, 101L)) {
+      val png = Multimodal.perceptualHashOf(id, Multimodal.synthesizePng(id))
+      val gif = Multimodal.perceptualHashOf(id, Multimodal.synthesizeGif(id))
+      assert(png == gif.copy(doc_id = png.doc_id))
+    }
+  }
+
+  test("perceptual hash matches hand-computed values on a known ramp") {
+    val id = 12L // w=112, h=32, slope=1+(12%7)=6, offset=12
+    val p = Multimodal.perceptualHashOf(id, Multimodal.synthesizePng(id))
+    assert(p.width == 112 && p.height == 32)
+    def g(y: Int) = (6 * y + 12) % 256
+    val expDh = (0 until 60).map { j =>
+      if (g((j + 1) * 31 / 60) > g(j * 31 / 60)) 1L << j else 0L
+    }.sum
+    assert(p.dhash == expDh)
+    val bins = (0 until 32).map(g).groupBy(_ >> 6).view.mapValues(_.size * 112L)
+    assert(Seq(p.h4_0, p.h4_1, p.h4_2, p.h4_3) ==
+      (0 to 3).map(b => bins.getOrElse(b, 0L)))
+    // total histogram mass is the pixel count
+    assert(p.h4_0 + p.h4_1 + p.h4_2 + p.h4_3 == 112L * 32L)
+  }
+
   test("decode runs per-partition in batches (no driver collect)") {
     // 200 rows over 2 partitions with batch 64 -> the plumbing iterates
     // grouped batches; correctness of the full set implies batching
