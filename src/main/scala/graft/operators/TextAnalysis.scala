@@ -596,4 +596,54 @@ object TextAnalysis {
     val q = ((num - num % den) / den).cast("long")
     when(seen > 0, when(sumMicro < 0, -1L).otherwise(1L) * q)
   }
+
+  // ---- T15: HTML -> text extraction --------------------------------
+
+  /** T15 test harness: wrap each document in a deterministic HTML
+    * shell — head with title/script/style (the script body contains
+    * raw `<`, `>`, `&&`, exactly what breaks naive tag stripping), an
+    * h1, the text in paragraphs, and a fixed entity-bearing paragraph.
+    * The expected extraction output is closed-form
+    * (`Doc <id> <text> & <tag> "q'`), which is what makes the
+    * extraction GATE a ground-truth check instead of regex parity.
+    */
+  def synthesizeHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col(idCol), lit("</title>"),
+        lit("<script type=\"text/javascript\">var x = "), col(idCol),
+        lit("; if (x < 2 && x > 0) { x += 1; }</script>"),
+        lit("<style>.c { color: #fff; }</style></head>"),
+        lit("<body><h1>Doc "), col(idCol),
+        lit("</h1><div class=\"main\"><p>"), col(textCol),
+        lit("</p><p>&amp; &lt;tag&gt; &quot;q&#39;</p></div></body></html>"))
+        .as("html"))
+
+  /** T15: boilerplate extraction — the crawl-to-corpus step every web
+    * training pipeline runs first. Order matters and is part of the
+    * contract: (1) drop head/script/style BLOCKS (their content is
+    * code, and raw `<`/`&` inside them corrupts naive tag stripping);
+    * (2) strip remaining tags to spaces; (3) decode the five core
+    * entities with `&amp;` LAST (decoding it first would turn
+    * `&amp;lt;` into a spurious `<`); (4) collapse whitespace. Every
+    * step is a codegen'd regexp_replace — no UDF, and the identical
+    * RE2-compatible patterns run on the oracle side.
+    *
+    * Scale shape: row-local projection; runs unchanged on a stream.
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    var c: Column = col(htmlCol)
+    c = regexp_replace(c, "(?is)<head.*?</head>", " ")
+    c = regexp_replace(c, "(?is)<script.*?</script>", " ")
+    c = regexp_replace(c, "(?is)<style.*?</style>", " ")
+    c = regexp_replace(c, "<[^>]*>", " ")
+    c = regexp_replace(c, "&lt;", "<")
+    c = regexp_replace(c, "&gt;", ">")
+    c = regexp_replace(c, "&quot;", "\"")
+    c = regexp_replace(c, "&#39;", "'")
+    c = regexp_replace(c, "&amp;", "&")
+    c = trim(regexp_replace(c, "\\s+", " "))
+    df.select(col(idCol).as("doc_id"), c.as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
 }

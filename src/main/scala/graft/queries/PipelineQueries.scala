@@ -530,6 +530,16 @@ object PipelineQueries {
         "doc_id", "source", TmixTotalFrac)
       .orderBy("doc_id")
 
+  // T15: HTML -> text extraction over synthesized crawl shells (head/
+  // script/style blocks, entities, raw < and && inside script); gated
+  // against the CLOSED-FORM ground truth, not regex parity.
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.htmlExtract(
+        TextAnalysis.synthesizeHtml(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "html")
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+
   // T1: per-document quality stats.
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")
@@ -773,6 +783,7 @@ object PipelineQueries {
     "q_er_match" -> qErMatch,
     "q_chunk" -> qChunk,
     "q_mix_temperature" -> qMixTemperature,
+    "q_html_extract" -> qHtmlExtract,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -1171,6 +1182,16 @@ object PipelineQueries {
          |WHERE $b < t.thr
          |ORDER BY d.doc_id""".stripMargin
     },
+    // T15: the oracle never sees the HTML — it states the ground
+    // truth the extraction must recover.
+    "q_html_extract" ->
+      s"""WITH e AS (SELECT doc_id,
+         |    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+         |      || ' & <tag> "q''' AS expected
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(expected) AS BIGINT) AS n_chars,
+         |  md5(expected) AS text_md5
+         |FROM e ORDER BY doc_id""".stripMargin,
     "q_er_pairs" ->
       s"""WITH $erCtes
          |SELECT left_id, right_id, shared, n_l, n_r, jaccard FROM erp

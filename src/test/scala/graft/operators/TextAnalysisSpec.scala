@@ -350,4 +350,39 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out((1L, "x")).getAs[Double]("tfidf") == 0.0)
     assert(!out.contains((1L, "y"))) // tf=1 < minTf
   }
+
+  private def extract(html: String): String =
+    TextAnalysis.htmlExtract(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().head.getAs[String]("text")
+
+  test("htmlExtract strips blocks whose content would corrupt tag stripping") {
+    // raw <, > and && inside script/style must vanish with the block
+    assert(extract(
+      "<body><script>if (a < b && c > d) {}</script>hello</body>") == "hello")
+    assert(extract("<style>p > a { x: 1 }</style>kept") == "kept")
+    assert(extract("<head><title>t</title><script>1<2</script></head><body>b</body>") == "b")
+  }
+
+  test("htmlExtract decodes entities with &amp; last (the order contract)") {
+    // &amp;lt; is the TEXT "&lt;", not a <
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+    assert(extract("<p>&amp; &lt;x&gt; &quot;y&quot; &#39;z&#39;</p>") ==
+      "& <x> \"y\" 'z'")
+  }
+
+  test("htmlExtract collapses whitespace across tag boundaries and lines") {
+    assert(extract("<div>\n  a\n  <span>b</span>\n\tc\n</div>") == "a b c")
+    assert(extract("") == "")
+    assert(extract("plain text no tags") == "plain text no tags")
+  }
+
+  test("htmlExtract recovers the closed-form ground truth from the synthesized shell") {
+    val docs = Seq((7L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.htmlExtract(
+        TextAnalysis.synthesizeHtml(docs, "doc_id", "text"), "doc_id", "html")
+      .collect().head
+    assert(out.getAs[String]("text") == "Doc 7 alpha beta gamma & <tag> \"q'")
+    assert(out.getAs[Long]("n_chars") == 34L)
+  }
 }
