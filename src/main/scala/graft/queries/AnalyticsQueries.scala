@@ -826,6 +826,21 @@ object AnalyticsQueries {
     clicked.except(bought).orderBy("user_id", "day")
   }
 
+  // A18b: the remaining set-op legs (EXCEPT is q_setops): INTERSECT
+  // for users who clicked AND purchased the same day, UNION ALL with
+  // a tagged signup arm — tags keep the two arms distinguishable so
+  // the union's row semantics are fully pinned.
+  def qSetOpsFull(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+    def daySet(ty: String) = e.filter(col("event_type") === ty)
+      .select(col("user_id"), col("day")).distinct()
+    daySet("click").intersect(daySet("purchase"))
+      .withColumn("src", lit("both"))
+      .union(daySet("signup").withColumn("src", lit("signup")))
+      .orderBy("user_id", "day", "src")
+  }
+
   // A13: as-of join — latest order at or before each event, per user.
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
@@ -982,6 +997,7 @@ object AnalyticsQueries {
     "q_fill_forward" -> qFillForward,
     "q_pivot" -> qPivot,
     "q_setops" -> qSetOps,
+    "q_setops_full" -> qSetOpsFull,
     "q_sketch_distinct" -> qSketchDistinct,
     "q_sketch_quantile" -> qSketchQuantile,
     "q_sketch_cms" -> qSketchCms,
@@ -1154,6 +1170,18 @@ object AnalyticsQueries {
         |SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin,
+    "q_setops_full" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |       CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+        |     FROM events)
+        |SELECT user_id, day, 'both' AS src FROM (
+        |  SELECT user_id, day FROM e WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id, day FROM e WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, day, 'signup' AS src FROM e
+        |WHERE event_type = 'signup'
+        |ORDER BY user_id, day, src""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |       CAST(ts AS TIMESTAMP) AS ts FROM events),
