@@ -48,6 +48,13 @@ object Changepoint {
     * (one partial-aggregated shuffle), then the CUSUM windows. Buckets
     * are observed buckets only — compose with the date-spine gap fill
     * (A20) upstream when empty buckets must count as zero.
+    *
+    * Bucketing contract (shared with [[trendEvents]] and the streaming
+    * ticks derivations): `unix_micros div bucket` truncates toward
+    * zero, so pre-1970 timestamps land one bucket later than floor
+    * division would place them — ordering stays correct, only the
+    * bucket LABEL differs; feed `ts >= epoch` (every gated corpus
+    * does) when bucket ids must match a floor-div engine exactly.
     */
   def cusumEvents(events: DataFrame, keyCol: String, tsCol: String,
       bucketSeconds: Long, allowance: Long, threshold: Long): DataFrame = {

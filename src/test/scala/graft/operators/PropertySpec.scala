@@ -318,6 +318,77 @@ class PropertySpec extends SparkSuite {
     }, 15)
   }
 
+  test("fuzzyJoin (uncapped) equals brute-force pairwise Jaccard") {
+    // tiny vocabulary forces real cross-table overlap; the brute force
+    // works on literal 3-gram token sequences, so hash-combination
+    // bugs (coefficient order, off-by-one windows) cannot hide
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.chooseNum(1, 10)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      nl <- Gen.chooseNum(0, 7); nr <- Gen.chooseNum(0, 7)
+      ls <- Gen.listOfN(nl, doc); rs <- Gen.listOfN(nr, doc)
+    } yield (ls, rs)
+    check(Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val right = rs.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val got = EntityResolution.fuzzyJoin(left, right, "doc_id", "text", 3, 1, 3)
+        .select("left_id", "right_id", "shared", "n_l", "n_r")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      def sh(t: String): Set[Seq[String]] = {
+        val tk = t.trim.split("\\s+").toSeq
+        if (tk.length < 3) Set.empty else tk.sliding(3).map(_.toSeq).toSet
+      }
+      val expect = for {
+        (lt, li) <- ls.zipWithIndex
+        (rt, ri) <- rs.zipWithIndex
+        a = sh(lt); b = sh(rt)
+        shd = a.intersect(b).size
+        // (den+num)*s >= num*(n_a+n_b) with num=1, den=3
+        if a.nonEmpty && b.nonEmpty && 4L * shd >= (a.size + b.size)
+      } yield (li.toLong, 100L + ri, shd.toLong, a.size.toLong, b.size.toLong)
+      got == expect.toSet
+    }, 15)
+  }
+
+  test("cusum closed form equals the sequential recurrence for arbitrary series") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0L, 20L))
+      k <- Gen.chooseNum(0L, 10L)
+    } yield (xs, k)
+    check(Prop.forAll(gen) { case (xs, k) =>
+      val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+        .toDF("key", "bucket", "x")
+      val got = Changepoint.cusumSeries(df, "key", "bucket", "x", k, 5L)
+        .orderBy("bucket").select("cusum").as[Long].collect().toSeq
+      got == xs.scanLeft(0L)((s, x) => math.max(0L, s + x - k)).tail
+    }, 20)
+  }
+
+  test("chunk layout tiles [1, n] with stride-spaced starts and no gaps") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 80)
+      w <- Gen.chooseNum(1, 20)
+      s <- Gen.chooseNum(1, w)
+    } yield (n, w, s)
+    check(Prop.forAll(gen) { case (n, w, s) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val out = Packing.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", w, s)
+        .orderBy("chunk_id")
+        .select("chunk_id", "token_start", "chunk_tokens")
+        .as[(Long, Long, Long)].collect().toSeq
+      val covered = out.flatMap { case (_, st, len) => st until (st + len) }.toSet
+      out.zipWithIndex.forall { case ((cid, st, len), i) =>
+        cid == i && st == 1 + i.toLong * s && len >= 1 && len <= w } &&
+        covered == (1L to n.toLong).toSet &&
+        out.last._2 + out.last._3 - 1 == n.toLong
+    }, 20)
+  }
+
   private implicit class PureText(s: String) {
     def pure: org.apache.spark.sql.DataFrame = Seq(s).toDF("text")
   }
