@@ -540,6 +540,36 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_chars"), md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
 
+  // P11: dataset card — the per-(source, lang) corpus report a data
+  // release ships: doc/token volumes plus exact order statistics
+  // (lower-median quality, p90 length) selected by integer rank with
+  // id tie-breaks, so the card is reproducible to the last digit.
+  // One window pass + one aggregation; composes T1's quality kernel.
+  def qCorpusCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val stats = TextAnalysis.textStats(
+        docs.select("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "n_tokens", "quality")
+    val full = stats.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    val grp = Seq(col("source"), col("lang"))
+    val wq = Window.partitionBy(grp: _*).orderBy(col("quality"), col("doc_id"))
+    val wt = Window.partitionBy(grp: _*).orderBy(col("n_tokens"), col("doc_id"))
+    full
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(grp: _*)))
+      .withColumn("__rq", row_number().over(wq))
+      .withColumn("__rt", row_number().over(wt))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(when(col("__rq") * 2 >= col("__cnt"), col("quality")))
+          .as("med_quality"),
+        min(when(col("__rt") * 10 >= col("__cnt") * 9, col("n_tokens")))
+          .as("p90_tokens"))
+      .orderBy("source", "lang")
+  }
+
   // T1: per-document quality stats.
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")
@@ -784,6 +814,7 @@ object PipelineQueries {
     "q_chunk" -> qChunk,
     "q_mix_temperature" -> qMixTemperature,
     "q_html_extract" -> qHtmlExtract,
+    "q_corpus_card" -> qCorpusCard,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -1182,6 +1213,33 @@ object PipelineQueries {
          |WHERE $b < t.thr
          |ORDER BY d.doc_id""".stripMargin
     },
+    // P11: the dataset card — T1's quality legs + rank-selected order
+    // statistics per (source, lang).
+    "q_corpus_card" ->
+      s"""WITH $tokCte,
+         |s AS (SELECT doc_id, source, lang,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stop,
+         |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         |  length(text) AS n_chars
+         | FROM d),
+         |q AS (SELECT doc_id, source, lang, n_tokens,
+         |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_punct / n_chars)
+         |        * (1.0 - n_stop / n_tokens), 4) AS quality
+         | FROM s),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY source, lang
+         |    ORDER BY quality, doc_id) AS rq,
+         |  row_number() OVER (PARTITION BY source, lang
+         |    ORDER BY n_tokens, doc_id) AS rt,
+         |  count(*) OVER (PARTITION BY source, lang) AS cnt
+         | FROM q)
+         |SELECT source, lang, CAST(max(cnt) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(CASE WHEN rq * 2 >= cnt THEN quality END) AS med_quality,
+         |  CAST(min(CASE WHEN rt * 10 >= cnt * 9 THEN n_tokens END) AS BIGINT)
+         |    AS p90_tokens
+         |FROM r GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     // T15: the oracle never sees the HTML — it states the ground
     // truth the extraction must recover.
     "q_html_extract" ->
