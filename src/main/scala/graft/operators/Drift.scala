@@ -142,19 +142,40 @@ object Drift {
     * both-edge clamping (mirrored in [[psiBinSql]] so the oracle can
     * compute the identical bin op-for-op).
     */
-  private def refBin(v: Column, mn: Column, mx: Column, nBins: Int): Column =
+  private[graft] def refBin(v: Column, mn: Column, mx: Column, nBins: Int): Column =
+    // clamp in LONG before the int cast: floor(...) of a far-out-of-
+    // range value (corrupt current-side row) saturates the double->
+    // long cast, and an int cast FIRST would wrap it negative and drop
+    // the outlier into bin 0 instead of the top edge bin
     when(mx === mn, lit(0)).otherwise(
-      least(lit(nBins - 1), greatest(lit(0),
-        floor((v - mn) * nBins / (mx - mn)).cast("int"))))
+      least(lit(nBins - 1L), greatest(lit(0L),
+        floor((v - mn) * nBins / (mx - mn)))).cast("int"))
+
+  /** Scalar twin of [[refBin]] for the streaming state updaters — the
+    * ONE definition the stream twins call, so the clamping/edge
+    * convention cannot drift between batch and stream. Matches the
+    * Column form's cast semantics exactly: Double.toLong saturates on
+    * overflow and maps NaN to 0, same as Spark's non-ANSI cast.
+    */
+  private[graft] def refBinScalar(v: Double, mn: Double, mx: Double,
+      nBins: Int): Int =
+    if (mx == mn) 0
+    else {
+      val f = math.floor((v - mn) * nBins / (mx - mn))
+      math.min(nBins - 1L, math.max(0L, f.toLong)).toInt
+    }
 
   /** SQL twin of [[refBin]] for oracle authoring — kept next to the
     * Scala definition so the two cannot drift (same convention as
     * Profiling.histogramBinSql; outer CAST pins int32 on both engines).
+    * The clamp happens BEFORE any integer cast (DuckDB raises on an
+    * overflowing cast where Spark saturates — clamping first keeps the
+    * value castable in both).
     */
   def psiBinSql(v: String, mn: String, mx: String, nBins: Int): String =
     s"CAST(CASE WHEN $mx = $mn THEN 0 ELSE " +
       s"least(${nBins - 1}, greatest(0, " +
-      s"CAST(floor(($v - $mn) * $nBins / ($mx - $mn)) AS INTEGER))) END AS INTEGER)"
+      s"floor(($v - $mn) * $nBins / ($mx - $mn)))) END AS INTEGER)"
 
   /** Per-(group, bin) PSI report: exact integer bin counts for both
     * sides plus the group's PSI (repeated per row; one output frame,
@@ -192,8 +213,13 @@ object Drift {
       valueCol: String, nBins: Int, alpha: Double = 1e-4): DataFrame = {
     require(nBins > 0, s"nBins=$nBins")
     val g = col(groupCol)
+    // a NULL side flag belongs to NEITHER snapshot: without the filter
+    // such rows count into neither conditional sum yet still witness
+    // their (group, bin) row, creating a phantom both-zero bin whose
+    // smoothed term the two-frame psi and the streaming twin never
+    // include (their bin sets come from actual side members only)
     val rows = df.select(g, col(valueCol).as("__v"), refSide.as("__r"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && col("__r").isNotNull)
     val refStats = rows.filter(col("__r"))
       .groupBy(g).agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
     psiTail(rows

@@ -60,7 +60,12 @@ object Packing {
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"invalid chunking: window=$window stride=$stride")
-    df.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+    // null text coalesces to "": it then behaves like whitespace-only
+    // text (one 1-token chunk of the empty token) instead of silently
+    // VANISHING from the chunk table (explode of a null sequence drops
+    // the row) — every input doc yields at least one output row
+    df.select(col(idCol).as("doc_id"),
+        Dedup.tokens(coalesce(col(textCol), lit(""))).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chunks",
         when(col("n_tokens") <= window, lit(1L))

@@ -104,8 +104,9 @@ object PqIndex {
   def reconstructionMse(vecs: DataFrame, idCol: String, vecCol: String,
       cb: Codebook): Double = {
     val n = Similarity.withNorm(vecs, idCol, vecCol)
-    n.select(col("v"), encodeExpr(col("v"), cb).as("codes"))
-      .select(adcEst(cb, adcTable(cb, col("v")), col("codes")).as("d2"))
+    withAdcTable(n.select(col("v"), encodeExpr(col("v"), cb).as("codes")),
+        cb, "v")
+      .select(adcEst(cb, col("qtab"), col("codes")).as("d2"))
       .agg(avg(col("d2"))).head().getDouble(0)
   }
 
@@ -137,14 +138,32 @@ object PqIndex {
     * query's subvector s to codeword (s, j). Candidates then only
     * INDEX this table; no dot product ever touches a candidate row.
     * Flattened s-major so the lookup is one element_at.
+    *
+    * The per-subspace slice and self-dot |q_s|^2 are HOISTED into
+    * named columns in separate projections: the term is constant
+    * across the ksub codewords, and inlining it evaluated the
+    * interpreted fold m*ksub times per row instead of m. The hoist
+    * survives optimization because CollapseProject refuses to inline a
+    * non-cheap alias referenced more than once; the arithmetic per
+    * table entry is unchanged, so every gated value is bit-identical.
     */
-  private def adcTable(cb: Codebook, qv: Column): Column =
-    array((for (s <- 0 until cb.m; j <- 0 until cb.ksub) yield {
-      val sub = slice(qv, s * cb.dsub + 1, cb.dsub)
-      Similarity.dotD(sub, sub) -
-        lit(2.0) * Similarity.dotD(sub, litArray(cb.words(s)(j))) +
-        lit(cb.norms(s)(j))
-    }): _*)
+  private def withAdcTable(df: DataFrame, cb: Codebook,
+      qvCol: String): DataFrame = {
+    var q = df
+    for (s <- 0 until cb.m)
+      q = q.withColumn(s"__sub_$s",
+        slice(col(qvCol), s * cb.dsub + 1, cb.dsub))
+    for (s <- 0 until cb.m)
+      q = q.withColumn(s"__sd_$s",
+        Similarity.dotD(col(s"__sub_$s"), col(s"__sub_$s")))
+    q.withColumn("qtab",
+        array((for (s <- 0 until cb.m; j <- 0 until cb.ksub) yield {
+          col(s"__sd_$s") -
+            lit(2.0) * Similarity.dotD(col(s"__sub_$s"), litArray(cb.words(s)(j))) +
+            lit(cb.norms(s)(j))
+        }): _*))
+      .drop((0 until cb.m).flatMap(s => Seq(s"__sub_$s", s"__sd_$s")): _*)
+  }
 
   /** est = sum over s of table[s*ksub + code_s] — UNROLLED into a
     * left-associated codegen'd sum (no interpreted higher-order fold
@@ -161,9 +180,10 @@ object PqIndex {
 
   def searchAdc(cb: Codebook, codes: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = Similarity.withNorm(queries, idCol, vecCol)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .withColumn("qtab", adcTable(cb, col("qv")))
+    val q = withAdcTable(
+      Similarity.withNorm(queries, idCol, vecCol)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      cb, "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2est"), col("vec_id"))
     broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
@@ -188,10 +208,11 @@ object PqIndex {
     val np = math.min(nprobe, ivf.centroids.length)
     val cellCodes = ivf.cells.select(col("vec_id"), col("cell"))
       .join(codes, "vec_id")
-    val q = Similarity.withNorm(queries, idCol, vecCol)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm2").as("qn"))
-      .withColumn("qtab", adcTable(cb, col("qv")))
+    val q = withAdcTable(
+        Similarity.withNorm(queries, idCol, vecCol)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm2").as("qn")),
+        cb, "qv")
       .withColumn("cell",
         explode(IvfIndex.probeCells(col("qv"), col("qn"), ivf.centroids, np)))
     val w = Window.partitionBy(col("query_id"))

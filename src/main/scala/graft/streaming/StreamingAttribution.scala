@@ -62,9 +62,14 @@ object StreamingAttribution {
       val out = scala.collection.mutable.ArrayBuffer.empty[Attributed]
       rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
         if (e.us > maxUs) maxUs = e.us
+        // INDEPENDENT branches, not if/else: the batch operator lets
+        // an event type sit in both roles (a conversion can attribute
+        // to a PRIOR conversion when convType ∈ channelTypes), and the
+        // strict t_us < conv_us window keeps self-attribution out
+        // either way
         if (channelTypes.contains(e.ty))
           buf = (e.us, e.event_id, e.ty) :: buf
-        else if (e.ty == convType) {
+        if (e.ty == convType) {
           val win = buf.filter(t => t._1 >= e.us - lookUs && t._1 < e.us)
           if (win.isEmpty)
             out += Attributed(e.event_id, user, e.us, 0L,

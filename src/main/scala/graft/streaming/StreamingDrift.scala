@@ -41,12 +41,15 @@ object StreamingDrift extends Serializable {
       nBins: Int): Map[String, RefProfile] = {
     val g = col(groupCol)
     val v = col(valueCol)
+    // double-cast stats so the collected profile reads uniformly
+    // whatever the value column's numeric type (ints are exact in
+    // double); the bin expression is THE batch definition
+    // (Drift.refBin) — one clamping convention, zero copies
     val stats = ref.select(g, v).filter(v.isNotNull)
-      .groupBy(g).agg(min(v).as("__mn"), max(v).as("__mx"))
-    val bin = when(col("__mx") === col("__mn"), lit(0)).otherwise(
-      least(lit(nBins - 1), greatest(lit(0),
-        floor((v - col("__mn")) * nBins / (col("__mx") - col("__mn")))
-          .cast("int"))))
+      .groupBy(g).agg(min(v).cast("double").as("__mn"),
+        max(v).cast("double").as("__mx"))
+    val bin = graft.operators.Drift.refBin(
+      v, col("__mn"), col("__mx"), nBins)
     ref.select(g, v).filter(v.isNotNull)
       .join(broadcast(stats), groupCol)
       .select(g.as("grp"), col("__mn"), col("__mx"), bin.as("__b"))
@@ -111,12 +114,8 @@ object StreamingDrift extends Serializable {
         case Some(profile) =>
           val cur = state.getOption.getOrElse(new Array[Long](nBins))
           it.foreach { r =>
-            val b =
-              if (profile.mx == profile.mn) 0
-              else math.min(nBins - 1, math.max(0,
-                math.floor((r.v - profile.mn) * nBins /
-                  (profile.mx - profile.mn)).toInt))
-            cur(b) += 1
+            cur(graft.operators.Drift.refBinScalar(
+              r.v, profile.mn, profile.mx, nBins)) += 1
           }
           state.update(cur)
           val nRef = profile.bins.sum
@@ -156,12 +155,8 @@ object StreamingDrift extends Serializable {
         case Some(profile) =>
           val cur = state.getOption.getOrElse(new Array[Long](nBins))
           it.foreach { r =>
-            val b =
-              if (profile.mx == profile.mn) 0
-              else math.min(nBins - 1, math.max(0,
-                math.floor((r.v - profile.mn) * nBins /
-                  (profile.mx - profile.mn)).toInt))
-            cur(b) += 1
+            cur(graft.operators.Drift.refBinScalar(
+              r.v, profile.mn, profile.mx, nBins)) += 1
           }
           state.update(cur)
           Iterator.single(PsiRow(grp, cur.sum, psiOf(profile.bins, cur, alpha)))

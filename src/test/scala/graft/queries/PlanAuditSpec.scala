@@ -17,9 +17,14 @@ import graft.operators.Materializer
   *      demote an SMJ to broadcast at runtime; it never adds one, so
   *      the build-time set is the conservative bound.)
   *
-  * Plans build under the `lazy` materializer so constructing ~110 plans
-  * runs zero Spark jobs — the materializer only truncates lineage, it
-  * never introduces a join, so neither invariant is affected.
+  * Plans build under the `lazy` materializer so constructing the ~130
+  * plans stays cheap — the materializer only truncates lineage, it
+  * never introduces a join, so neither invariant is affected. (Not
+  * zero-job: the iterative fits run their driver-side training at
+  * CONSTRUCTION time — BPE's per-round argmax collects, the PQ/IVF
+  * deterministic-sample builds — so this suite executes those small
+  * sf0.001 jobs; the audit itself still never materializes a query's
+  * result.)
   */
 class PlanAuditSpec extends SparkSuite {
 
