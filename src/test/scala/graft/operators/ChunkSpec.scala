@@ -48,6 +48,16 @@ class ChunkSpec extends SparkSuite {
     assert(out.forall(_._3 >= 1))
   }
 
+  test("null text yields one empty-token chunk instead of vanishing") {
+    // regression: explode of a null sequence silently dropped the doc
+    val out = Packing.chunk(
+        Seq((1L, null.asInstanceOf[String]), (2L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 2)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == 1L) // the empty token, same as whitespace-only text
+  }
+
   test("chunk_hash matches the slice content") {
     val out = Packing
       .chunk(Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text"),

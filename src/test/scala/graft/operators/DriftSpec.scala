@@ -120,4 +120,45 @@ class DriftSpec extends SparkSuite {
     assert(rows(0)._3 == 25L && rows(0)._4 == 27L)
     assert(rows(3)._3 == 25L && rows(3)._4 == 23L) // 22 in-range + 600.0
   }
+
+  test("EXTREME outliers clamp to the correct edge (no int-cast wrap)") {
+    // regression: (v - mn) * nBins / (mx - mn) for v = 1e300 saturates
+    // the double->long floor; a long->int cast FIRST used to wrap it
+    // negative and drop the high outlier into bin 0
+    val ref = (0 until 100).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val cur = Seq(("g", 1e300), ("g", -1e300), ("g", 50.0)).toDF("grp", "v")
+    val rows = Drift.psi(ref, cur, "grp", "v", nBins = 4)
+      .orderBy("bin")
+      .as[(String, Int, Long, Long, Long, Long, Double)].collect().toSeq
+    val curByBin = rows.map(r => r._2 -> r._4).toMap
+    assert(curByBin(0) == 1L) // -1e300 -> bottom bin
+    assert(curByBin(3) == 1L) // +1e300 -> TOP bin, not wrapped to 0
+    assert(curByBin(2) == 1L) // 50.0 in its real bin
+    // and the streaming scalar twin agrees bin-for-bin
+    assert(Drift.refBinScalar(1e300, 0.0, 99.0, 4) == 3)
+    assert(Drift.refBinScalar(-1e300, 0.0, 99.0, 4) == 0)
+    assert(Drift.refBinScalar(50.0, 0.0, 99.0, 4) == 2)
+  }
+
+  test("psiSplit ignores NULL side flags (no phantom both-zero bins)") {
+    // rows with a null flag belong to neither snapshot; before the
+    // fix they witnessed their bin with zero counts on both sides and
+    // added spurious smoothed PSI mass when n_ref != n_cur
+    // reference witnesses only the edge bins (values 0 and 7 of 4
+    // bins), current only the top — the null row's value 3.5 lands in
+    // bin 2, which NO side member witnesses, so before the fix it
+    // materialized a phantom (c_ref=0, c_cur=0) row
+    val clean = (Seq.fill(4)(("g", 0.0, true)) ++ Seq.fill(4)(("g", 7.0, true)) ++
+      Seq.fill(3)(("g", 9.0, false))).toDF("grp", "v", "is_ref")
+    val withNull = (Seq.fill(4)(("g", 0.0, java.lang.Boolean.TRUE)) ++
+      Seq.fill(4)(("g", 7.0, java.lang.Boolean.TRUE)) ++
+      Seq.fill(3)(("g", 9.0, java.lang.Boolean.FALSE)) ++
+      Seq(("g", 3.5, null.asInstanceOf[java.lang.Boolean])))
+      .toDF("grp", "v", "is_ref")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Drift.psiSplit(df, col("is_ref"), "grp", "v", nBins = 4)
+        .orderBy("bin")
+        .as[(String, Int, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(run(withNull) == run(clean))
+  }
 }

@@ -65,6 +65,41 @@ class StreamingAttributionSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("convType overlapping channelTypes still emits conversions (batch parity)") {
+    // regression: an if/else chain classified overlapping-type events
+    // as touches ONLY, silencing every conversion; batch lets a
+    // conversion attribute to a PRIOR conversion
+    implicit val ctx = spark.sqlContext
+    val both = channels + "purchase"
+    val seq = Seq(
+      Ev(5L, us(10), "purchase", 300L), // no prior touch -> direct
+      Ev(5L, us(20), "purchase", 301L)) // attributes to purchase 300
+    val in = MemoryStream[Ev]
+    val query = StreamingAttribution.perUser(in.toDS(), "purchase", both, L)
+      .writeStream.format("memory").queryName("attr_overlap")
+      .outputMode("update").start()
+    try {
+      in.addData(seq: _*); query.processAllAvailable()
+      val rows = spark.table("attr_overlap").orderBy("conv_event_id")
+        .as[(Long, Long, Long, Long, String, Option[Long], String, Option[Long])]
+        .collect().toSeq
+      val batch = {
+        val df = seq.toDF()
+          .select(col("user_id"), expr("timestamp_micros(us)").as("ts"),
+            col("ty").as("event_type"), col("event_id"))
+        graft.operators.Attribution.touchAttribution(df,
+            "user_id", "ts", "event_type", "event_id", "purchase",
+            both.toSeq, L)
+          .orderBy("conv_event_id")
+          .as[(Long, Long, Long, Long, String, Option[Long], String, Option[Long])]
+          .collect().toSeq
+      }
+      assert(rows == batch)
+      assert(rows.map(r => (r._1, r._5)) ==
+        Seq(300L -> "direct", 301L -> "purchase"))
+    } finally query.stop()
+  }
+
   test("state stays pruned to the trailing lookback") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
