@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A27: strict staged funnel — how many entities completed stage k
@@ -43,5 +44,55 @@ object Funnel {
         .select(lit(label).as("stage"), lit(i.toLong + 1L).as("depth"),
           col("n_entities"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** A55: session path analysis — the exploratory complement of the
+    * funnel (the funnel counts a KNOWN sequence; this surfaces which
+    * sequences actually happen): gap-sessionize per entity (the A6
+    * kernel: a new session when the gap exceeds `gapSeconds`), order
+    * each session's events by (ts, event id), and count every
+    * CONSECUTIVE event-type trigram — per occurrence (`n_occ`) and
+    * per containing session (`n_sessions`).
+    *
+    * Determinism: the in-session order is total ((ts, id) — ids are
+    * unique), the sequence materializes via sort_array over collected
+    * (ts, id, type) structs (order independent of partitioning), and
+    * session membership counts through a '#'-joined key so both
+    * engines deduplicate identical values.
+    *
+    * Scale shape: one keyed window (per entity) for session ids, one
+    * groupBy per (entity, session) — session arrays are bounded by
+    * session length, never by history — then a path-keyed count.
+    */
+  def pathTrigrams(df: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, eventIdCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"invalid gap=$gapSeconds")
+    val gapUs = gapSeconds * 1000000L
+    val w = Window.partitionBy(col("__uid")).orderBy(col("__us"), col("__eid"))
+    val e = df.select(col(idCol).as("__uid"),
+        expr(s"unix_micros($tsCol)").as("__us"),
+        col(typeCol).as("__ty"), col(eventIdCol).as("__eid"))
+      .withColumn("__new",
+        when(lag(col("__us"), 1).over(w).isNull ||
+          col("__us") - lag(col("__us"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("__uid"), col("__sess"))
+      .agg(sort_array(collect_list(
+        struct(col("__us"), col("__eid"), col("__ty")))).as("__evs"))
+      .select(col("__uid"), col("__sess"),
+        expr("transform(__evs, x -> x.__ty)").as("__tys"))
+      .filter(size(col("__tys")) >= 3)
+      .select(col("__uid"), col("__sess"),
+        explode(expr(
+          """transform(sequence(1, size(__tys) - 2),
+            |  i -> concat_ws('>', element_at(__tys, i),
+            |    element_at(__tys, i + 1), element_at(__tys, i + 2)))"""
+            .stripMargin)).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(concat_ws("#", col("__uid"), col("__sess")))
+          .as("n_sessions"))
   }
 }

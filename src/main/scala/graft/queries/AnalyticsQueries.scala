@@ -980,9 +980,34 @@ object AnalyticsQueries {
         Seq("click", "view", "signup"), AttributionLookbackSeconds)
       .orderBy("conv_event_id")
 
+  // A55: session path analysis — which event-type trigrams actually
+  // occur inside 30-minute sessions, per occurrence and per session.
+  def qPathAnalysis(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.pathTrigrams(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", gapSeconds = 1800L)
+      .orderBy("path")
+
+  // A56: running distinct users per day — cumulative reach as
+  // first-seen-day counts + one cumulative sum over the DAYS table
+  // (the only unpartitioned window runs on ~span-days rows, the same
+  // bounded-table device as the shuffle-rank offsets).
+  def qRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "events")
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew" -> qKeySkew,
     "q_attribution" -> qAttribution,
+    "q_path_analysis" -> qPathAnalysis,
+    "q_running_distinct" -> qRunningDistinct,
     "q_histogram" -> qHistogram,
     "q_col_profile" -> qColProfile,
     "q_retention" -> qRetention,
@@ -1038,6 +1063,35 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    // A55: the A6 session kernel + ordered list + trigram unnest.
+    "q_path_analysis" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |        event_type AS ty, event_id FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS pus FROM e),
+        |s AS (SELECT *, sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+        |          THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sess FROM l),
+        |q AS (SELECT user_id, sess, list(ty ORDER BY us, event_id) AS tys
+        |      FROM s GROUP BY 1, 2),
+        |p AS (SELECT user_id, sess,
+        |        unnest(list_transform(generate_series(1, len(tys) - 2),
+        |          i -> tys[i] || '>' || tys[i+1] || '>' || tys[i+2])) AS path
+        |      FROM q WHERE len(tys) >= 3)
+        |SELECT path, count(*) AS n_occ,
+        |  count(DISTINCT user_id || '#' || sess) AS n_sessions
+        |FROM p GROUP BY path ORDER BY path""".stripMargin,
+    // A56: first-seen-day counts + cumulative sum over days.
+    "q_running_distinct" ->
+      """WITH f AS (SELECT user_id,
+        |        min(CAST(date_trunc('day', ts) AS DATE)) AS day
+        |      FROM events GROUP BY user_id),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
     // A54: struct min/max is lexicographic in BOTH engines (field
     // order (us, id, ty); ids unique -> total order, no tie hazard).
     "q_attribution" -> {
