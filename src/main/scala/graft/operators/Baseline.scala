@@ -456,6 +456,75 @@ object Baseline {
           .as("is_anomaly"))
   }
 
+  /** R23 (beyond the reference): parametric z-score anomaly — flag
+    * networks whose current-window average deviates from the
+    * historical MEAN by more than `kNum/kDen` standard deviations.
+    * The parametric complement of [[madAnomaly]]: no rank windows at
+    * all — history collapses to three map-side-combinable moments
+    * (n, Σx, Σx²) — so it is the cheaper scorer for roughly-Gaussian
+    * metrics; keep MAD where spikes poison mean/σ.
+    *
+    * Exactness device (no float on the deciding path): values enter
+    * as MICRO-units (round(v·1e6) as long — the T13 micro
+    * discipline), Σx stays long, squares sum exactly in decimal(38,0)
+    * (the oracle mirrors in HUGEINT), and the k-sigma test
+    * cross-multiplies everything:
+    *
+    *   (Σc·n − Σx·m)² · kDen² > kNum² · m² · (n·Σx² − (Σx)²)
+    *
+    * — integer arithmetic end to end, no division, no sqrt. The
+    * display mean/std/current columns are round-6 doubles computed by
+    * one identical op sequence per engine. Long/decimal bounds:
+    * exact for |v| ≤ ~9·10^3 in micro units squared per row
+    * (v6² < 2^63) and ≤ ~10^9 rows per group (products < 10^38) —
+    * both engines raise loudly past them.
+    */
+  def zscoreAnomaly(
+      df: DataFrame,
+      hostCol: String,
+      valueCol: String,
+      tsCol: String,
+      windowSeconds: Long,
+      currentSeconds: Long,
+      prefix: Int,
+      kNum: Long,
+      kDen: Long): DataFrame = {
+    require(currentSeconds > 0 && currentSeconds < windowSeconds,
+      s"invalid windows: $windowSeconds/$currentSeconds")
+    val maxTs = df.agg(max(col(tsCol)).as("__end"))
+    val split = df.crossJoin(broadcast(maxTs))
+      .filter(col(tsCol) >=
+        col("__end") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
+      .withColumn("__is_current",
+        col(tsCol) >= col("__end") - expr(s"INTERVAL $currentSeconds SECONDS"))
+      .withColumn("__v6", round(col(valueCol) * 1e6).cast("long"))
+    val d38 = "decimal(38,0)"
+    val hist = split.filter(!col("__is_current"))
+      .groupBy(col("network"))
+      .agg(count(lit(1)).as("n_hist"),
+        sum(col("__v6")).as("__sx"),
+        sum(col("__v6").cast("decimal(19,0)") * col("__v6").cast("decimal(19,0)"))
+          .as("__sxx"))
+    val cur = split.filter(col("__is_current"))
+      .groupBy(col("network"))
+      .agg(count(lit(1)).as("n_current"), sum(col("__v6")).as("__sc"))
+    val n = col("n_hist")
+    val m = col("n_current")
+    val varNum = n.cast(d38) * col("__sxx") - col("__sx").cast(d38) * col("__sx")
+    val devNum = col("__sc").cast(d38) * n - col("__sx").cast(d38) * m
+    hist.join(cur, "network")
+      .select(col("network"), col("n_hist"), col("n_current"),
+        round(col("__sx").cast("double") / n / 1e6, 6).as("mean_value"),
+        round(sqrt(varNum.cast("double")) / n / 1e6, 6).as("std_value"),
+        round(col("__sc").cast("double") / m / 1e6, 6).as("current_avg"),
+        (devNum * devNum * lit(kDen * kDen) >
+          lit(kNum * kNum) * m.cast(d38) * m * varNum).cast("int")
+          .as("is_anomaly"))
+  }
+
   /** R18 (beyond the reference): incremental baseline maintenance.
     * The reference recomputes its whole profile window per run
     * (main.go:275 re-queries the full trailing week); at 100 TB that

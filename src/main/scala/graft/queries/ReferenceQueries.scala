@@ -289,10 +289,19 @@ object ReferenceQueries {
         "host", "ts", bucketSeconds = 86400L)
       .orderBy("host")
 
+  // R23: parametric z-score anomaly, 3 sigma — last hour vs 7-day
+  // mean/std per /24; the micro-unit cross-multiplied test.
+  def qZscoreAnomaly(s: SparkSession, dir: String): DataFrame =
+    Baseline.zscoreAnomaly(hostEvents(s, dir), "host", "value", "ts",
+        windowSeconds = week, currentSeconds = 3600L, prefix = 24,
+        kNum = 3, kDen = 1)
+      .orderBy("network")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mad_anomaly" -> qMadAnomaly,
     "q_cusum" -> qCusum,
     "q_trend" -> qTrend,
+    "q_zscore_anomaly" -> qZscoreAnomaly,
     "q_ip_roundtrip" -> qIpRoundtrip,
     "q_cidr_filter" -> qCidrFilter,
     "q_baseline_avg" -> qBaselineAvg,
@@ -512,6 +521,35 @@ object ReferenceQueries {
          |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_buckets, 6)
          |    AS intercept
          |FROM f WHERE den <> 0 ORDER BY host""".stripMargin,
+    // R23: micro-unit moments; squares and the cross-multiplied
+    // k-sigma test in HUGEINT (the Spark side's decimal(38,0) twin).
+    "q_zscore_anomaly" ->
+      s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
+         |n AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network,
+         |        CAST(round(value * 1e6) AS BIGINT) AS v6,
+         |        ts >= (SELECT max(ts) FROM events) - INTERVAL 3600 SECOND AS is_current
+         |      FROM w),
+         |h AS (SELECT network, count(*) AS n_hist,
+         |        CAST(sum(v6) AS BIGINT) AS sx,
+         |        CAST(sum(CAST(v6 AS HUGEINT) * v6) AS HUGEINT) AS sxx
+         |      FROM n WHERE NOT is_current GROUP BY network),
+         |c AS (SELECT network, count(*) AS n_current,
+         |        CAST(sum(v6) AS BIGINT) AS sc
+         |      FROM n WHERE is_current GROUP BY network),
+         |f AS (SELECT h.network, h.n_hist, c.n_current, h.sx, c.sc,
+         |        CAST(h.n_hist AS HUGEINT) * h.sxx
+         |          - CAST(h.sx AS HUGEINT) * h.sx AS var_num,
+         |        CAST(c.sc AS HUGEINT) * h.n_hist
+         |          - CAST(h.sx AS HUGEINT) * c.n_current AS dev_num
+         |      FROM h JOIN c ON h.network = c.network)
+         |SELECT network, n_hist, n_current,
+         |  round(CAST(sx AS DOUBLE) / n_hist / 1e6, 6) AS mean_value,
+         |  round(sqrt(CAST(var_num AS DOUBLE)) / n_hist / 1e6, 6) AS std_value,
+         |  round(CAST(sc AS DOUBLE) / n_current / 1e6, 6) AS current_avg,
+         |  CAST(dev_num * dev_num * 1 >
+         |    9 * CAST(n_current AS HUGEINT) * n_current * var_num AS INTEGER)
+         |    AS is_anomaly
+         |FROM f ORDER BY network""".stripMargin,
     "q_mad_anomaly" ->
       s"""WITH w AS (SELECT *, $ipNumSql AS ip_num FROM events WHERE $windowSql),
          |n AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network, value,

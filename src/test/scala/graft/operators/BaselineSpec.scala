@@ -142,4 +142,60 @@ class BaselineSpec extends SparkSuite {
       .orderBy("network").collect().toSeq
     assert(withEmpty == full)
   }
+
+  test("zscoreAnomaly: hand-computed moments, both flag branches") {
+    // history (6 rows, net 10.0.0.0/24): values 10,10,10,10,14,14
+    //   micro: sx = 68e6; sxx = (4*100 + 2*196)e12 = 792e12
+    //   varNum = 6*792e12 - (68e6)^2 = 128e12 -> sigma = sqrt(128e12)/6 µ
+    // current (1 row): 30.0 -> ~9.9 sigma -> anomaly
+    // second net 10.0.1.0/24: flat history, current == mean -> calm
+    def ev(host: String, daysAgo: Int, v: Double) =
+      (host, Timestamp.valueOf(s"2024-01-0${7 - daysAgo} 12:00:00"), v)
+    val rows = Seq(
+      ev("10.0.0.1", 3, 10.0), ev("10.0.0.2", 3, 10.0),
+      ev("10.0.0.1", 2, 10.0), ev("10.0.0.2", 2, 10.0),
+      ev("10.0.0.1", 1, 14.0), ev("10.0.0.2", 1, 14.0),
+      ev("10.0.0.9", 0, 30.0),
+      ev("10.0.1.1", 2, 5.0), ev("10.0.1.2", 1, 5.0),
+      ev("10.0.1.9", 0, 5.0))
+      .toDF("host", "ts", "value")
+    val out = Baseline.zscoreAnomaly(rows, "host", "value", "ts",
+        windowSeconds = 6L * 86400, currentSeconds = 3600L, prefix = 24,
+        kNum = 3, kDen = 1)
+      .orderBy("network").collect()
+    assert(out.length == 2)
+    val hot = out(0)
+    assert(hot.getAs[String]("network") == "10.0.0.0")
+    assert(hot.getAs[Long]("n_hist") == 6L)
+    assert(hot.getAs[Double]("mean_value") == 11.333333)
+    assert(hot.getAs[Double]("std_value") == 1.885618)
+    assert(hot.getAs[Int]("is_anomaly") == 1)
+    val calm = out(1)
+    assert(calm.getAs[String]("network") == "10.0.1.0")
+    assert(calm.getAs[Double]("std_value") == 0.0)
+    assert(calm.getAs[Int]("is_anomaly") == 0)
+  }
+
+  test("zscoreAnomaly boundary: exactly k sigma is NOT an anomaly (strict >)") {
+    // history 0,0,2,2 -> mean 1, sigma = 1; current = 4 = mean + 3σ
+    def ev(host: String, day: Int, v: Double) =
+      (host, Timestamp.valueOf(s"2024-01-0$day 12:00:00"), v)
+    val rows = Seq(
+      ev("10.0.0.1", 1, 0.0), ev("10.0.0.2", 1, 0.0),
+      ev("10.0.0.1", 2, 2.0), ev("10.0.0.2", 2, 2.0),
+      ev("10.0.0.9", 5, 4.0))
+      .toDF("host", "ts", "value")
+    val out = Baseline.zscoreAnomaly(rows, "host", "value", "ts",
+        windowSeconds = 6L * 86400, currentSeconds = 3600L, prefix = 24,
+        kNum = 3, kDen = 1).collect().head
+    assert(out.getAs[Double]("std_value") == 1.0)
+    assert(out.getAs[Double]("current_avg") == 4.0)
+    assert(out.getAs[Int]("is_anomaly") == 0) // 3σ exactly, strict >
+    // one micro-unit past the boundary flips it
+    val out2 = Baseline.zscoreAnomaly(
+        rows.withColumn("value",
+          when(col("host") === "10.0.0.9", 4.000001).otherwise(col("value"))),
+        "host", "value", "ts", 6L * 86400, 3600L, 24, 3, 1).collect().head
+    assert(out2.getAs[Int]("is_anomaly") == 1)
+  }
 }
