@@ -46,4 +46,30 @@ object Contamination {
         round(col("n_hit") / col("n_shingles"), 4).as("overlap_frac"),
         (col("n_hit") * thrDen >= col("n_shingles") * thrNum).as("contaminated"))
   }
+
+  /** C4: per-document n-gram NOVELTY against an ARBITRARY reference
+    * corpus — the two-table generalization of [[ngramOverlap]] (which
+    * needs both sides in one frame behind a split column), and the
+    * inverse reading: how much of this document has the model's
+    * training set NOT seen? The curation signal behind "prefer novel
+    * documents" mixing policies; 1.0 = fully novel, 0.0 = every gram
+    * already in the reference.
+    *
+    * Same scale shape as C1: the reference reduces to a distinct
+    * shingle-hash set, one hash-keyed join (sort-merge friendly, never
+    * a broadcast of a 100 TB reference), per-doc counts integer-exact.
+    */
+  def noveltyVsReference(df: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    val docSets = Dedup.shingleSets(df, idCol, textCol, n, tokenHash)
+    val refSh = Dedup.shingleSets(reference, idCol, textCol, n, tokenHash)
+      .select("sh").distinct().withColumn("__hit", lit(1L))
+    docSets.join(refSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen") / col("n_grams"), 4).as("novelty"))
+  }
 }

@@ -1003,11 +1003,32 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  // A57: rank-movement trending — per-day event-type leaderboard with
+  // the previous day's rank and the movement delta; deterministic rank
+  // via (count DESC, type) and a day+1 self-join (no cross-day window
+  // over an unbounded frame).
+  def qTrending(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "events")
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    val ranked = counts.withColumn("rnk", row_number().over(w))
+    ranked.join(
+        ranked.select(date_add(col("day"), 1).as("day"), col("event_type"),
+          col("rnk").as("prev_rnk")),
+        Seq("day", "event_type"), "left")
+      .withColumn("rank_delta", col("prev_rnk") - col("rnk"))
+      .orderBy("day", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew" -> qKeySkew,
     "q_attribution" -> qAttribution,
     "q_path_analysis" -> qPathAnalysis,
     "q_running_distinct" -> qRunningDistinct,
+    "q_trending" -> qTrending,
     "q_histogram" -> qHistogram,
     "q_col_profile" -> qColProfile,
     "q_retention" -> qRetention,
@@ -1063,6 +1084,19 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    // A57: per-day leaderboard + day+1 self-join for rank movement.
+    "q_trending" ->
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |        event_type, count(*) AS n_events
+        |      FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY day
+        |        ORDER BY n_events DESC, event_type) AS INTEGER) AS rnk
+        |      FROM c)
+        |SELECT a.day, a.event_type, a.n_events, a.rnk,
+        |  b.rnk AS prev_rnk, b.rnk - a.rnk AS rank_delta
+        |FROM r a LEFT JOIN r b
+        |  ON a.day = b.day + 1 AND a.event_type = b.event_type
+        |ORDER BY a.day, a.rnk""".stripMargin,
     // A55: the A6 session kernel + ordered list + trigram unnest.
     "q_path_analysis" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,

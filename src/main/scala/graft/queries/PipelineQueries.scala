@@ -752,6 +752,16 @@ object PipelineQueries {
         "doc_id", "media"))
       .orderBy("doc_id")
 
+  // C4: per-doc 3-gram novelty vs a reference slice (doc_id % 7 == 0
+  // stands in for "the training set so far"); scored docs are the rest.
+  def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Contamination.noveltyVsReference(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", 3, tokenHash)
+      .orderBy("doc_id")
+  }
+
   // P1: composite curation pipeline — dedup the (duplicated) corpus,
   // score quality, keep docs passing the bar, roll up per language.
   // The shape a real training-data job takes; one declarative plan.
@@ -815,6 +825,7 @@ object PipelineQueries {
     "q_mix_temperature" -> qMixTemperature,
     "q_html_extract" -> qHtmlExtract,
     "q_corpus_card" -> qCorpusCard,
+    "q_novelty" -> qNovelty,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -1212,6 +1223,28 @@ object PipelineQueries {
          |FROM documents d JOIN t ON d.source = t.source
          |WHERE $b < t.thr
          |ORDER BY d.doc_id""".stripMargin
+    },
+    // C4: novelty vs the reference slice — distinct reference grams,
+    // one hash join, integer counts.
+    "q_novelty" -> {
+      def sideSh(pred: String, name: String) =
+        s"""${name}tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           |        FROM documents WHERE $pred),
+           |${name}th AS (SELECT doc_id, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+           |        FROM ${name}tok WHERE len(toks) >= 3),
+           |${name}sh AS (SELECT DISTINCT doc_id, $shingleCombineSql AS sh
+           |        FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 2)) AS i
+           |              FROM ${name}th) x)""".stripMargin
+      s"""WITH ${sideSh("doc_id % 7 <> 0", "d")},
+         |${sideSh("doc_id % 7 = 0", "r")},
+         |ref AS (SELECT DISTINCT sh FROM rsh)
+         |SELECT d.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN ref.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_seen,
+         |  round(1.0 - sum(CASE WHEN ref.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*), 4) AS novelty
+         |FROM dsh d LEFT JOIN ref ON d.sh = ref.sh
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
     // P11: the dataset card — T1's quality legs + rank-selected order
     // statistics per (source, lang).
