@@ -64,12 +64,16 @@ object Funnel {
     * groupBy per (entity, session) — session arrays are bounded by
     * session length, never by history — then a path-keyed count.
     */
-  def pathTrigrams(df: DataFrame, idCol: String, tsCol: String,
+  /** The A6 gap-session kernel shared by [[pathTrigrams]] and
+    * [[basketPairs]]: rows annotated with (__uid, __us, __ty, __eid,
+    * __sess).
+    */
+  private def sessionized(df: DataFrame, idCol: String, tsCol: String,
       typeCol: String, eventIdCol: String, gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, s"invalid gap=$gapSeconds")
     val gapUs = gapSeconds * 1000000L
     val w = Window.partitionBy(col("__uid")).orderBy(col("__us"), col("__eid"))
-    val e = df.select(col(idCol).as("__uid"),
+    df.select(col(idCol).as("__uid"),
         expr(s"unix_micros($tsCol)").as("__us"),
         col(typeCol).as("__ty"), col(eventIdCol).as("__eid"))
       .withColumn("__new",
@@ -78,6 +82,11 @@ object Funnel {
           .otherwise(0L))
       .withColumn("__sess", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def pathTrigrams(df: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, eventIdCol: String, gapSeconds: Long): DataFrame = {
+    val e = sessionized(df, idCol, tsCol, typeCol, eventIdCol, gapSeconds)
     e.groupBy(col("__uid"), col("__sess"))
       .agg(sort_array(collect_list(
         struct(col("__us"), col("__eid"), col("__ty")))).as("__evs"))
@@ -94,5 +103,44 @@ object Funnel {
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(concat_ws("#", col("__uid"), col("__sess")))
           .as("n_sessions"))
+  }
+
+  /** A59: session basket analysis — support and LIFT for event-type
+    * PAIRS co-occurring in a session (association mining over the
+    * enumerable type vocabulary):
+    *
+    *   lift(a,b) = P(a,b) / (P(a)·P(b)) = N·n_ab / (n_a·n_b)
+    *
+    * computed as one integer product per side and ONE IEEE division
+    * (round-6 display). n_* are SESSION counts (distinct presence, not
+    * event counts).
+    *
+    * Scale shape: sessions reduce to distinct (session, type) rows;
+    * the pair join is within-session with fanout bounded by the TYPE
+    * vocabulary squared (never by session length — presence is
+    * distinct-ed first); per-type counts broadcast back.
+    */
+  def basketPairs(df: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, eventIdCol: String, gapSeconds: Long): DataFrame = {
+    val st = sessionized(df, idCol, tsCol, typeCol, eventIdCol, gapSeconds)
+      .select(concat_ws("#", col("__uid"), col("__sess")).as("__sid"),
+        col("__ty"))
+      .distinct()
+    val totals = st.agg(countDistinct(col("__sid")).as("__n_sessions"))
+    val perType = st.groupBy(col("__ty")).agg(count(lit(1)).as("__n"))
+    val pairs = st.as("x").join(st.as("y"), "__sid")
+      .filter(col("x.__ty") < col("y.__ty"))
+      .groupBy(col("x.__ty").as("type_a"), col("y.__ty").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("__ty").as("type_a"),
+        col("__n").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("__ty").as("type_b"),
+        col("__n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("__n_sessions").as("n_sessions"),
+        round((col("__n_sessions") * col("n_ab")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
   }
 }

@@ -35,6 +35,13 @@ final case class PerceptualHash(
     h4_2: Long,
     h4_3: Long)
 
+/** Zero-crossing features decoded from an audio payload (M6). */
+final case class AudioZcr(
+    doc_id: Long,
+    n_samples: Long,
+    zero_crossings: Long,
+    zcr: Double)
+
 /** Typed features decoded from an audio payload. */
 final case class AudioMeta(
     doc_id: Long,
@@ -345,6 +352,49 @@ object Multimodal {
         peak = peak,
         rms = math.sqrt(sumSq.toDouble / n))
     } finally in.close()
+  }
+
+  /** Per-payload zero-crossing analysis from the REAL decoded sample
+    * stream (M6): zero-crossing count (sign flip between consecutive
+    * samples, zero counted non-negative — the standard voiced/unvoiced
+    * and tonality heuristic) plus the round-6 per-transition rate.
+    * All-integer until the one display division, so the oracle
+    * recomputes both from the closed-form synthesis ramp.
+    */
+  def extractAudioZcr(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    import javax.sound.sampled.AudioSystem
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val in = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            try {
+              val n = in.getFrameLength
+              val pcm = in.readAllBytes()
+              var crossings = 0L
+              var prevNonNeg = true
+              var first = true
+              var i = 0
+              while (i < pcm.length - 1) {
+                val v = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt
+                val nonNeg = v >= 0
+                if (!first && nonNeg != prevNonNeg) crossings += 1
+                prevNonNeg = nonNeg
+                first = false
+                i += 2
+              }
+              AudioZcr(id, n, crossings,
+                BigDecimal(crossings.toDouble / (n - 1))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            } finally in.close()
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Decode a (id, WAV binary) DataFrame into typed audio features —

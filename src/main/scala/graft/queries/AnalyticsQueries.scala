@@ -1023,12 +1023,19 @@ object AnalyticsQueries {
       .orderBy("day", "rnk")
   }
 
+  // A59: pair support + lift within 30-minute sessions.
+  def qBasket(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.basketPairs(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", gapSeconds = 1800L)
+      .orderBy("type_a", "type_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew" -> qKeySkew,
     "q_attribution" -> qAttribution,
     "q_path_analysis" -> qPathAnalysis,
     "q_running_distinct" -> qRunningDistinct,
     "q_trending" -> qTrending,
+    "q_basket" -> qBasket,
     "q_histogram" -> qHistogram,
     "q_col_profile" -> qColProfile,
     "q_retention" -> qRetention,
@@ -1097,6 +1104,29 @@ object AnalyticsQueries {
         |FROM r a LEFT JOIN r b
         |  ON a.day = b.day + 1 AND a.event_type = b.event_type
         |ORDER BY a.day, a.rnk""".stripMargin,
+    // A59: distinct (session, type) presence -> pair join -> lift.
+    "q_basket" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |        event_type AS ty, event_id FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS pus FROM e),
+        |s AS (SELECT *, sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+        |          THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sess FROM l),
+        |st AS (SELECT DISTINCT user_id || '#' || sess AS sid, ty FROM s),
+        |tot AS (SELECT count(DISTINCT sid) AS n_sessions FROM st),
+        |pt AS (SELECT ty, count(*) AS n FROM st GROUP BY ty),
+        |pr AS (SELECT x.ty AS type_a, y.ty AS type_b, count(*) AS n_ab
+        |       FROM st x JOIN st y ON x.sid = y.sid AND x.ty < y.ty
+        |       GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pr.n_ab, a.n AS n_a, b.n AS n_b,
+        |  tot.n_sessions,
+        |  round(CAST(tot.n_sessions * pr.n_ab AS DOUBLE)
+        |    / CAST(a.n * b.n AS DOUBLE), 6) AS lift
+        |FROM pr JOIN pt a ON pr.type_a = a.ty
+        |JOIN pt b ON pr.type_b = b.ty CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
     // A55: the A6 session kernel + ordered list + trigram unnest.
     "q_path_analysis" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,

@@ -762,6 +762,15 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // M6: REAL zero-crossing extraction from decoded PCM samples; the
+  // oracle recomputes count and rate from the synthesis ramp.
+  def qMmZcr(s: SparkSession, dir: String): DataFrame =
+    Materializer.of(s)(
+      Multimodal.extractAudioZcr(
+        Multimodal.synthesizeAudioCorpus(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "media"))
+      .orderBy("doc_id")
+
   // P1: composite curation pipeline — dedup the (duplicated) corpus,
   // score quality, keep docs passing the bar, roll up per language.
   // The shape a real training-data job takes; one declarative plan.
@@ -826,6 +835,7 @@ object PipelineQueries {
     "q_html_extract" -> qHtmlExtract,
     "q_corpus_card" -> qCorpusCard,
     "q_novelty" -> qNovelty,
+    "q_mm_zcr" -> qMmZcr,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -2183,6 +2193,19 @@ object PipelineQueries {
          |    $histBins
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // M6: sign-flip count over the closed-form sample ramp.
+    "q_mm_zcr" ->
+      s"""WITH p AS (SELECT doc_id, 1 + (doc_id % 7) AS a, doc_id % 256 AS c,
+         |        800 + (doc_id % 8) * 200 AS n FROM documents),
+         |z AS (SELECT doc_id, n,
+         |        CAST(len(list_filter(generate_series(1, n - 1), i ->
+         |          ((a * i + c) % 4096 - 2048 >= 0)
+         |            <> ((a * (i - 1) + c) % 4096 - 2048 >= 0)))
+         |          AS BIGINT) AS zc
+         |      FROM p)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, zc AS zero_crossings,
+         |  round(CAST(zc AS DOUBLE) / (n - 1), 6) AS zcr
+         |FROM z ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       s"""WITH p AS (SELECT doc_id,
          |    64 + (doc_id % 16) * 4 AS w,
