@@ -66,6 +66,39 @@ object Changepoint {
     cusumSeries(counts, keyCol, "bucket", "x", allowance, threshold)
   }
 
+  /** R24: burst-duration statistics — the gaps-and-islands pattern
+    * over keyed bucket counts: maximal runs of CONSECUTIVE buckets at
+    * or above `threshold` (an empty bucket breaks a run — silence is
+    * not part of a burst), reported per key as burst count, longest
+    * burst, total burst buckets, and first burst start. The question
+    * CUSUM's alarm does not answer: not "is something sustained
+    * happening" but "how long do the attack waves last".
+    *
+    * Island id = bucket − row_number over the above-threshold rows:
+    * consecutive buckets share it, any gap (missing or below-threshold
+    * bucket) shifts it — one keyed window + two aggregations,
+    * all-integer. Keys with no burst have no row (nothing to report).
+    */
+  def burstStats(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long, threshold: Long): DataFrame = {
+    val bucketUs = bucketSeconds * 1000000L
+    val above = events
+      .withColumn("bucket", expr(s"unix_micros($tsCol) div $bucketUs"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("x"))
+      .filter(col("x") >= threshold)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    above
+      .withColumn("__grp", col("bucket") - row_number().over(w))
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(count(lit(1)).as("__len"), min(col("bucket")).as("__start"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_bursts"),
+        max(col("__len")).as("longest_burst"),
+        sum(col("__len")).as("burst_buckets"),
+        min(col("__start")).as("first_burst_bucket"))
+  }
+
   /** R21: per-key OLS trend of bucket counts against the bucket index
     * (relative to each key's first bucket, which keeps every moment sum
     * small).

@@ -297,11 +297,19 @@ object ReferenceQueries {
         kNum = 3, kDen = 1)
       .orderBy("network")
 
+  // R24: burst-duration statistics per /24 — maximal consecutive-hour
+  // runs at >= 8 events/hour (gaps-and-islands, all-integer).
+  def qBursts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.burstStats(netEvents(s, dir),
+        "network", "ts", bucketSeconds = 3600L, threshold = 8L)
+      .orderBy("network")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mad_anomaly" -> qMadAnomaly,
     "q_cusum" -> qCusum,
     "q_trend" -> qTrend,
     "q_zscore_anomaly" -> qZscoreAnomaly,
+    "q_bursts" -> qBursts,
     "q_ip_roundtrip" -> qIpRoundtrip,
     "q_cidr_filter" -> qCidrFilter,
     "q_baseline_avg" -> qBaselineAvg,
@@ -521,6 +529,24 @@ object ReferenceQueries {
          |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_buckets, 6)
          |    AS intercept
          |FROM f WHERE den <> 0 ORDER BY host""".stripMargin,
+    // R24: gaps-and-islands — bucket − row_number island ids.
+    "q_bursts" ->
+      s"""WITH n AS (SELECT $ipNumSql AS ip_num, ts FROM events),
+         |b AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network,
+         |        epoch_us(ts) // 3600000000 AS bucket FROM n),
+         |c AS (SELECT network, bucket, count(*) AS x FROM b GROUP BY 1, 2),
+         |a AS (SELECT network, bucket FROM c WHERE x >= 8),
+         |i AS (SELECT network, bucket,
+         |        bucket - row_number() OVER (PARTITION BY network
+         |          ORDER BY bucket) AS grp
+         |      FROM a),
+         |runs AS (SELECT network, grp, count(*) AS len, min(bucket) AS start
+         |         FROM i GROUP BY 1, 2)
+         |SELECT network, count(*) AS n_bursts,
+         |  CAST(max(len) AS BIGINT) AS longest_burst,
+         |  CAST(sum(len) AS BIGINT) AS burst_buckets,
+         |  min(start) AS first_burst_bucket
+         |FROM runs GROUP BY network ORDER BY network""".stripMargin,
     // R23: micro-unit moments; squares and the cross-multiplied
     // k-sigma test in HUGEINT (the Spark side's decimal(38,0) twin).
     "q_zscore_anomaly" ->

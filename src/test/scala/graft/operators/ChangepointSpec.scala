@@ -74,6 +74,26 @@ class ChangepointSpec extends SparkSuite {
     assert(out == Seq(2L))
   }
 
+  test("burstStats: islands split on missing AND below-threshold buckets") {
+    // key a, hourly buckets: counts 3,3 at h0,h1 (burst), h2 silent,
+    // count 1 at h3 (below thr=2), 2,2,2 at h4..h6 (burst len 3)
+    def evs(h: Int, n: Int) =
+      (0 until n).map(i => ("a", new Timestamp(h * 3600000L + i)))
+    val rows = (evs(0, 3) ++ evs(1, 3) ++ evs(3, 1) ++
+      evs(4, 2) ++ evs(5, 2) ++ evs(6, 2)).toDF("key", "ts")
+    val out = Changepoint.burstStats(rows, "key", "ts", 3600L, 2L)
+      .select("key", "n_bursts", "longest_burst", "burst_buckets",
+        "first_burst_bucket")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L, 3L, 5L, 0L)))
+  }
+
+  test("burstStats: keys with no qualifying bucket emit nothing") {
+    val rows = (0 until 5).map(i => ("b", new Timestamp(i * 3600000L)))
+      .toDF("key", "ts")
+    assert(Changepoint.burstStats(rows, "key", "ts", 3600L, 2L).count() == 0)
+  }
+
   test("trend x offsets are per-key relative (absolute epoch never enters)") {
     // identical ramp placed at two distant epochs must fit identically
     val early = (ev(1L, 0, 1) ++ ev(1L, 1, 2) ++ ev(1L, 2, 3)).toDF("host", "ts")
