@@ -99,6 +99,34 @@ object Changepoint {
         min(col("__start")).as("first_burst_bucket"))
   }
 
+  /** R25: source-concentration profile — per key (network), how
+    * concentrated the traffic is across sub-sources (hosts):
+    * Herfindahl-Hirschman index HHI = Σ(c_i/total)² plus the top
+    * source's share. THE ddos triage signal the level baselines miss:
+    * the same packet rate means different things from one host (HHI→1,
+    * a compromised box) vs thousands (HHI→0, a botnet).
+    *
+    * Exact integer moments (Σc_i², max c_i, total — squares safe to
+    * ~3·10^9 rows per source), ONE IEEE division per display column.
+    * Two keyed aggregations, both map-side combinable.
+    */
+  def concentration(events: DataFrame, keyCol: String,
+      sourceCol: String): DataFrame = {
+    val per = events.groupBy(col(keyCol), col(sourceCol))
+      .agg(count(lit(1)).as("__c"))
+    per.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("__c")).as("__total"),
+        sum(col("__c") * col("__c")).as("__sumsq"),
+        max(col("__c")).as("__maxc"))
+      .select(col(keyCol), col("n_sources"),
+        col("__total").as("n_events"),
+        round(col("__sumsq").cast("double")
+          / (col("__total") * col("__total")).cast("double"), 6).as("hhi"),
+        round(col("__maxc").cast("double") / col("__total").cast("double"), 6)
+          .as("top_share"))
+  }
+
   /** R21: per-key OLS trend of bucket counts against the bucket index
     * (relative to each key's first bucket, which keeps every moment sum
     * small).

@@ -597,6 +597,42 @@ object TextAnalysis {
     when(seen > 0, when(sumMicro < 0, -1L).otherwise(1L) * q)
   }
 
+  // ---- T20: vocabulary growth --------------------------------------
+
+  /** T20: vocabulary growth curve (the Heaps'-law health check): how
+    * many NEW token types each bucket of `bucketDocs` documents (in
+    * doc-id order) introduces, plus the running vocabulary size. A
+    * corpus whose curve flattens too early is repeating itself; one
+    * that never flattens is noisy — either way it is the first plot a
+    * data card shows.
+    *
+    * Scale shape: tokens reduce to (token, first doc id) via one
+    * map-side-combinable min aggregation — the corpus never sorts; the
+    * cumulative sum runs over the BUCKETS table (corpus/bucketDocs
+    * rows — the bounded-table window device).
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketDocs: Long, n: Int = 1): DataFrame = {
+    require(bucketDocs > 0 && n > 0,
+      s"invalid vocabGrowth params: bucketDocs=$bucketDocs n=$n")
+    import org.apache.spark.sql.expressions.Window
+    // types are word n-grams (n = 1: plain tokens; n >= 2 tracks the
+    // phrase vocabulary, which keeps growing long after the unigram
+    // vocabulary of a narrow-domain corpus has saturated)
+    df.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(__toks) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(__toks, i, $n)))""".stripMargin))
+        .as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("__first"))
+      .withColumn("bucket", expr(s"__first DIV $bucketDocs"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+      .withColumn("cum_types", sum(col("new_types")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   // ---- T15: HTML -> text extraction --------------------------------
 
   /** T15 test harness: wrap each document in a deterministic HTML

@@ -771,6 +771,14 @@ object PipelineQueries {
         "doc_id", "media"))
       .orderBy("doc_id")
 
+  // T20: BIGRAM vocabulary growth per 25-doc bucket in doc-id order
+  // (the unigram vocabulary of the synthetic corpus saturates in the
+  // first bucket; the phrase vocabulary keeps growing).
+  def qVocabGrowth(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+        25L, n = 2)
+      .orderBy("bucket")
+
   // P1: composite curation pipeline — dedup the (duplicated) corpus,
   // score quality, keep docs passing the bar, roll up per language.
   // The shape a real training-data job takes; one declarative plan.
@@ -836,6 +844,7 @@ object PipelineQueries {
     "q_corpus_card" -> qCorpusCard,
     "q_novelty" -> qNovelty,
     "q_mm_zcr" -> qMmZcr,
+    "q_vocab_growth" -> qVocabGrowth,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -2193,6 +2202,22 @@ object PipelineQueries {
          |    $histBins
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // T20: first-occurrence doc per bigram type -> buckets -> cumsum.
+    "q_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id,
+        |        regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |t AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS tok
+        |      FROM tk WHERE len(toks) >= 2),
+        |f AS (SELECT tok, min(doc_id) AS first FROM t GROUP BY tok),
+        |b AS (SELECT first // 25 AS bucket, count(*) AS new_types
+        |      FROM f GROUP BY 1)
+        |SELECT bucket, new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_types
+        |FROM b ORDER BY bucket""".stripMargin,
     // M6: sign-flip count over the closed-form sample ramp.
     "q_mm_zcr" ->
       s"""WITH p AS (SELECT doc_id, 1 + (doc_id % 7) AS a, doc_id % 256 AS c,

@@ -304,12 +304,28 @@ object ReferenceQueries {
         "network", "ts", bucketSeconds = 3600L, threshold = 8L)
       .orderBy("network")
 
+  // R25: traffic concentration per /26 — HHI + top-host share;
+  // one host at HHI ~1 and a botnet at HHI ~1/n are the same pps.
+  // (/26 so small SFs, whose hosts all sit in 10.0.0.x, still
+  // exercise multiple groups — the Shared.netList rationale.)
+  def qConcentration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IpFunctions
+    graft.operators.Changepoint.concentration(
+        hostEvents(s, dir)
+          .withColumn("ip_num", IpFunctions.ip4ToNum(col("host")))
+          .withColumn("network", IpFunctions.numToIp4(
+            IpFunctions.networkOf(col("ip_num"), 26))),
+        "network", "host")
+      .orderBy("network")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mad_anomaly" -> qMadAnomaly,
     "q_cusum" -> qCusum,
     "q_trend" -> qTrend,
     "q_zscore_anomaly" -> qZscoreAnomaly,
     "q_bursts" -> qBursts,
+    "q_concentration" -> qConcentration,
     "q_ip_roundtrip" -> qIpRoundtrip,
     "q_cidr_filter" -> qCidrFilter,
     "q_baseline_avg" -> qBaselineAvg,
@@ -529,6 +545,21 @@ object ReferenceQueries {
          |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_buckets, 6)
          |    AS intercept
          |FROM f WHERE den <> 0 ORDER BY host""".stripMargin,
+    // R25: HHI + top share from exact integer moments (/26 groups).
+    "q_concentration" ->
+      s"""WITH n AS (SELECT $ipNumSql AS ip_num FROM events),
+         |h AS (SELECT ${numToIpSql("(ip_num & 4294967232)")} AS network,
+         |        ${numToIpSql("ip_num")} AS host FROM n),
+         |c AS (SELECT network, host, count(*) AS c FROM h GROUP BY 1, 2),
+         |m AS (SELECT network, count(*) AS n_sources,
+         |        CAST(sum(c) AS BIGINT) AS total,
+         |        CAST(sum(c * c) AS BIGINT) AS sumsq,
+         |        CAST(max(c) AS BIGINT) AS maxc
+         |      FROM c GROUP BY network)
+         |SELECT network, n_sources, total AS n_events,
+         |  round(CAST(sumsq AS DOUBLE) / CAST(total * total AS DOUBLE), 6) AS hhi,
+         |  round(CAST(maxc AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top_share
+         |FROM m ORDER BY network""".stripMargin,
     // R24: gaps-and-islands — bucket − row_number island ids.
     "q_bursts" ->
       s"""WITH n AS (SELECT $ipNumSql AS ip_num, ts FROM events),
