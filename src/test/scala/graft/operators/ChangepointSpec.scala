@@ -94,6 +94,19 @@ class ChangepointSpec extends SparkSuite {
     assert(Changepoint.burstStats(rows, "key", "ts", 3600L, 2L).count() == 0)
   }
 
+  test("concentration: hand-computed HHI for single-source vs uniform") {
+    // net A: one host sends everything -> HHI 1.0, top_share 1.0
+    // net B: 4 hosts x 5 events -> HHI = 4*(5/20)^2 = 0.25, top 0.25
+    val rows = ((0 until 10).map(_ => ("A", "h1")) ++
+      (for (h <- 1 to 4; _ <- 1 to 5) yield ("B", s"h$h")))
+      .toDF("key", "src")
+    val out = Changepoint.concentration(rows, "key", "src")
+      .orderBy("key")
+      .select("key", "n_sources", "n_events", "hhi", "top_share")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("A", 1L, 10L, 1.0, 1.0), ("B", 4L, 20L, 0.25, 0.25)))
+  }
+
   test("trend x offsets are per-key relative (absolute epoch never enters)") {
     // identical ramp placed at two distant epochs must fit identically
     val early = (ev(1L, 0, 1) ++ ev(1L, 1, 2) ++ ev(1L, 2, 3)).toDF("host", "ts")
