@@ -474,10 +474,13 @@ object Baseline {
     *
     * — integer arithmetic end to end, no division, no sqrt. The
     * display mean/std/current columns are round-6 doubles computed by
-    * one identical op sequence per engine. Long/decimal bounds:
-    * exact for |v| ≤ ~9·10^3 in micro units squared per row
-    * (v6² < 2^63) and ≤ ~10^9 rows per group (products < 10^38) —
-    * both engines raise loudly past them.
+    * one identical op sequence per engine. Overflow contract: every
+    * sum accumulates in decimal(38,0) (the oracle mirrors in
+    * HUGEINT), so no long wrap exists anywhere; past the decimal(38,0)
+    * product bound (~10^9 rows/group at micro scale) Spark's non-ANSI
+    * decimal arithmetic yields NULL — which the explicit guard below
+    * converts to a RAISE, matching DuckDB's loud HUGEINT overflow.
+    * Neither engine can return a silently wrong flag.
     */
   def zscoreAnomaly(
       df: DataFrame,
@@ -502,26 +505,35 @@ object Baseline {
         col(tsCol) >= col("__end") - expr(s"INTERVAL $currentSeconds SECONDS"))
       .withColumn("__v6", round(col(valueCol) * 1e6).cast("long"))
     val d38 = "decimal(38,0)"
+    // sums accumulate in decimal(38,0), NOT long: Spark's non-ANSI
+    // sum(long) wraps silently at 2^63, decimal saturates to NULL —
+    // detectable, and converted to a raise below
     val hist = split.filter(!col("__is_current"))
       .groupBy(col("network"))
       .agg(count(lit(1)).as("n_hist"),
-        sum(col("__v6")).as("__sx"),
+        sum(col("__v6").cast(d38)).as("__sx"),
         sum(col("__v6").cast("decimal(19,0)") * col("__v6").cast("decimal(19,0)"))
           .as("__sxx"))
     val cur = split.filter(col("__is_current"))
       .groupBy(col("network"))
-      .agg(count(lit(1)).as("n_current"), sum(col("__v6")).as("__sc"))
+      .agg(count(lit(1)).as("n_current"), sum(col("__v6").cast(d38)).as("__sc"))
     val n = col("n_hist")
     val m = col("n_current")
-    val varNum = n.cast(d38) * col("__sxx") - col("__sx").cast(d38) * col("__sx")
-    val devNum = col("__sc").cast(d38) * n - col("__sx").cast(d38) * m
+    val varNum = n.cast(d38) * col("__sxx") - col("__sx") * col("__sx")
+    val devNum = col("__sc") * n - col("__sx") * m
+    // the deciding inequality, with non-ANSI decimal overflow (NULL)
+    // surfaced as a raise — never a silent NULL/wrong flag
+    val decide = (devNum * devNum * lit(kDen * kDen) >
+      lit(kNum * kNum) * m.cast(d38) * m * varNum).cast("int")
     hist.join(cur, "network")
       .select(col("network"), col("n_hist"), col("n_current"),
         round(col("__sx").cast("double") / n / 1e6, 6).as("mean_value"),
         round(sqrt(varNum.cast("double")) / n / 1e6, 6).as("std_value"),
         round(col("__sc").cast("double") / m / 1e6, 6).as("current_avg"),
-        (devNum * devNum * lit(kDen * kDen) >
-          lit(kNum * kNum) * m.cast(d38) * m * varNum).cast("int")
+        when(decide.isNotNull, decide)
+          .otherwise(raise_error(lit("zscoreAnomaly: decimal(38,0) " +
+            "overflow on the deciding path — group exceeds the " +
+            "documented exactness bounds")))
           .as("is_anomaly"))
   }
 

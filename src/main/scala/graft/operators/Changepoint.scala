@@ -132,12 +132,15 @@ object Changepoint {
     * small).
     *
     * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept from the
-    * normal equation. Moment sums and cross products are exact longs —
-    * long-exact past 10^5 buckets per key (centuries of daily buckets;
-    * both engines RAISE on overflow rather than wrap, so the bound is a
-    * loud canary, not silent corruption). Each engine then performs one
-    * identical long->double cast per term and ONE IEEE division — no
-    * accumulation-order dependence anywhere.
+    * normal equation. Moment sums and cross products accumulate in
+    * decimal(38,0) (per-row products cast to decimal BEFORE
+    * multiplying) — Spark's non-ANSI sum(long) would wrap silently at
+    * 2^63, decimal saturates to NULL instead, and the guard below
+    * converts that NULL to a RAISE; the DuckDB twin's HUGEINT raises
+    * natively. Exact for any realistic bucket count (overflow needs
+    * ~10^38 in a single moment). Each engine then performs one
+    * identical exact-int->double cast per term and ONE IEEE division —
+    * no accumulation-order dependence anywhere.
     *
     * One aggregation per key after the count pass; keys with a single
     * bucket have an undefined slope and are dropped (den = 0).
@@ -152,17 +155,25 @@ object Changepoint {
     val rel = counts
       .withColumn("x",
         col("bucket") - min(col("bucket")).over(Window.partitionBy(col(keyCol))))
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
     val agg = rel.groupBy(col(keyCol)).agg(
       count(lit(1)).as("n_buckets"),
-      sum(col("x")).as("sx"),
-      sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"))
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum(col("x").cast(d19) * col("y").cast(d19)).as("sxy"),
+      sum(col("x").cast(d19) * col("x").cast(d19)).as("sxx"))
     val num = col("n_buckets") * col("sxy") - col("sx") * col("sy")
     val den = col("n_buckets") * col("sxx") - col("sx") * col("sx")
+    // decimal overflow NULLs must raise, not vanish through the
+    // den =!= 0 filter (NULL predicate drops the row silently)
+    def loud(e: Column, what: String): Column = when(e.isNotNull, e)
+      .otherwise(raise_error(lit(s"trendEvents: decimal(38,0) overflow " +
+        s"in the OLS $what — key exceeds the documented bounds")))
     agg
-      .withColumn("slope", round(num.cast("double") / den.cast("double"), 6))
-      .filter(den =!= 0)
+      .withColumn("slope",
+        round(loud(num, "numerator").cast("double") / den.cast("double"), 6))
+      .filter(loud(den, "denominator") =!= 0)
       .withColumn("intercept",
         round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
           / col("n_buckets"), 6))

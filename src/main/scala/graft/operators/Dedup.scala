@@ -192,27 +192,100 @@ object Dedup {
     * component (the canonical "keep" id real dedup pipelines key on:
     * keep one representative per near-dup cluster, not per pair).
     *
-    * Hash-min label propagation: every doc starts as its own label;
-    * each round takes the min label across neighbors; converges in
-    * `diameter(component)` rounds. Near-dup clusters are shallow
-    * (duplicates of a common source), so the loop exits after 2-4
-    * rounds on real corpora; `maxIters` bounds adversarial chains.
-    * Each round is one join + one groupBy — all distributed; the
-    * driver only sequences rounds and checks the (scalar) convergence
-    * count. The [[Materializer]] truncates the iterative lineage so
-    * round N's plan doesn't replay rounds 1..N-1.
+    * Alternating large-star/small-star rounds (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"): each round
+    * contracts every node's strictly-larger neighbors onto the minimum
+    * of its neighborhood (large-star), then re-points every smaller
+    * neighbor at that minimum (small-star). The pointer-doubling
+    * effect converges in O(log n) rounds even on a chain-shaped graph
+    * whose DIAMETER is Θ(n) — the case hash-min label propagation
+    * (see [[clustersHashMin]]) needs Θ(n) rounds for. Overlapping
+    * shingle chains produce exactly those long thin components at
+    * corpus scale, so this is the default path.
+    *
+    * Every round is a constant number of distributed joins/groupBys;
+    * the driver only sequences rounds and checks the (scalar) edge
+    * fixpoint. Non-convergence at `maxIters` RAISES — callers never
+    * receive silently split clusters. The [[Materializer]] truncates
+    * the iterative lineage so round N's plan doesn't replay rounds
+    * 1..N-1. Contract: every id in `pairs` must appear in `df`
+    * (pairs are generated from the same corpus).
     */
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    requireIntegralId(df, idCol)
+    val mat = Materializer.of(df.sparkSession)
+    // canonical orientation u > v (each edge points at its smaller
+    // end); self-loops carry no connectivity and drop here
+    var edges = mat.eager(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    var prevCount = edges.count()
+    var converged = prevCount == 0L
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star: for every center, link each strictly-LARGER
+      // neighbor to the minimum of the center's closed neighborhood.
+      // Output stays oriented u > v: the emitted (v, m) has v > center
+      // >= m by construction.
+      val gamma = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMins = gamma.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = gamma.join(largeMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: centers see only their smaller neighbors (the
+      // orientation), whose minimum m is the closed-neighborhood min;
+      // re-point every neighbor AND the center at m
+      val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val next = mat.eager(afterLarge.join(smallMins, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(smallMins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct())
+      val nextCount = next.count()
+      // published termination criterion: the iterated edge set reaches
+      // a fixpoint (disjoint stars). Both sides are distinct sets, so
+      // equal counts + empty difference is exact set equality; the
+      // count gate makes the except() run only on candidate rounds.
+      converged = nextCount == prevCount && next.except(edges).isEmpty
+      edges = next
+      prevCount = nextCount
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clusters: star contraction did not converge in $maxIters " +
+        s"rounds (${prevCount} edges remain) — raise maxIters; " +
+        "O(log n) rounds suffice for any pair graph, so this bound " +
+        "should never bind on real corpora")
+    // fixpoint = disjoint stars: every non-minimum node carries exactly
+    // one edge, straight to its component minimum
+    df.select(col(idCol).as("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("lbl")),
+        Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("lbl"), col("doc_id"))).as("cluster_id"))
+  }
+
+  /** Hash-min label propagation — the round-count baseline `clusters`
+    * replaced: every doc starts as its own label, each round takes the
+    * min label across neighbors, so convergence needs
+    * `diameter(component)` rounds. Fine for shallow near-dup blobs
+    * (2-4 rounds), Θ(n) rounds on chain components — which is why
+    * [[clusters]] runs star contraction instead. Kept as the
+    * simple-kernel reference; non-convergence at `maxIters` RAISES
+    * rather than returning silently split clusters.
+    */
+  def clustersHashMin(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
-    // the label-sum convergence test needs an integral id: min()
-    // labels and exact sums are only well-defined there, and a float
-    // id would make "sum unchanged" a rounding accident
-    val idType = df.schema(idCol).dataType
-    require(Seq(org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.ByteType).contains(idType),
-      s"clusters requires an integral id column, got $idCol: $idType")
+    requireIntegralId(df, idCol)
     // materialize the edge list ONCE: every round joins against it,
     // and without this each round's fresh plan would re-run the whole
     // upstream pair-generation pipeline
@@ -244,7 +317,25 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clustersHashMin: label propagation did not converge in " +
+        s"$maxIters rounds — a component's diameter exceeds the bound " +
+        "and labels are still split; use Dedup.clusters (star " +
+        "contraction, O(log n) rounds) or raise maxIters")
     labels.select(col("v").as("doc_id"), col("cluster_id"))
+  }
+
+  /** min() labels and the exact convergence arithmetic are only
+    * well-defined on integral ids; a float id would make fixpoint
+    * equality a rounding accident.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"clusters requires an integral id column, got $idCol: $idType")
   }
 
   /** D7: duplicated-passage detection — the token-span analogue of

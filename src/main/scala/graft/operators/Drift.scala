@@ -170,10 +170,14 @@ object Drift {
     * Profiling.histogramBinSql; outer CAST pins int32 on both engines).
     * The clamp happens BEFORE any integer cast (DuckDB raises on an
     * overflowing cast where Spark saturates — clamping first keeps the
-    * value castable in both).
+    * value castable in both). NaN inputs are pinned to bin 0
+    * explicitly: Spark's floor(double) returns LONG and maps NaN to 0
+    * (bottom bin), while DuckDB's floor keeps NaN floating, which its
+    * NaN-is-greatest ordering would ride through least() into the TOP
+    * bin — the CASE guard makes both engines agree on bin 0.
     */
   def psiBinSql(v: String, mn: String, mx: String, nBins: Int): String =
-    s"CAST(CASE WHEN $mx = $mn THEN 0 ELSE " +
+    s"CAST(CASE WHEN isnan($v) THEN 0 WHEN $mx = $mn THEN 0 ELSE " +
       s"least(${nBins - 1}, greatest(0, " +
       s"floor(($v - $mn) * $nBins / ($mx - $mn)))) END AS INTEGER)"
 

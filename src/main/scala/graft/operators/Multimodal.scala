@@ -373,7 +373,7 @@ object Multimodal {
             val in = AudioSystem.getAudioInputStream(
               new ByteArrayInputStream(bytes))
             try {
-              val n = in.getFrameLength
+              val declared = in.getFrameLength
               val pcm = in.readAllBytes()
               var crossings = 0L
               var prevNonNeg = true
@@ -387,9 +387,20 @@ object Multimodal {
                 first = false
                 i += 2
               }
-              AudioZcr(id, n, crossings,
-                BigDecimal(crossings.toDouble / (n - 1))
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              // getFrameLength is NOT_SPECIFIED (-1) for streamed
+              // sources — fall back to the decoded byte count; and a
+              // 0/1-frame payload has no transitions at all, so its
+              // rate is 0 by definition (the unguarded n-1 division
+              // would be Inf/NaN and BigDecimal would throw, failing
+              // the whole task for one degenerate row)
+              val frameSize =
+                if (in.getFormat.getFrameSize > 0) in.getFormat.getFrameSize else 2
+              val n = if (declared >= 0) declared else pcm.length.toLong / frameSize
+              val rate =
+                if (n <= 1) 0.0
+                else BigDecimal(crossings.toDouble / (n - 1))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              AudioZcr(id, n, crossings, rate)
             } finally in.close()
           }
         }

@@ -1210,7 +1210,8 @@ object PipelineQueries {
          |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q_chunk" -> {
       val (w, s0) = (ChunkWindow, ChunkStride)
-      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      s"""WITH tk AS (SELECT doc_id,
+         |              regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
          |            FROM documents),
          |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk),
          |c AS (SELECT doc_id, toks, n_tokens,

@@ -106,6 +106,40 @@ class DedupSpec extends SparkSuite {
     assert(out.toSeq == Seq(1L))
   }
 
+  // VERDICT r9 #1: a chain component's diameter exceeds any constant
+  // round bound, which hash-min propagation silently mislabeled before.
+  test("diameter > maxIters chain: hash-min raises, star contraction converges") {
+    val n = 41L // diameter 40 ≫ the hash-min default of 10 rounds
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // (a) the old path now FLAGS the split instead of returning it
+    val e = intercept[IllegalStateException](
+      Dedup.clustersHashMin(ids, "doc_id", pairs, maxIters = 10).collect())
+    assert(e.getMessage.contains("did not converge"))
+    // (b) the star path fully converges well inside O(log n) rounds
+    val out = Dedup.clusters(ids, "doc_id", pairs, maxIters = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(out.length == n && out.forall(_._2 == 1L))
+  }
+
+  test("hash-min reference path matches star labels on a shallow graph") {
+    val ids = Seq(1L, 2L, 5L, 7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
+    def labelMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labelMap(Dedup.clustersHashMin(ids, "doc_id", pairs)) ==
+      labelMap(Dedup.clusters(ids, "doc_id", pairs)))
+  }
+
+  test("star contraction handles duplicate, reversed, and self pairs") {
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(ids, "doc_id", pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("dup passages: shared 8-token passage marked as one span, removal hash exact") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta"
     val fillA1 = "one two three four five six"

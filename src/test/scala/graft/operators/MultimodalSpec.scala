@@ -105,6 +105,35 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("extractAudioZcr guards degenerate payloads: 1-frame WAV yields rate 0, not a task failure") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, wavOf(Array[Short](123))),          // single frame: n - 1 == 0
+      (2L, wavOf(Array[Short]())),             // empty payload
+      (3L, wavOf(Array[Short](5, -5, 5, -5)))) // normal: 3 crossings
+      .toDF("doc_id", "media")
+    val out = Multimodal.extractAudioZcr(df, "doc_id", "media")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("zero_crossings") == 0L)
+    assert(out(1L).getAs[Double]("zcr") == 0.0)
+    assert(out(2L).getAs[Double]("zcr") == 0.0)
+    assert(out(3L).getAs[Long]("zero_crossings") == 3L)
+    assert(out(3L).getAs[Double]("zcr") == 1.0)
+  }
+
   test("PCM WAV header fast path is bit-identical to the AudioSystem decode") {
     // Differential check over every (rate, samples, slope, offset)
     // combination the synthesis produces: the header-parse fast path
