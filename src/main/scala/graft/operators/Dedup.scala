@@ -615,4 +615,63 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Banded Hamming near-dup over ANY precomputed integer fingerprint
+    * column (image dHash M5, audio fingerprints, simhashes computed
+    * elsewhere): pairs within `maxHamming` bits, candidates generated
+    * by equality on `nBands` equal-width bit bands of the hash.
+    *
+    * When `nBands > maxHamming` the pigeonhole argument makes
+    * candidate generation EXACT, not a recall heuristic: `maxHamming`
+    * differing bits can touch at most `maxHamming` bands, leaving at
+    * least one band identical — so the banded pair set equals the
+    * brute-force O(n²) scan's (q_mm_neardup gates this against an
+    * all-pairs DuckDB oracle). With `nBands <= maxHamming` it degrades
+    * gracefully into the production recall heuristic, same as
+    * [[simhashNearDup]]'s banding.
+    *
+    * Scale shape: the only shuffle keys on (band, band-value) — pair
+    * volume is proportional to true bucket collisions, never |corpus|².
+    * `maxBucket` drops degenerate buckets (a flat fingerprint shared
+    * by a huge corpus slice) before they emit O(width²) pairs; run
+    * exact dedup first so byte-identical media never reaches here.
+    */
+  def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      totalBits: Int, nBands: Int, maxHamming: Int,
+      maxBucket: Long = 0): DataFrame = {
+    require(totalBits > 0 && totalBits <= 63,
+      s"totalBits=$totalBits (need 1..63: band values must stay " +
+        "non-negative in a signed long)")
+    require(nBands > 0 && totalBits % nBands == 0,
+      s"nBands=$nBands must divide totalBits=$totalBits")
+    val width = totalBits / nBands
+    val mask = (1L << width) - 1L
+    val bandStructs = (0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("h"), width * j).bitwiseAND(lit(mask)).as("bv"))
+    }
+    // rename FIRST, explode in a second select: band structs reference
+    // "h", and aliasing + referencing in one select binds them as
+    // lateral column aliases (a resolver error under explode)
+    val all = hashes
+      .select(col(idCol).as("doc_id"), col(hashCol).as("h"))
+      .select(col("doc_id"), col("h"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("h"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    // materialized once — both sides of the self-join read the band
+    // rows (same device as simhashNearDup)
+    val bands = Materializer.of(hashes.sparkSession)(
+      if (maxBucket <= 0) all
+      else all
+        .withColumn("__w",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
+        .filter(col("__w") <= maxBucket)
+        .drop("__w"))
+    bands.as("x").join(bands.as("y"), Seq("band", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.h ^ y.h)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -612,6 +612,27 @@ object Multimodal {
       .toDF()
   }
 
+  /** M5 -> D4 composition (image near-dup end to end): decode every
+    * payload's raster once into its 60-bit dHash ([[perceptualHash]]),
+    * then find all pairs within `maxHamming` bits through the banded
+    * Hamming machinery ([[Dedup.bandedHammingPairs]]). With the
+    * default 6 bands of 10 bits and maxHamming <= 5 the band join is
+    * EXACT by pigeonhole — the output equals a brute-force all-pairs
+    * scan while the shuffle stays proportional to true bucket
+    * collisions (the property that matters when the corpus is 10^9
+    * images, where all-pairs is 10^18 comparisons).
+    *
+    * `maxBucket` guards the degenerate-bucket blowup (a flat or
+    * monochrome dHash shared corpus-wide); run exact byte dedup first
+    * so identical files never reach the pair stage.
+    */
+  def imageNearDup(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 5, nBands: Int = 6, maxBucket: Long = 0): DataFrame =
+    Dedup.bandedHammingPairs(
+      perceptualHash(df, idCol, mediaCol), "doc_id", "dhash",
+      totalBits = 60, nBands = nBands, maxHamming = maxHamming,
+      maxBucket = maxBucket)
+
   /** Frame sampling: one media payload -> one row per DECODED frame
     * (animated GIF frames here; video frames at a deployment), the 1:N
     * decode shape. `frame_hex` is the first 4 pixels down column 0 of

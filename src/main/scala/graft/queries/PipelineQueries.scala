@@ -752,6 +752,17 @@ object PipelineQueries {
         "doc_id", "media"))
       .orderBy("doc_id")
 
+  // M5 -> D4 composition: image near-dup end to end — REAL decoded
+  // rasters -> 60-bit dHash -> 3x20-bit band join -> exact Hamming
+  // verify. nBands (3) > maxHamming (2) makes the banding EXACT by
+  // pigeonhole, so the oracle can brute-force ALL pairs from the
+  // closed-form synthesis ramp and the sets must match bit for bit.
+  def qMmNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDup(
+      Multimodal.synthesizeCorpus(t(s, dir, "documents"), "doc_id"),
+      "doc_id", "media", maxHamming = 2, nBands = 3)
+      .orderBy("doc_a", "doc_b")
+
   // C4: per-doc 3-gram novelty vs a reference slice (doc_id % 7 == 0
   // stands in for "the training set so far"); scored docs are the rest.
   def qNovelty(s: SparkSession, dir: String): DataFrame = {
@@ -895,6 +906,7 @@ object PipelineQueries {
     "q_linear_score" -> qLinearScore,
     "q_mm_meta" -> qMmMeta,
     "q_mm_phash" -> qMmPhash,
+    "q_mm_neardup" -> qMmNeardup,
     "q_mm_frames" -> qMmFrames,
     "q_mm_audio" -> qMmAudio,
     "q_mm_resize" -> qMmResize,
@@ -2203,6 +2215,25 @@ object PipelineQueries {
          |    $histBins
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // M5 -> D4: all-pairs brute force over the closed-form dHash —
+    // legitimate ONLY in the oracle (the Spark side's banded join must
+    // produce the identical set because nBands > maxHamming).
+    "q_mm_neardup" ->
+      """WITH p AS (SELECT doc_id,
+        |    1 + (doc_id % 7) AS a, doc_id % 256 AS c,
+        |    32 + (doc_id % 12) * 8 AS h
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 59),
+        |    j -> CASE WHEN (a * (((j+1)*(h-1))//60) + c) % 256
+        |                 > (a * ((j*(h-1))//60) + c) % 256
+        |         THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS dhash
+        |  FROM p)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+        |FROM d x JOIN d y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.dhash, y.dhash)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // T20: first-occurrence doc per bigram type -> buckets -> cumsum.
     "q_vocab_growth" ->
       """WITH tk AS (SELECT doc_id,

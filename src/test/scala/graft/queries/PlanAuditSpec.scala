@@ -40,6 +40,10 @@ class PlanAuditSpec extends SparkSuite {
     // data-sized x data-sized class as q_dedup_ngram's self-join;
     // neither side is broadcastable at corpus scale by construction
     "q_er_pairs", "q_er_match",
+    // image near-dup's dHash band self-join — the same corpus x corpus
+    // class as the simhash band join; both sides are the full decoded
+    // fingerprint table, not broadcastable at image-corpus scale
+    "q_mm_neardup",
     // attribution's conversions x touches join keys on user_id with
     // both sides carved from the event stream — data x data at any
     // scale (the interval-join class); per-conversion fanout bounded
