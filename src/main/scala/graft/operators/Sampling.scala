@@ -87,6 +87,81 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** [[quotaSample]] on the RankSelect bucket device — the arm for a
+    * PATHOLOGICAL giant stratum, where the window form's per-stratum
+    * sort is a one-task straggler. Selects the n-th smallest
+    * (hash, id) pair per stratum arithmetically instead of sorting:
+    *
+    *   1. bucket every row by the top bits of its 60-bit md5 prefix
+    *      (md5 is uniform, so buckets are balanced by construction —
+    *      no min/max range pass needed, unlike RankSelect.quantiles);
+    *   2. per-(stratum, bucket) histogram + exclusive offsets (a
+    *      window over <= `buckets` rows per stratum);
+    *   3. locate the quota boundary's bucket arithmetically and sort
+    *      ONLY that bucket's rows (~n_stratum/buckets of the data) to
+    *      read off the threshold (hash, id) pair;
+    *   4. keep rows strictly under the threshold prefix, and rows AT
+    *      the prefix up to the full (md5, id) tuple — exact ordering,
+    *      hash-prefix collisions included.
+    *
+    * The bucketing is order-preserving for the window form's
+    * (md5, id) sort order — equal-length lowercase hex compares
+    * lexicographically as the 128-bit value, and the 60-bit prefix is
+    * its leading bits — so the kept set is IDENTICAL to
+    * [[quotaSample]]'s row for row (q_quota_sample_rs gates this
+    * against the window form's unchanged oracle). Strata at/under
+    * quota skip the kernel entirely (keep-all).
+    *
+    * `broadcastGroups = false` switches the stratum-sized side tables
+    * to shuffled joins for high-cardinality stratum keys (the
+    * RankSelect.quantiles contract).
+    */
+  def quotaSampleRankSelect(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int, salt: String = "quota", buckets: Int = 1024,
+      broadcastGroups: Boolean = true): DataFrame = {
+    require(n > 0, s"invalid quota n=$n")
+    require(buckets >= 2 && Integer.bitCount(buckets) == 1 && buckets <= (1 << 20),
+      s"buckets=$buckets must be a power of two in [2, 2^20]")
+    val shift = 60 - Integer.numberOfTrailingZeros(buckets)
+    val bcast: DataFrame => DataFrame =
+      if (broadcastGroups) broadcast else identity
+    val cols = df.columns.map(col).toSeq
+    val base = df
+      .withColumn("__g", keyOf(col(stratumCol)))
+      .withColumn("__k", md5(concat(lit(salt), lit("_"), col(idCol).cast("string"))))
+      .withColumn("__p", Hashing.md5Long60(
+        concat(lit(salt), lit("_"), col(idCol).cast("string"))))
+    val stats = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    // under-quota strata: keep-all, no kernel work
+    val small = base
+      .join(bcast(stats.filter(col("__n") <= n).select(col("__g"))), "__g")
+      .select(cols: _*)
+    val big = base
+      .join(bcast(stats.filter(col("__n") > n).select(col("__g"))), "__g")
+      .withColumn("__b", shiftright(col("__p"), shift))
+    val hist = big.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
+    val off = hist.withColumn("__off",
+      coalesce(sum(col("__c")).over(Window.partitionBy(col("__g"))
+        .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val target = off
+      .filter(col("__off") < n && lit(n.toLong) <= col("__off") + col("__c"))
+      .select(col("__g"), col("__b"), (lit(n.toLong) - col("__off")).as("__r"))
+    // sort only the boundary bucket, by the FULL window-form ordering
+    val thr = big.join(bcast(target), Seq("__g", "__b"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__g"), col("__b"))
+          .orderBy(col("__k"), col(idCol))))
+      .filter(col("__rn") === col("__r"))
+      .select(col("__g"), col("__p").as("__tp"), col("__k").as("__tk"),
+        col(idCol).as("__tid"))
+    val kept = big.join(bcast(thr), "__g")
+      .filter(col("__p") < col("__tp") ||
+        (col("__p") === col("__tp") &&
+          struct(col("__k"), col(idCol)) <= struct(col("__tk"), col("__tid"))))
+      .select(cols: _*)
+    small.unionByName(kept)
+  }
+
   /** P5: source mixing — downsample each source toward a target mix.
     * `shares(source)` is the share of the output each source should
     * contribute (missing sources get `defaultShare`), `totalFrac` the

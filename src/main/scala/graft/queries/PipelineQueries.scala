@@ -342,6 +342,15 @@ object PipelineQueries {
         "source", "doc_id", 40)
       .orderBy("doc_id")
 
+  // P9 on the RankSelect bucket device (VERDICT r9 #7): the giant-
+  // stratum arm must reproduce the window form's kept set EXACTLY, so
+  // it gates against the IDENTICAL oracle SQL as q_quota_sample.
+  def qQuotaSampleRs(s: SparkSession, dir: String): DataFrame =
+    Sampling.quotaSampleRankSelect(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", 40)
+      .orderBy("doc_id")
+
   // C2: distribution-drift KS — the corpus is split into two synthetic
   // snapshots by event-id parity (deterministic, roughly equal halves
   // with the same distribution, so the gate exercises the full ladder
@@ -877,6 +886,7 @@ object PipelineQueries {
     "q_split" -> qSplit,
     "q_sample" -> qSample,
     "q_quota_sample" -> qQuotaSample,
+    "q_quota_sample_rs" -> qQuotaSampleRs,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_segment" -> qBpeSegment,
     "q_drift_ks" -> qDriftKs,
@@ -1587,6 +1597,15 @@ object PipelineQueries {
     // one partition on both sides (keyOf's sentinel vs SQL's NULL
     // group — same grouping, no real source collides with either).
     "q_quota_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5('quota_' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+    // P9-RS: the bucket-kernel arm's contract is set equality with the
+    // window form, so the oracle is the identical sort-window SQL.
+    "q_quota_sample_rs" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (
         |      PARTITION BY source

@@ -178,4 +178,34 @@ class SamplingSpec extends SparkSuite {
     assert(ids(df, "quota2") != base)
     assert(base.size == 45)
   }
+
+  test("quotaSampleRankSelect == quotaSample row for row (giant stratum arm)") {
+    // one giant stratum (the case the kernel exists for), two normal,
+    // one under-filled, one null — and few buckets so boundary buckets
+    // hold many rows and the threshold bucket's local sort is exercised
+    val df = ((1 to 3000).map(i => (i.toLong, "giant")) ++
+      (3001 to 3100).map(i => (i.toLong, "a")) ++
+      (3101 to 3200).map(i => (i.toLong, "b")) ++
+      (3201 to 3210).map(i => (i.toLong, "small")) ++
+      (3211 to 3215).map(i => (i.toLong, null: String)))
+      .toDF("doc_id", "src")
+    for (n <- Seq(1, 25, 99); bk <- Seq(8, 1024)) {
+      val window = Sampling.quotaSample(df, "src", "doc_id", n)
+        .select("doc_id").as[Long].collect().toSet
+      val kernel = Sampling.quotaSampleRankSelect(df, "src", "doc_id", n,
+          buckets = bk)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kernel == window, s"mismatch at n=$n buckets=$bk")
+    }
+  }
+
+  test("quotaSampleRankSelect: shuffled-join arm matches the broadcast arm") {
+    val df = (1 to 500).map(i => (i.toLong, s"s${i % 4}")).toDF("doc_id", "src")
+    val b = Sampling.quotaSampleRankSelect(df, "src", "doc_id", 30)
+      .select("doc_id").as[Long].collect().toSet
+    val s = Sampling.quotaSampleRankSelect(df, "src", "doc_id", 30,
+        broadcastGroups = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(b == s && b.size == 4 * 30)
+  }
 }
