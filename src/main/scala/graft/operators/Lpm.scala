@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.IpFunctions
+
+/** R26 (beyond the reference, same domain): longest-prefix-match
+  * enrichment — annotate every host with the MOST SPECIFIC matching
+  * block from a CIDR table (routing-table lookup, GeoIP/ASN
+  * enrichment, customer-prefix attribution; the reference's flat
+  * networks_list, main.go:112-133, is the preflen-uniform special
+  * case).
+  *
+  * Spark-first shape (no per-row loop over prefix lengths, no UDF):
+  *
+  *   1. the block table expands to a fixed `anchor`-bit join key —
+  *      blocks SHORTER than the anchor explode into their 2^(anchor-len)
+  *      anchor-sized children (bounded fanout on the SMALL side;
+  *      anchor - len <= 16 enforced), blocks at/under it keep one row;
+  *   2. DISTINCT host numbers equi-join the expanded table on the
+  *      anchor key (broadcast by default — a routing table is MBs;
+  *      `broadcastBlocks = false` for a data-sized block table), then
+  *      one integer shift-compare verifies real containment;
+  *   3. the winner per host value is max_by(preflen) — exact because a
+  *      host matches at most ONE block per length (cidr uniqueness
+  *      contract), so no tie exists;
+  *   4. winners join back onto the input rows by host number
+  *      (LPM is a function of the host VALUE alone — scoring distinct
+  *      hosts first keeps candidate volume ∝ distinct hosts, not rows).
+  *
+  * Unmatched hosts keep NULL block columns (left join) — the caller
+  * decides between "default route" (add a 0.0.0.0/0 row) and drop.
+  * All-integer: base/len parse once, containment is one shift-equal.
+  */
+object Lpm {
+
+  def cidrBase(cidr: Column): Column =
+    IpFunctions.ip4ToNum(split(cidr, "/").getItem(0))
+
+  def cidrLen(cidr: Column): Column = split(cidr, "/").getItem(1).cast("int")
+
+  def lpmEnrich(df: DataFrame, hostCol: String, blocks: DataFrame,
+      cidrCol: String, anchor: Int = 16,
+      broadcastBlocks: Boolean = true): DataFrame = {
+    require(anchor >= 1 && anchor <= 32, s"anchor=$anchor (want 1..32)")
+    val bcast: DataFrame => DataFrame =
+      if (broadcastBlocks) broadcast else identity
+    val attrs = blocks.columns.filter(_ != cidrCol).toSeq
+
+    // (1) parse + expand the block side to anchor-key rows. The
+    // explode fanout 2^(anchor-len) is bounded to 2^16 per block and
+    // only inflates the block table — never the data side.
+    // the validation lives INSIDE __len (not a dropped side column the
+    // optimizer would prune away): out-of-range lengths raise loudly
+    val lenLo = math.max(0, anchor - 16)
+    val parsed = blocks
+      .withColumn("__base", cidrBase(col(cidrCol)))
+      .withColumn("__len",
+        when(cidrLen(col(cidrCol)).between(lenLo, 32), cidrLen(col(cidrCol)))
+          .otherwise(raise_error(concat(lit(s"lpmEnrich: prefix length " +
+            s"out of range (want $lenLo..32 at anchor=$anchor): "),
+            col(cidrCol)))))
+    val expanded = parsed
+      .withColumn("__i", explode(expr(
+        s"sequence(0L, shiftleft(CAST(1 AS BIGINT), " +
+          s"greatest(0, $anchor - __len)) - 1L)")))
+      .withColumn("__ak",
+        expr(s"shiftright(__base, ${32 - anchor}) + __i"))
+      .drop("__i")
+
+    // (2) candidates over DISTINCT host numbers; one shift-equal
+    // verifies containment (len <= anchor rows are contained by
+    // construction, the filter is then trivially true)
+    val hostNum = IpFunctions.ip4ToNum(col(hostCol))
+    val hosts = df.select(hostNum.as("__hn")).distinct()
+    val cand = hosts
+      .withColumn("__ak", expr(s"shiftright(__hn, ${32 - anchor})"))
+      .join(bcast(expanded), "__ak")
+      .filter(expr("shiftright(__hn, 32 - __len) = shiftright(__base, 32 - __len)"))
+
+    // (3) most specific block per host value — unique by construction
+    val blkStruct = struct(
+      (col(cidrCol).as("matched_cidr") +: col("__len").as("matched_len") +:
+        attrs.map(a => col(a))): _*)
+    val winners = cand.groupBy(col("__hn"))
+      .agg(max_by(blkStruct, col("__len")).as("__blk"))
+      .select(col("__hn"), col("__blk.*"))
+
+    // (4) enrich the original rows (left: unmatched hosts keep NULLs).
+    // winners is DISTINCT-HOST-sized, not block-table-sized, so it is
+    // never force-broadcast — AQE picks broadcast when it measures
+    // small, and a 4B-host winner table shuffles like the data it is.
+    df.withColumn("__hn", hostNum)
+      .join(winners, Seq("__hn"), "left")
+      .drop("__hn")
+  }
+}

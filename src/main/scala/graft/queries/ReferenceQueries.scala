@@ -319,8 +319,36 @@ object ReferenceQueries {
       .orderBy("network")
   }
 
+  /** R26 gate fixture: a deterministic three-level CIDR table over the
+    * synthetic 10.0.0.0/8 host space — a /8 backbone fallback, even
+    * second-octet /16 regions, and /24 sites where (o2 + o3) % 3 == 0
+    * (so every specificity level actually wins somewhere). The oracle
+    * rebuilds the SAME rules in closed form and resolves the longest
+    * match arithmetically — it never sees the generic operator.
+    */
+  def lpmBlocks(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val b8 = Seq(("10.0.0.0/8", "backbone"))
+    val b16 = (0 until 256 by 2).map(b => (s"10.$b.0.0/16", s"region-$b"))
+    val b24 = for { b <- 0 until 16; c <- 0 until 256 if (b + c) % 3 == 0 }
+      yield (s"10.$b.$c.0/24", s"site-$b-$c")
+    (b8 ++ b16 ++ b24).toDF("cidr", "owner")
+  }
+
+  // R26: longest-prefix-match enrichment — per matched block: event
+  // and distinct-host counts (the per-customer/per-site attribution
+  // report a routing-table join exists to produce).
+  def qLpmEnrich(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lpm.lpmEnrich(hostEvents(s, dir), "host",
+        lpmBlocks(s), "cidr")
+      .groupBy("owner", "matched_cidr", "matched_len")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("host")).as("n_hosts"))
+      .orderBy("matched_cidr")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mad_anomaly" -> qMadAnomaly,
+    "q_lpm_enrich" -> qLpmEnrich,
     "q_cusum" -> qCusum,
     "q_trend" -> qTrend,
     "q_zscore_anomaly" -> qZscoreAnomaly,
@@ -420,6 +448,29 @@ object ReferenceQueries {
          |SELECT event_id, ${numToIpSql("ip_num")} AS host, ip_num
          |FROM e WHERE ip_num BETWEEN 167772224 AND 167772287
          |ORDER BY event_id""".stripMargin,
+    // R26: the oracle KNOWS the fixture's three specificity levels, so
+    // it resolves the longest match arithmetically per host — no
+    // generic LPM machinery on the oracle side.
+    "q_lpm_enrich" ->
+      s"""WITH e AS (SELECT $ipNumSql AS hn FROM events),
+         |h AS (SELECT hn, (hn >> 16) & 255 AS o2, (hn >> 8) & 255 AS o3 FROM e),
+         |m AS (SELECT hn, o2, o3,
+         |    CASE WHEN o2 <= 15 AND (o2 + o3) % 3 = 0 THEN 24
+         |         WHEN o2 % 2 = 0 THEN 16 ELSE 8 END AS len
+         |  FROM h),
+         |r AS (SELECT hn,
+         |    CASE len WHEN 24 THEN 'site-' || o2 || '-' || o3
+         |             WHEN 16 THEN 'region-' || o2
+         |             ELSE 'backbone' END AS owner,
+         |    CASE len WHEN 24 THEN '10.' || o2 || '.' || o3 || '.0/24'
+         |             WHEN 16 THEN '10.' || o2 || '.0.0/16'
+         |             ELSE '10.0.0.0/8' END AS matched_cidr,
+         |    CAST(len AS INTEGER) AS matched_len
+         |  FROM m)
+         |SELECT owner, matched_cidr, matched_len,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT hn) AS BIGINT) AS n_hosts
+         |FROM r GROUP BY 1, 2, 3 ORDER BY matched_cidr""".stripMargin,
     "q_baseline_avg" -> baselineSql("avg"),
     "q_baseline_max" -> baselineSql("max"),
     "q_baseline_incremental" ->
