@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Materializer, Multimodal}
+
+/** M7s: streaming image near-dup — a live stream of (id, media)
+  * payloads fingerprinted at ingest (REAL raster decode -> 60-bit
+  * dHash, the M5 kernel) and matched against a STATIC corpus
+  * fingerprint index with ZERO streaming state, the
+  * [[StreamingEr]]/[[StreamingAnn]] serving shape:
+  *
+  *   - corpus side, built once at query start: per band, a
+  *     band-value -> candidate-id-array index (collect_set = the
+  *     dedup a streaming `distinct` would need state for), plus the
+  *     id -> hash table for verification;
+  *   - stream side, all row-local: decode, band the hash with plain
+  *     bit ops into `nBands` columns, LEFT-join each band index,
+  *     union the candidate arrays in-row, explode, join the hash
+  *     table, one codegen'd bit_count Hamming check.
+  *
+  * With `nBands > maxHamming` the candidate generation is EXACT by
+  * the same pigeonhole argument as the batch operator
+  * ([[graft.operators.Dedup.bandedHammingPairs]]) — the spec pins the
+  * streamed pair set equal to a brute-force stream x corpus scan.
+  * Append mode, unbounded-history safe; `maxBucket` caps corpus-side
+  * bucket width (a flat fingerprint shared corpus-wide would
+  * otherwise ride into every matching stream row's candidate array).
+  */
+object StreamingImageNearDup {
+
+  /** One APPEND row per (stream image, corpus image) pair within
+    * `maxHamming` bits: (left_id, right_id, hamming).
+    */
+  def matchAgainst(stream: DataFrame, corpus: DataFrame, idCol: String,
+      mediaCol: String, maxHamming: Int = 5, nBands: Int = 6,
+      maxBucket: Long = 0): DataFrame = {
+    val totalBits = 60
+    require(nBands > 0 && totalBits % nBands == 0,
+      s"nBands=$nBands must divide $totalBits")
+    val width = totalBits / nBands
+    val mask = (1L << width) - 1L
+    val mat = Materializer.of(corpus.sparkSession)
+
+    // static side: one decode pass feeds the hash table AND every
+    // band index
+    val corpusH = mat(Multimodal.perceptualHash(corpus, idCol, mediaCol)
+      .select(col("doc_id").as("right_id"), col("dhash").as("__rh")))
+    val bandIdx = (0 until nBands).map { j =>
+      val idx = corpusH
+        .withColumn(s"__bv_$j", shiftright(col("__rh"), width * j).bitwiseAND(lit(mask)))
+        .groupBy(col(s"__bv_$j"))
+        .agg(collect_set(col("right_id")).as(s"__cand_$j"))
+      mat(if (maxBucket <= 0) idx
+      else idx.filter(size(col(s"__cand_$j")) <= maxBucket))
+    }
+
+    var out = Multimodal.perceptualHash(stream, idCol, mediaCol)
+      .select(col("doc_id").as("left_id"), col("dhash").as("__lh"))
+    for (j <- 0 until nBands) {
+      out = out
+        .withColumn(s"__bv_$j",
+          shiftright(col("__lh"), width * j).bitwiseAND(lit(mask)))
+        .join(bandIdx(j), Seq(s"__bv_$j"), "left")
+    }
+    val candAll = array_distinct(concat((0 until nBands).map(j =>
+      coalesce(col(s"__cand_$j"), array().cast("array<bigint>"))): _*))
+    out
+      .withColumn("right_id", explode(candAll))
+      .join(corpusH, "right_id")
+      .withColumn("hamming", expr("bit_count(__lh ^ __rh)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("left_id", "right_id", "hamming")
+  }
+}
