@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A61: fixed-point integer PageRank over an edge list (SURVEY.md
+  * §2.2) — the graph-centrality operator a web-scale corpus curation
+  * pipeline runs over its host/link graph (link-based quality signals
+  * for crawl corpora; the same kernel ranks any bipartite interaction
+  * graph such as customer↔product).
+  *
+  * Why FIXED-POINT: the textbook recurrence
+  *
+  *   r'(v) = (1-d)·S + d · Σ_{u→v} r(u)/deg(u)
+  *
+  * sums float contributions whose accumulation ORDER a distributed
+  * engine does not define — two runs (or two engines) legitimately
+  * disagree in the last ulps, which the bit-exact gate would surface
+  * as flakiness. Scaling ranks to integer units of 1/`scale` makes
+  * every step exact and order-independent: contributions are
+  * `rank_fp div deg` (truncating long division), sums are long sums
+  * (associative, commutative, overflow-raising via decimal below),
+  * and damping is `(dampNum · inflow) div dampDen`. The result is a
+  * deterministic algorithm — "PageRank computed in integer
+  * micro-units" — identical on any engine, any partitioning, any
+  * core count. The ≤1-unit truncation loss per edge is bounded by
+  * `n_edges/scale` total mass, irrelevant at scale=10⁹.
+  *
+  * Scale shape: `deg` is computed once and reused every round; each
+  * iteration is ONE equi-join (edges × ranks on src — both sides
+  * shuffle-partition on the node id, so consecutive rounds reuse the
+  * same partitioning) + one map-side-combinable sum on dst. Lineage
+  * is truncated per round via [[Materializer]] so round N's plan does
+  * not replay rounds 1..N-1 — the standard iterative-frontier
+  * discipline shared with [[Dedup.clusters]].
+  *
+  * Overflow honesty: inflow sums accumulate in decimal(38,0) (a long
+  * sum would wrap silently past 2^63 under non-ANSI semantics — the
+  * r9-ADVICE lesson); the product `dampNum · inflow` stays decimal
+  * and the final `div` returns to long with an explicit overflow
+  * raise, so a pathological scale/graph combination fails loudly,
+  * never silently wrong.
+  */
+object Graph {
+
+  /** Fixed-point PageRank. `edges`: two integral columns `src`, `dst`
+    * (directed; feed each undirected edge in both orientations). The
+    * node universe is the nodes with OUT-degree ≥ 1 (a node never
+    * appearing as src has undefined out-degree; dangling dsts receive
+    * mass but are not ranked — pre-add reverse edges or self-loops if
+    * every node must appear). Returns (node, deg, rank_fp) with
+    * rank_fp in units of 1/scale and the stationary "mass 1 per node"
+    * convention (r₀ = scale).
+    */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"iters=$iters (want >= 0)")
+    require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"bad fixed-point config: scale=$scale damp=$dampNum/$dampDen")
+    val mat = Materializer.of(edges.sparkSession)
+    val e = mat.eager(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    val deg = mat.eager(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    // teleport term: truncating long division, same `div` the SQL twin
+    // runs — exact whenever dampDen divides (dampDen-dampNum)·scale
+    val base = (dampDen - dampNum) * scale / dampDen
+    var ranks = deg.select(col("node"), col("deg"),
+      lit(scale).as("rank_fp"))
+    for (i <- 1 to iters) {
+      val inflow = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("rank_fp div deg").as("__c"))
+        .groupBy(col("dst").as("node"))
+        // decimal(38,0) sum: overflow NULLs (caught below) instead of
+        // a silent long wrap
+        .agg(sum(col("__c").cast("decimal(38,0)")).as("__in"))
+      // left join keeps source-only nodes (out-edges, no in-edges) in
+      // the universe at the teleport floor. `__has` distinguishes "no
+      // inflow row" (legitimately 0) from "decimal sum overflowed to
+      // NULL" — a bare coalesce would mask the latter as zero mass.
+      val damped = expr(s"cast(($dampNum * coalesce(__in, 0)) " +
+        s"div $dampDen as bigint)")
+      val overflowed = (col("__has").isNotNull && col("__in").isNull) ||
+        damped.isNull
+      val next = deg.join(inflow.withColumn("__has", lit(1)),
+          Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          when(overflowed, raise_error(lit(
+              s"Graph.pageRank: rank overflow at iter $i — lower `scale`")))
+            .otherwise(lit(base) + damped)
+            .as("rank_fp"))
+      ranks = mat.eager(next)
+    }
+    ranks
+  }
+}

@@ -1029,6 +1029,25 @@ object AnalyticsQueries {
         "user_id", "ts", "event_type", "event_id", gapSeconds = 1800L)
       .orderBy("type_a", "type_b")
 
+  // A61: fixed-point PageRank over the bipartite customer<->part
+  // purchase graph (both orientations — every node has out-degree).
+  // Node encoding: customer key*2, part key*2+1.
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = e0.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+      .union(e0.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 3)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("part")).as("kind"),
+        expr("node div 2").as("key"), col("deg"), col("rank_fp"),
+        round(col("rank_fp") / 1000000000.0, 6).as("rank"))
+      .orderBy(col("rank_fp").desc, col("kind"), col("key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew" -> qKeySkew,
     "q_attribution" -> qAttribution,
@@ -1036,6 +1055,7 @@ object AnalyticsQueries {
     "q_running_distinct" -> qRunningDistinct,
     "q_trending" -> qTrending,
     "q_basket" -> qBasket,
+    "q_pagerank" -> qPagerank,
     "q_histogram" -> qHistogram,
     "q_col_profile" -> qColProfile,
     "q_retention" -> qRetention,
@@ -1091,6 +1111,35 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    // A61: the identical fixed-point recurrence, 3 iterations unrolled
+    // — integer `//` + long sums make the result order-independent, so
+    // both engines agree bit-for-bit (the float recurrence would not).
+    "q_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c*2 AS src, p*2+1 AS dst FROM e0
+        |          UNION ALL SELECT p*2+1, c*2 FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, deg, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |i1 AS (SELECT e.dst AS node, CAST(sum(r.r // r.deg) AS BIGINT) AS f
+        |       FROM edges e JOIN r0 r ON e.src = r.node GROUP BY 1),
+        |r1 AS (SELECT d.node, d.deg, CAST(150000000
+        |         + (85 * coalesce(i.f, 0)) // 100 AS BIGINT) AS r
+        |       FROM deg d LEFT JOIN i1 i ON d.node = i.node),
+        |i2 AS (SELECT e.dst AS node, CAST(sum(r.r // r.deg) AS BIGINT) AS f
+        |       FROM edges e JOIN r1 r ON e.src = r.node GROUP BY 1),
+        |r2 AS (SELECT d.node, d.deg, CAST(150000000
+        |         + (85 * coalesce(i.f, 0)) // 100 AS BIGINT) AS r
+        |       FROM deg d LEFT JOIN i2 i ON d.node = i.node),
+        |i3 AS (SELECT e.dst AS node, CAST(sum(r.r // r.deg) AS BIGINT) AS f
+        |       FROM edges e JOIN r2 r ON e.src = r.node GROUP BY 1),
+        |r3 AS (SELECT d.node, d.deg, CAST(150000000
+        |         + (85 * coalesce(i.f, 0)) // 100 AS BIGINT) AS r
+        |       FROM deg d LEFT JOIN i3 i ON d.node = i.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
+        |  node // 2 AS key, deg, r AS rank_fp,
+        |  round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
+        |FROM r3 ORDER BY rank_fp DESC, kind, key""".stripMargin,
     // A57: per-day leaderboard + day+1 self-join for rank movement.
     "q_trending" ->
       """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
