@@ -1048,7 +1048,22 @@ object AnalyticsQueries {
       .orderBy(col("rank_fp").desc, col("kind"), col("key"))
   }
 
+  // A62: 15-minute grid, linear interpolation per event type.
+  def qInterpolate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.interpolate(t(s, dir, "events"),
+        "event_type", "ts", "value", stepSeconds = 900L)
+      .orderBy("key", "ts")
+
+  // A60: 1-hour windows hopping every 15 minutes over events — each
+  // event covers exactly 4 window positions (size/slide).
+  def qHoppingWindow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hopping.hopAgg(t(s, dir, "events"), "ts", "event_type",
+        "value", sizeSeconds = 3600L, slideSeconds = 900L)
+      .orderBy("ws", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hopping_window" -> qHoppingWindow,
+    "q_interpolate" -> qInterpolate,
     "q_key_skew" -> qKeySkew,
     "q_attribution" -> qAttribution,
     "q_path_analysis" -> qPathAnalysis,
@@ -1111,6 +1126,58 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    // A60: every event expands to its 4 covering epoch-aligned window
+    // starts (k = 0..3 slides back); the count is integer and the
+    // value sum runs the shared decimal-exact device.
+    "q_hopping_window" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+         |w AS (SELECT
+         |    make_timestamp((us // 900000000 - k) * 900000000) AS ws,
+         |    make_timestamp((us // 900000000 - k) * 900000000
+         |      + 3600000000) AS we,
+         |    event_type, value
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks)
+         |SELECT ws, we, event_type, count(*) AS n,
+         |  ${sum2Sql("value")} AS sum_value
+         |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    // A62: identical weighted-average integer interpolation — every
+    // term non-negative so trunc-div == floor-div; products in HUGEINT
+    // (the Spark side uses decimal(38,0)); the obs/grid tie orders
+    // make a coincident tick see the observation on BOTH sides.
+    "q_interpolate" ->
+      """WITH obs AS (SELECT event_type AS key, epoch_us(ts) AS us,
+        |    min(CAST(round(value * 1000000) AS BIGINT)) AS vm
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT key, (min(us) + 899999999) // 900000000 AS t0,
+        |    max(us) // 900000000 AS t1 FROM obs GROUP BY 1),
+        |grid AS (SELECT key,
+        |    unnest(generate_series(t0, t1)) * 900000000 AS us
+        |  FROM b WHERE t0 <= t1),
+        |u AS (SELECT key, us, vm, 0 AS is_grid FROM obs
+        |      UNION ALL SELECT key, us, NULL, 1 FROM grid),
+        |w AS (SELECT key, us, is_grid,
+        |    last_value(vm IGNORE NULLS) OVER
+        |      (PARTITION BY key ORDER BY us, is_grid
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pvm,
+        |    last_value(CASE WHEN vm IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY key ORDER BY us, is_grid
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pus,
+        |    first_value(vm IGNORE NULLS) OVER
+        |      (PARTITION BY key ORDER BY us, is_grid DESC
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nvm,
+        |    first_value(CASE WHEN vm IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY key ORDER BY us, is_grid DESC
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nus
+        |  FROM u),
+        |i AS (SELECT key, us,
+        |    CASE WHEN nus = pus THEN pvm
+        |      ELSE CAST((CAST(pvm AS HUGEINT) * (nus - us)
+        |        + CAST(nvm AS HUGEINT) * (us - pus))
+        |        // (nus - pus) AS BIGINT) END AS interp_micros
+        |  FROM w WHERE is_grid = 1)
+        |SELECT key, make_timestamp(us) AS ts, interp_micros,
+        |  round(interp_micros / 1000000.0, 6) AS value
+        |FROM i ORDER BY key, us""".stripMargin,
     // A61: the identical fixed-point recurrence, 3 iterations unrolled
     // — integer `//` + long sums make the result order-independent, so
     // both engines agree bit-for-bit (the float recurrence would not).
