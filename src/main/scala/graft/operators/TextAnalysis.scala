@@ -682,4 +682,80 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"), c.as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
+
+  /** T16: BM25 retrieval scoring — T11's tf·idf turned into the
+    * ranking function a corpus search actually runs (Robertson &
+    * Zaragoza 2009; k1 saturates term frequency, b normalizes by
+    * document length). For a FIXED query-term set: corpus stats (N,
+    * total tokens, per-term document frequencies) reduce to ONE
+    * broadcast-sized row; every document then scores row-locally —
+    * term frequencies from in-row `filter()` over the token array, the
+    * per-term partial and the final sum as one fixed expression tree.
+    * No per-(doc, term) explosion, no ordering anywhere: at 100 TB
+    * this is a stats pass + a map.
+    *
+    * Float discipline: idf = round(ln(1 + (N−df+0.5)/(df+0.5)), 6)
+    * (round-6 absorbs the cross-engine ln ulp, the T11/T13 device);
+    * per-term scores round-6; the total sums the ≤|terms| partials in
+    * SORTED TERM ORDER as one literal expression — both engines
+    * evaluate the identical float program. Zero-df terms contribute
+    * nothing (tf = 0 everywhere) but keep their idf defined.
+    *
+    * Output: docs with at least one query term, ranked
+    * (bm25 DESC, doc_id) with a deterministic row_number.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 50): DataFrame = {
+    require(terms.nonEmpty && terms == terms.sorted && terms.distinct == terms,
+      "terms must be non-empty, sorted, distinct (fixes the sum order)")
+    terms.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
+      s"term '$t' — word characters only (it is inlined into the plan)"))
+    val base = df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      expr(s"cast(size(filter(__toks, x -> x = '$t')) as bigint)")
+        .as(s"__tf$i")
+    }
+    val withTf = base.select(col("doc_id") +: col("dl") +: tfCols: _*)
+    val aggs = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("total_tokens") +:
+      terms.indices.map(i =>
+        sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val scored = withTf.join(broadcast(stats))
+    // Column arithmetic only — a string-interpolated "1.2" would parse
+    // as a Spark DECIMAL literal and type the whole tree away from the
+    // oracle's doubles. The oracle spells the same literal ops
+    // ((1.2 + 1), 1 - 0.75, …) so both engines constant-fold to the
+    // identical IEEE values.
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val termScore = terms.indices.map { i =>
+      val df = col(s"__df$i")
+      val tf = col(s"__tf$i")
+      val idf = round(
+        log(lit(1.0) + (col("n_docs").cast("double") - df + lit(0.5))
+          / (df + lit(0.5))), 6)
+      val dlNorm = lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)
+      when(tf > 0, round(idf * (tf * (k1 + 1)) / (tf + dlNorm), 6))
+        .otherwise(lit(0.0))
+    }
+    val total = round(termScore.reduceLeft(_ + _), 6)
+    val hits = terms.indices
+      .map(i => (col(s"__tf$i") > 0).cast("int")).reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored
+      .select(col("doc_id"), col("dl"), hits.as("n_terms_hit"),
+        total.as("bm25"))
+      .filter(col("n_terms_hit") > 0)
+      // TakeOrderedAndProject: per-partition top-k merged at the
+      // driver — never a global sort; the rank window then runs over
+      // exactly topK rows
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rnk", row_number().over(w))
+  }
 }

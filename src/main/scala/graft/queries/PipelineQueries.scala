@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Bpe, Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Packing, PqIndex, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Overlap, Packing, PqIndex, Privacy, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -473,6 +473,26 @@ object PipelineQueries {
         "doc_id", "text", "split", n = 5)
       .orderBy("doc_id")
 
+  // T16: BM25 over a fixed 3-term query (one zero-df term pins the
+  // degenerate idf path); top 50 by (score, doc_id).
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("merge", "quantum", "spark"), topK = 50)
+
+  // C5: QI = (nation, market segment); sensitive = acctbal
+  // thousand-band. k=10 leaves a mix of safe and at-risk groups at
+  // every gate scale.
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        expr("cast(floor(c_acctbal / 1000) as bigint)"), k = 10L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  // P12: 3-gram shingle Jaccard between every source pair.
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Overlap.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 3)
+      .orderBy("src_a", "src_b")
+
   // E1: int8 symmetric quantization report per embedding vector.
   def qEmbedQuant(s: SparkSession, dir: String): DataFrame =
     Quantization.int8Report(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -855,6 +875,9 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> qKAnonymity,
+    "q_source_overlap" -> qSourceOverlap,
+    "q_bm25" -> qBm25,
     "q_pipeline" -> qPipeline,
     "q_er_pairs" -> qErPairs,
     "q_er_match" -> qErMatch,
@@ -1196,6 +1219,84 @@ object PipelineQueries {
   }
 
   private val oracleBase: Map[String, String] = Map(
+    // T16: the identical BM25 float program — literal ops spelled the
+    // same way ((1.2 + 1), 1 - 0.75) so both engines constant-fold to
+    // identical IEEE values; idf and per-term scores round-6; the
+    // 3-term sum is one fixed left-to-right expression.
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl,
+        |    len(list_filter(toks, x -> x = 'merge')) AS tf0,
+        |    len(list_filter(toks, x -> x = 'quantum')) AS tf1,
+        |    len(list_filter(toks, x -> x = 'spark')) AS tf2
+        |  FROM tok),
+        |st AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM d),
+        |sc AS (SELECT doc_id, dl,
+        |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms_hit,
+        |    round(
+        |      (CASE WHEN tf0 > 0 THEN round(
+        |        round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df0 + 0.5)
+        |          / (df0 + 0.5)), 6)
+        |        * (tf0 * (CAST(1.2 AS DOUBLE) + 1)) / (tf0 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75
+        |          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))),
+        |        6) ELSE 0.0 END)
+        |      + (CASE WHEN tf1 > 0 THEN round(
+        |        round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df1 + 0.5)
+        |          / (df1 + 0.5)), 6)
+        |        * (tf1 * (CAST(1.2 AS DOUBLE) + 1)) / (tf1 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75
+        |          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))),
+        |        6) ELSE 0.0 END)
+        |      + (CASE WHEN tf2 > 0 THEN round(
+        |        round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df2 + 0.5)
+        |          / (df2 + 0.5)), 6)
+        |        * (tf2 * (CAST(1.2 AS DOUBLE) + 1)) / (tf2 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75
+        |          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))),
+        |        6) ELSE 0.0 END), 6) AS bm25
+        |  FROM d CROSS JOIN st)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl, n_terms_hit, bm25,
+        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS INTEGER) AS rnk
+        |FROM sc WHERE n_terms_hit > 0
+        |ORDER BY rnk LIMIT 50""".stripMargin,
+    // C5: one aggregation on the QI columns; all-integer outputs.
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |    AS l_diversity,
+        |  CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // P12: the D2 shingle kernel keyed by source, distinct per
+    // source, self-joined on the shingle hash.
+    "q_source_overlap" ->
+      s"""WITH tok AS (SELECT source,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |th AS (SELECT source,
+         |    list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |  FROM tok WHERE len(toks) >= 3),
+         |sh AS (SELECT DISTINCT source, $shingleCombineSql AS sh
+         |  FROM (SELECT source, th,
+         |      unnest(generate_series(1, len(th) - 2)) AS i FROM th) x),
+         |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT pr.src_a, pr.src_b, pr.n_common, sa.n AS n_a, sb.n AS n_b,
+         |  round(CAST(pr.n_common AS DOUBLE)
+         |    / (sa.n + sb.n - pr.n_common), 6) AS jaccard
+         |FROM pr JOIN sz sa ON pr.src_a = sa.source
+         |JOIN sz sb ON pr.src_b = sb.source
+         |ORDER BY 1, 2""".stripMargin,
     "q_heavy_hitters" ->
       """WITH t AS (SELECT lang,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS item
