@@ -40,34 +40,41 @@ object Lpm {
 
   def cidrLen(cidr: Column): Column = split(cidr, "/").getItem(1).cast("int")
 
-  def lpmEnrich(df: DataFrame, hostCol: String, blocks: DataFrame,
-      cidrCol: String, anchor: Int = 16,
-      broadcastBlocks: Boolean = true): DataFrame = {
+  /** Step (1) of the LPM plan, shared with the streaming twin
+    * ([[graft.streaming.StreamingLpm]]): parse + expand the block
+    * table to fixed `anchor`-bit join-key rows. The explode fanout
+    * 2^(anchor-len) is bounded to 2^16 per block and only inflates
+    * the block table — never the data side. The validation lives
+    * INSIDE __len (not a dropped side column the optimizer would
+    * prune away): out-of-range lengths raise loudly.
+    */
+  def expandedIndex(blocks: DataFrame, cidrCol: String,
+      anchor: Int): DataFrame = {
     require(anchor >= 1 && anchor <= 32, s"anchor=$anchor (want 1..32)")
-    val bcast: DataFrame => DataFrame =
-      if (broadcastBlocks) broadcast else identity
-    val attrs = blocks.columns.filter(_ != cidrCol).toSeq
-
-    // (1) parse + expand the block side to anchor-key rows. The
-    // explode fanout 2^(anchor-len) is bounded to 2^16 per block and
-    // only inflates the block table — never the data side.
-    // the validation lives INSIDE __len (not a dropped side column the
-    // optimizer would prune away): out-of-range lengths raise loudly
     val lenLo = math.max(0, anchor - 16)
-    val parsed = blocks
+    blocks
       .withColumn("__base", cidrBase(col(cidrCol)))
       .withColumn("__len",
         when(cidrLen(col(cidrCol)).between(lenLo, 32), cidrLen(col(cidrCol)))
           .otherwise(raise_error(concat(lit(s"lpmEnrich: prefix length " +
             s"out of range (want $lenLo..32 at anchor=$anchor): "),
             col(cidrCol)))))
-    val expanded = parsed
       .withColumn("__i", explode(expr(
         s"sequence(0L, shiftleft(CAST(1 AS BIGINT), " +
           s"greatest(0, $anchor - __len)) - 1L)")))
       .withColumn("__ak",
         expr(s"shiftright(__base, ${32 - anchor}) + __i"))
       .drop("__i")
+  }
+
+  def lpmEnrich(df: DataFrame, hostCol: String, blocks: DataFrame,
+      cidrCol: String, anchor: Int = 16,
+      broadcastBlocks: Boolean = true): DataFrame = {
+    val bcast: DataFrame => DataFrame =
+      if (broadcastBlocks) broadcast else identity
+    val attrs = blocks.columns.filter(_ != cidrCol).toSeq
+
+    val expanded = expandedIndex(blocks, cidrCol, anchor)
 
     // (2) candidates over DISTINCT host numbers; one shift-equal
     // verifies containment (len <= anchor rows are contained by
