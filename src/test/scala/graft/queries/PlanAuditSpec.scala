@@ -60,7 +60,14 @@ class PlanAuditSpec extends SparkSuite {
     // (verified in the PLANS_r8 dump after the r8 sharing fix). The
     // lazy audit keeps the full un-truncated lineage, so the planner
     // sees the pre-materialization join shape.
-    Set("q_ann_recall", "q_ann_ivf_sweep", "q_dedup_clusters") ++
+    Set("q_ann_recall", "q_ann_ivf_sweep", "q_dedup_clusters",
+      // pagerank's per-iteration edges x ranks join: both sides are
+      // node/edge-scale (data x data at any graph size — a web graph's
+      // rank table is billions of rows), and consecutive iterations
+      // reuse the node-id hash partitioning. Under the eager runtime
+      // materializer each round joins a small materialized frontier
+      // and AQE picks the strategy per round.
+      "q_pagerank") ++
     // SMJ at sf0.1+ only (PLANS_r9, AQE-final plans): both join
     // per-network aggregates that the preceding rank/spine window
     // already hash-partitioned on network — the SMJ reuses that
