@@ -179,4 +179,44 @@ object Changepoint {
           / col("n_buckets"), 6))
       .select(keyCol, "n_buckets", "slope", "intercept")
   }
+
+  /** R27: heavy-change detection — the deltoids question (Cormode &
+    * Muthukrishnan, "What's new?"): which keys' event counts CHANGED
+    * most between the two most recent `windowSeconds` windows. The
+    * triage signal the level detectors miss by design: CUSUM flags a
+    * sustained shift on ONE key it is already watching; this ranks
+    * ALL keys by shift size, surfacing the new talker that had no
+    * baseline yesterday (n_prev = 0) and the one that went silent
+    * (n_cur = 0) in the same table.
+    *
+    * End-anchored like the R23 z-score: [end − 2w, end − w) vs
+    * [end − w, end]. One filtered scan, one map-side-combinable
+    * aggregation per key, top-k via TakeOrderedAndProject (never a
+    * global sort); all-integer except the display ratio (one IEEE
+    * division against the add-one-smoothed base).
+    */
+  def heavyChange(events: DataFrame, keyCol: String, tsCol: String,
+      windowSeconds: Long, topK: Int): DataFrame = {
+    require(windowSeconds > 0 && topK > 0,
+      s"want positive window/topK, got $windowSeconds/$topK")
+    val maxTs = events.agg(max(col(tsCol)).as("__end"))
+    val counts = events.crossJoin(broadcast(maxTs))
+      .filter(col(tsCol) >=
+        col("__end") - expr(s"INTERVAL ${2 * windowSeconds} SECONDS"))
+      .withColumn("__cur", (col(tsCol) >=
+        col("__end") - expr(s"INTERVAL $windowSeconds SECONDS")).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__cur")).as("n_cur"),
+        sum(lit(1L) - col("__cur")).as("n_prev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("abs_delta").desc, col(keyCol))
+    counts
+      .select(col(keyCol), col("n_cur"), col("n_prev"),
+        (col("n_cur") - col("n_prev")).as("delta"),
+        abs(col("n_cur") - col("n_prev")).as("abs_delta"),
+        round(col("n_cur") / (col("n_prev") + lit(1.0)), 6).as("ratio"))
+      .orderBy(col("abs_delta").desc, col(keyCol))
+      .limit(topK)
+      .withColumn("rnk", row_number().over(w))
+  }
 }

@@ -319,6 +319,15 @@ object ReferenceQueries {
       .orderBy("network")
   }
 
+  // R27: which HOSTS changed most between the two most recent days —
+  // the deltoid triage table (new talkers and gone-silent keys rank
+  // alongside ramps). Host-keyed: the /24 roll-up collapses to one
+  // group on the synthetic 10.0.0.x host space (the Shared.netList
+  // rationale), and per-host is the deltoids' natural granularity.
+  def qHeavyChange(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.heavyChange(hostEvents(s, dir),
+      "host", "ts", windowSeconds = 86400L, topK = 20)
+
   /** R26 gate fixture: a deterministic three-level CIDR table over the
     * synthetic 10.0.0.0/8 host space — a /8 backbone fallback, even
     * second-octet /16 regions, and /24 sites where (o2 + o3) % 3 == 0
@@ -354,6 +363,7 @@ object ReferenceQueries {
     "q_zscore_anomaly" -> qZscoreAnomaly,
     "q_bursts" -> qBursts,
     "q_concentration" -> qConcentration,
+    "q_heavy_change" -> qHeavyChange,
     "q_ip_roundtrip" -> qIpRoundtrip,
     "q_cidr_filter" -> qCidrFilter,
     "q_baseline_avg" -> qBaselineAvg,
@@ -611,6 +621,24 @@ object ReferenceQueries {
          |  round(CAST(sumsq AS DOUBLE) / CAST(total * total AS DOUBLE), 6) AS hhi,
          |  round(CAST(maxc AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top_share
          |FROM m ORDER BY network""".stripMargin,
+    // R27: adjacent-window count deltas per host, top-20 by |delta|.
+    "q_heavy_change" ->
+      s"""WITH n AS (SELECT $ipNumSql AS ip_num, ts FROM events),
+         |m AS (SELECT max(ts) AS e FROM n),
+         |t AS (SELECT ${numToIpSql("ip_num")} AS host,
+         |    CASE WHEN ts >= e - INTERVAL 86400 SECONDS
+         |      THEN 1 ELSE 0 END AS cur
+         |  FROM n CROSS JOIN m
+         |  WHERE ts >= e - INTERVAL 172800 SECONDS),
+         |c AS (SELECT host, CAST(sum(cur) AS BIGINT) AS n_cur,
+         |    CAST(sum(1 - cur) AS BIGINT) AS n_prev
+         |  FROM t GROUP BY 1)
+         |SELECT host, n_cur, n_prev, n_cur - n_prev AS delta,
+         |  abs(n_cur - n_prev) AS abs_delta,
+         |  round(n_cur / (n_prev + 1.0), 6) AS ratio,
+         |  CAST(row_number() OVER (ORDER BY abs(n_cur - n_prev) DESC,
+         |    host) AS INTEGER) AS rnk
+         |FROM c ORDER BY rnk LIMIT 20""".stripMargin,
     // R24: gaps-and-islands — bucket − row_number island ids.
     "q_bursts" ->
       s"""WITH n AS (SELECT $ipNumSql AS ip_num, ts FROM events),

@@ -117,4 +117,40 @@ class ChangepointSpec extends SparkSuite {
       .as[(Double, Double)].collect().toSeq
     assert(out == Seq((1.0, 1.0)))
   }
+
+  test("heavyChange ranks ramps, new talkers, and gone-silent keys by |delta|") {
+    val end = Timestamp.valueOf("2024-03-02 00:00:00")
+    def at(hoursBack: Int) =
+      new Timestamp(end.getTime - hoursBack * 3600000L)
+    // windows at w = 1 day: cur = (end-24h, end], prev = (end-48h, end-24h]
+    val rows =
+      Seq.fill(10)(("ramp", at(2))) ++ Seq.fill(2)(("ramp", at(30))) ++   // +8
+      Seq.fill(5)(("new", at(3))) ++                                      // +5
+      Seq.fill(7)(("gone", at(40))) ++                                    // -7
+      Seq.fill(4)(("flat", at(4))) ++ Seq.fill(4)(("flat", at(28))) ++    // 0
+      Seq.fill(9)(("old", at(60)))   // outside both windows: excluded
+    val out = Changepoint.heavyChange(
+        rows.toDF("key", "ts"), "key", "ts",
+        windowSeconds = 86400L, topK = 3)
+      .select($"rnk", $"key", $"n_cur", $"n_prev", $"delta", $"ratio")
+      .as[(Int, String, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(_._1)
+    assert(out == Seq(
+      (1, "ramp", 10L, 2L, 8L, math.rint(10.0 / 3.0 * 1e6) / 1e6),
+      (2, "gone", 0L, 7L, -7L, 0.0),
+      (3, "new", 5L, 0L, 5L, 5.0)))
+  }
+
+  test("heavyChange tie-breaks equal |delta| by key and respects topK") {
+    val end = Timestamp.valueOf("2024-03-02 00:00:00")
+    def at(hoursBack: Int) =
+      new Timestamp(end.getTime - hoursBack * 3600000L)
+    val rows = Seq.fill(3)(("b", at(1))) ++ Seq.fill(3)(("a", at(1))) ++
+      Seq(("z", at(1)), ("z", at(30)), ("z", at(31)))  // anchor max ts
+    val out = Changepoint.heavyChange(rows.toDF("key", "ts"), "key", "ts",
+        86400L, topK = 2)
+      .select($"rnk", $"key", $"delta")
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1, "a", 3L), (2, "b", 3L)))
+  }
 }
