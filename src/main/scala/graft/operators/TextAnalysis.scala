@@ -704,13 +704,16 @@ object TextAnalysis {
     * Output: docs with at least one query term, ranked
     * (bm25 DESC, doc_id) with a deterministic row_number.
     */
-  def bm25(df: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      topK: Int = 50): DataFrame = {
+  private def requireTerms(terms: Seq[String]): Unit = {
     require(terms.nonEmpty && terms == terms.sorted && terms.distinct == terms,
       "terms must be non-empty, sorted, distinct (fixes the sum order)")
     terms.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
       s"term '$t' — word characters only (it is inlined into the plan)"))
+  }
+
+  /** (doc_id, dl, __tf0..__tfN): in-row term frequencies. */
+  private def bm25Tf(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), col("__toks"),
@@ -719,13 +722,34 @@ object TextAnalysis {
       expr(s"cast(size(filter(__toks, x -> x = '$t')) as bigint)")
         .as(s"__tf$i")
     }
-    val withTf = base.select(col("doc_id") +: col("dl") +: tfCols: _*)
+    base.select(col("doc_id") +: col("dl") +: tfCols: _*)
+  }
+
+  /** The ONE-ROW corpus statistics table BM25 needs: N, total tokens,
+    * per-term document frequencies — broadcast-sized by construction,
+    * and the static side of the streaming twin
+    * ([[graft.streaming.StreamingBm25]]).
+    */
+  def bm25Stats(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    requireTerms(terms)
+    val withTf = bm25Tf(df, idCol, textCol, terms)
     val aggs = count(lit(1)).as("n_docs") +:
       sum(col("dl")).as("total_tokens") +:
       terms.indices.map(i =>
         sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
-    val stats = withTf.agg(aggs.head, aggs.tail: _*)
-    val scored = withTf.join(broadcast(stats))
+    withTf.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Row-local BM25 scoring against a precomputed [[bm25Stats]] row —
+    * no aggregation over `df` at all, so it runs verbatim on a stream.
+    * Returns every document with >= 1 query term.
+    */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], stats: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    requireTerms(terms)
+    val scored = bm25Tf(df, idCol, textCol, terms).join(broadcast(stats))
     // Column arithmetic only — a string-interpolated "1.2" would parse
     // as a Spark DECIMAL literal and type the whole tree away from the
     // oracle's doubles. The oracle spells the same literal ops
@@ -745,12 +769,19 @@ object TextAnalysis {
     val total = round(termScore.reduceLeft(_ + _), 6)
     val hits = terms.indices
       .map(i => (col(s"__tf$i") > 0).cast("int")).reduceLeft(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bm25").desc, col("doc_id"))
     scored
       .select(col("doc_id"), col("dl"), hits.as("n_terms_hit"),
         total.as("bm25"))
       .filter(col("n_terms_hit") > 0)
+  }
+
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    bm25Score(df, idCol, textCol, terms,
+        bm25Stats(df, idCol, textCol, terms), k1, b)
       // TakeOrderedAndProject: per-partition top-k merged at the
       // driver — never a global sort; the rank window then runs over
       // exactly topK rows

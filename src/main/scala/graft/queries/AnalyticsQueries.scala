@@ -1048,6 +1048,25 @@ object AnalyticsQueries {
       .orderBy(col("rank_fp").desc, col("kind"), col("key"))
   }
 
+  // A63: HLL distinct users per hopping window — the A10 sketch under
+  // the A60 window generator (sliding reach, the metric a tumbling
+  // distinct understates at window boundaries). Banded self-check:
+  // the exact arm exists for the gate; at scale the sketch IS the
+  // operator (mergeable, bounded state — the streaming-compatible
+  // distinct).
+  def qHoppingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val g = e.groupBy(window(col("ts"), "3600 seconds", "900 seconds").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+    g.select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(1L), round(col("exact_users") * 0.05)))
+          .as("approx_ok"))
+      .orderBy("ws")
+  }
+
   // A62: 15-minute grid, linear interpolation per event type.
   def qInterpolate(s: SparkSession, dir: String): DataFrame =
     graft.operators.Resample.interpolate(t(s, dir, "events"),
@@ -1063,6 +1082,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hopping_window" -> qHoppingWindow,
+    "q_hopping_distinct" -> qHoppingDistinct,
     "q_interpolate" -> qInterpolate,
     "q_key_skew" -> qKeySkew,
     "q_attribution" -> qAttribution,
@@ -1126,6 +1146,18 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    // A63: exact sliding distinct via the same 4-start expansion; the
+    // sketch band asserts literally TRUE (the A10 device).
+    "q_hopping_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+        |w AS (SELECT
+        |    make_timestamp((us // 900000000 - k) * 900000000) AS ws,
+        |    make_timestamp((us // 900000000 - k) * 900000000
+        |      + 3600000000) AS we, user_id
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks)
+        |SELECT ws, we, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM w GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // A60: every event expands to its 4 covering epoch-aligned window
     // starts (k = 0..3 slides back); the count is integer and the
     // value sum runs the shared decimal-exact device.
