@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** E3: top principal component of an embedding column by power
+  * iteration — the missing axis behind E2's cartography: E2 says how
+  * tightly a group hugs its centroid, PCA says WHICH direction the
+  * corpus actually varies along (embedding whitening, anisotropy
+  * diagnostics — a healthy embedding space spreads variance, a
+  * collapsed one concentrates it in one component — and the
+  * projection axis IVF/PQ codebooks implicitly learn).
+  *
+  * Scale shape — the only part that touches the full corpus is ONE
+  * aggregation: second-moment sums S[i,j] = Σ x_i·x_j and first
+  * moments Σ x_i via a d² in-plan expansion that partial-aggregates
+  * map-side down to d² rows before the single shuffle (the E2
+  * explode-by-dim device, squared). The d×d matrix is driver-sized BY
+  * CONSTRUCTION (d ≤ ~512 → ≤ 2 MB); power iteration then runs on the
+  * driver — a sequential 30-step d² loop, microseconds, pointless to
+  * distribute. Projections are one more row-local pass. The d²
+  * per-row expansion is CPU fanout, not shuffle volume; past d ≈ 512
+  * the right move is a matrix-accumulating TypedImperativeAggregate
+  * (the A53 pattern), stated here rather than silently assumed.
+  *
+  * Determinism: moment sums accumulate as decimal(28,10) (exact,
+  * order-independent — the E2 discipline), so the covariance matrix,
+  * the driver iteration, and every projection are bit-identical under
+  * any partitioning (spec-asserted by re-running repartitioned).
+  */
+object Pca {
+
+  /** The distributed part: exact second/first moments per (i, j) —
+    * d² rows after the map-side combine, decimal-exact then round-6
+    * double (order-independent, DuckDB-gated as `q_pca_moments`).
+    */
+  def moments(df: DataFrame, vecCol: String): DataFrame =
+    df.select(col(vecCol).cast("array<double>").as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"),
+        posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        round(sum((col("xi") * col("xj")).cast("decimal(28,10)")), 6)
+          .cast("double").as("sxy"),
+        round(sum(col("xi").cast("decimal(28,10)")), 6)
+          .cast("double").as("sx"),
+        count(lit(1)).as("n"))
+
+  /** (mean, principal component, eigenvalue): the model, computed by
+    * `iters` power-iteration steps from the deterministic uniform
+    * start 1/√d. The component's sign is fixed by "largest-|coord|
+    * entry is positive" (power iteration's sign is otherwise
+    * arbitrary).
+    */
+  def topComponent(df: DataFrame, vecCol: String, iters: Int = 30)
+      : (Vector[Double], Vector[Double], Double) = {
+    require(iters >= 1, s"iters=$iters (want >= 1)")
+    val momentRows = moments(df, vecCol).collect()
+    require(momentRows.nonEmpty, "topComponent: empty input")
+    val d = momentRows.map(_.getInt(0)).max + 1
+    val n = momentRows.head.getLong(4).toDouble
+    val sxy = Array.ofDim[Double](d, d)
+    val sx = new Array[Double](d)
+    momentRows.foreach { r: Row =>
+      sxy(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      // Σx_i repeats across the row's d (i, j) groups — read it once
+      if (r.getInt(1) == 0) sx(r.getInt(0)) = r.getDouble(3)
+    }
+    val mean = sx.map(_ / n)
+    // covariance C[i][j] = Sxy/n − μi·μj
+    val c = Array.tabulate(d, d)((i, j) => sxy(i)(j) / n - mean(i) * mean(j))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "topComponent: zero-variance input")
+      v = w.map(_ / norm)
+      lambda = norm
+    }
+    // canonical sign: the largest-|coordinate| entry positive
+    val k = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    val s = if (v(k) < 0) -1.0 else 1.0
+    (mean.toVector, v.map(_ * s).toVector, lambda)
+  }
+
+  /** Row-local projection of each vector onto the component (centered:
+    * score = (x − μ)·pc). One map over the corpus; μ·pc folds to a
+    * literal on the driver.
+    */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+      mean: Seq[Double], pc: Seq[Double]): DataFrame = {
+    val muDotPc = mean.zip(pc).map { case (m, p) => m * p }.sum
+    val pcLit = array(pc.map(lit): _*)
+    df.select(col(idCol),
+      round(Similarity.dotD(col(vecCol).cast("array<double>"), pcLit)
+        - lit(muDotPc), 6).as("pc1_score"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Bpe, Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Overlap, Packing, PqIndex, Privacy, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Overlap, Packing, Pca, PqIndex, Privacy, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -493,6 +493,13 @@ object PipelineQueries {
     Overlap.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 3)
       .orderBy("src_a", "src_b")
 
+  // E3: the PCA moment matrix — the ONE corpus-touching aggregation
+  // behind Pca.topComponent (the driver's 30-step power iteration is
+  // spec-covered; this gates the distributed arithmetic).
+  def qPcaMoments(s: SparkSession, dir: String): DataFrame =
+    Pca.moments(t(s, dir, "embeddings"), "embedding")
+      .orderBy("i", "j")
+
   // E1: int8 symmetric quantization report per embedding vector.
   def qEmbedQuant(s: SparkSession, dir: String): DataFrame =
     Quantization.int8Report(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -878,6 +885,7 @@ object PipelineQueries {
     "q_k_anonymity" -> qKAnonymity,
     "q_source_overlap" -> qSourceOverlap,
     "q_bm25" -> qBm25,
+    "q_pca_moments" -> qPcaMoments,
     "q_pipeline" -> qPipeline,
     "q_er_pairs" -> qErPairs,
     "q_er_match" -> qErMatch,
@@ -1267,6 +1275,20 @@ object PipelineQueries {
         |    AS INTEGER) AS rnk
         |FROM sc WHERE n_terms_hit > 0
         |ORDER BY rnk LIMIT 50""".stripMargin,
+    // E3: the identical (i, j) moment expansion — decimal-exact sums,
+    // round-6, one double cast; float->double widening is exact in
+    // both engines.
+    "q_pca_moments" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT v, unnest(generate_series(1, len(v))) AS i1 FROM v),
+        |b AS (SELECT v, i1, unnest(generate_series(1, len(v))) AS j1 FROM a)
+        |SELECT CAST(i1 - 1 AS INTEGER) AS i, CAST(j1 - 1 AS INTEGER) AS j,
+        |  CAST(round(sum(CAST(v[i1] * v[j1] AS DECIMAL(28,10))), 6)
+        |    AS DOUBLE) AS sxy,
+        |  CAST(round(sum(CAST(v[i1] AS DECIMAL(28,10))), 6)
+        |    AS DOUBLE) AS sx,
+        |  count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // C5: one aggregation on the QI columns; all-integer outputs.
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
