@@ -263,4 +263,62 @@ object Drift {
       .select(g, col("bin"), col("c_ref"), col("c_cur"),
         col("n_ref"), col("n_cur"), col("psi"))
   }
+
+  /** C6: chi-square categorical drift — the classical two-sample test
+    * over an ENUMERABLE category column (language mix, source mix,
+    * label distribution), completing the drift battery: KS (C2) reads
+    * continuous values, PSI (C3) reads binned magnitudes, chi-square
+    * reads categories, where "a category appeared/vanished" is exactly
+    * the signal bins smooth away. Both sides in ONE frame split by a
+    * boolean (the psiSplit shape).
+    *
+    * χ² = Σ_cats (c_cur − E_c)² / E_c with the expected count
+    * E_c = n_cur·(c_ref + α)/(n_ref + α·K) add-α smoothed so a
+    * cur-only category contributes a finite (large) term instead of a
+    * division by zero; K = categories observed on either side, dof =
+    * K − 1. Float discipline: E is one fixed expression from integer
+    * counts, the χ² sum accumulates in CATEGORY ORDER via the ordered
+    * window (the PSI device) and rounds to 6.
+    *
+    * Shape: one conditional-count aggregation (map-side combinable,
+    * output bounded by groups × category vocabulary) + two windows
+    * over that bounded table. The category column must be enumerable —
+    * for high-cardinality columns bin first (C2b/C3 territory).
+    */
+  def chiSquareSplit(df: DataFrame, refSide: Column, groupCol: String,
+      catCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha (want > 0: zero re-opens the " +
+      "cur-only-category division by zero)")
+    val g = col(groupCol)
+    val rows = df.select(g, col(catCol).as("category"), refSide.as("__r"))
+      .filter(col("category").isNotNull && col("__r").isNotNull)
+    val counts = rows.groupBy(g, col("category"))
+      .agg(sum(when(col("__r"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("__r"), 1L).otherwise(0L)).as("c_cur"))
+    val whole = Window.partitionBy(g)
+    val ordered = Window.partitionBy(g).orderBy(col("category"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val expected = (col("n_cur") * (col("c_ref") + lit(alpha)))
+      ./(col("n_ref") + lit(alpha) * col("n_cats"))
+    counts
+      .withColumn("n_ref", sum(col("c_ref")).over(whole))
+      .withColumn("n_cur", sum(col("c_cur")).over(whole))
+      .withColumn("n_cats", count(lit(1)).over(whole))
+      // E = 0 exactly when the group's current side is empty (α > 0
+      // keeps every other case positive): chi-square is undefined
+      // there — raise a NAMED error instead of ANSI's bare
+      // DIVIDE_BY_ZERO / non-ANSI's silent NULL
+      .withColumn("__e",
+        when(col("n_cur") === 0, raise_error(lit(
+          "chiSquareSplit: group with an empty current side — " +
+            "chi-square is undefined; filter such groups upstream")))
+          .otherwise(expected))
+      .withColumn("chi2", round(
+        sum((col("c_cur") - col("__e")) * (col("c_cur") - col("__e"))
+          / col("__e")).over(ordered), 6))
+      .select(g, col("category"), col("c_ref"), col("c_cur"),
+        col("n_ref"), col("n_cur"),
+        round(col("__e"), 6).as("expected"), col("chi2"),
+        (col("n_cats") - 1).cast("long").as("dof"))
+  }
 }

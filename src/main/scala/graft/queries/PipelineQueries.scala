@@ -493,6 +493,17 @@ object PipelineQueries {
     Overlap.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 3)
       .orderBy("src_a", "src_b")
 
+  // C6: language-mix stability per source between two deterministic
+  // hash halves of the corpus (the categorical leg of the drift
+  // battery). The hash split, not id parity: doc ids are assigned to
+  // sources round-robin, so parity is perfectly correlated with
+  // source and one side would be empty.
+  def qDriftChi2(s: SparkSession, dir: String): DataFrame =
+    Drift.chiSquareSplit(t(s, dir, "documents"),
+        Sampling.bucketOf(col("doc_id"), "chi2", 2) === 0,
+        "source", "lang", alpha = 0.5)
+      .orderBy("source", "category")
+
   // E3: the PCA moment matrix — the ONE corpus-touching aggregation
   // behind Pca.topComponent (the driver's 30-step power iteration is
   // spec-covered; this gates the distributed arithmetic).
@@ -886,6 +897,7 @@ object PipelineQueries {
     "q_source_overlap" -> qSourceOverlap,
     "q_bm25" -> qBm25,
     "q_pca_moments" -> qPcaMoments,
+    "q_drift_chi2" -> qDriftChi2,
     "q_pipeline" -> qPipeline,
     "q_er_pairs" -> qErPairs,
     "q_er_match" -> qErMatch,
@@ -1275,6 +1287,30 @@ object PipelineQueries {
         |    AS INTEGER) AS rnk
         |FROM sc WHERE n_terms_hit > 0
         |ORDER BY rnk LIMIT 50""".stripMargin,
+    // C6: identical expected-count expression + the ordered-window
+    // chi-square sum (the PSI accumulation device).
+    "q_drift_chi2" ->
+      s"""WITH rows0 AS (SELECT source, lang AS category,
+        |    (${Sampling.bucketOfSql("doc_id", "chi2", 2)} = 0) AS r
+        |  FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT source, category,
+        |    CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+        |  FROM rows0 GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |    CAST(sum(c_ref) OVER (PARTITION BY source) AS BIGINT) AS n_ref,
+        |    CAST(sum(c_cur) OVER (PARTITION BY source) AS BIGINT) AS n_cur,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_cats
+        |  FROM c),
+        |p AS (SELECT *, (n_cur * (c_ref + CAST(0.5 AS DOUBLE)))
+        |    / (n_ref + CAST(0.5 AS DOUBLE) * n_cats) AS e FROM t)
+        |SELECT source, category, c_ref, c_cur, n_ref, n_cur,
+        |  round(e, 6) AS expected,
+        |  round(sum((c_cur - e) * (c_cur - e) / e) OVER (PARTITION BY source
+        |    ORDER BY category ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING), 6) AS chi2,
+        |  n_cats - 1 AS dof
+        |FROM p ORDER BY source, category""".stripMargin,
     // E3: the identical (i, j) moment expansion — decimal-exact sums,
     // round-6, one double cast; float->double widening is exact in
     // both engines.

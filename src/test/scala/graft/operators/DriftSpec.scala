@@ -161,4 +161,62 @@ class DriftSpec extends SparkSuite {
         .as[(String, Int, Long, Long, Long, Long, Double)].collect().toSeq
     assert(run(withNull) == run(clean))
   }
+
+  test("chiSquareSplit matches a hand-computed statistic") {
+    // ref: a=4 b=4; cur: a=2 b=6 — K=2, alpha=0.5
+    val rows = Seq.fill(4)(("g", "a", true)) ++ Seq.fill(4)(("g", "b", true)) ++
+      Seq.fill(2)(("g", "a", false)) ++ Seq.fill(6)(("g", "b", false))
+    val out = Drift.chiSquareSplit(rows.toDF("grp", "cat", "r"),
+        col("r"), "grp", "cat", alpha = 0.5)
+      .orderBy("category")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    val ea = 8.0 * 4.5 / 9.0   // n_cur*(c_ref+.5)/(n_ref+.5*K) = 4
+    val eb = 8.0 * 4.5 / 9.0
+    val chi2 = math.rint(((2 - ea) * (2 - ea) / ea
+      + (6 - eb) * (6 - eb) / eb) * 1e6) / 1e6
+    assert(out == Seq(
+      ("g", "a", 4L, 2L, 8L, 8L, 4.0, chi2, 1L),
+      ("g", "b", 4L, 6L, 8L, 8L, 4.0, chi2, 1L)))
+    assert(chi2 == 2.0)
+  }
+
+  test("chiSquareSplit: a cur-only category contributes a finite large term") {
+    val rows = Seq.fill(6)(("g", "a", true)) ++
+      Seq.fill(3)(("g", "a", false)) ++ Seq.fill(3)(("g", "z", false))
+    val out = Drift.chiSquareSplit(rows.toDF("grp", "cat", "r"),
+        col("r"), "grp", "cat")
+      .orderBy("category")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    val z = out.find(_._2 == "z").get
+    assert(z._3 == 0L && z._4 == 3L)
+    assert(z._8 > 10.0 && !z._8.isInfinite && !z._8.isNaN)
+    intercept[IllegalArgumentException] {
+      Drift.chiSquareSplit(rows.toDF("grp", "cat", "r"), col("r"),
+        "grp", "cat", alpha = 0.0)
+    }
+  }
+
+  test("chiSquareSplit: an empty current side raises the named error") {
+    val rows = Seq(("g", "a", true), ("g", "b", true))
+    val e = intercept[Exception] {
+      Drift.chiSquareSplit(rows.toDF("grp", "cat", "r"),
+        col("r"), "grp", "cat").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("empty current side")))
+  }
+
+  test("chiSquareSplit: identical distributions give a near-zero statistic") {
+    val rows = (0 until 40).map(i =>
+      ("g", s"c${i % 4}", i < 20))   // each category: 5 ref, 5 cur
+    val out = Drift.chiSquareSplit(rows.toDF("grp", "cat", "r"),
+        col("r"), "grp", "cat")
+      .select("chi2").distinct()
+      .as[Double].collect().toSeq
+    assert(out.size == 1 && out.head < 0.01, s"chi2=$out")
+  }
 }
