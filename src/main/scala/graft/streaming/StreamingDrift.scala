@@ -166,4 +166,81 @@ object StreamingDrift extends Serializable {
       .flatMapGroupsWithState(
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  final case class Categorized(grp: String, cat: String)
+
+  final case class ChiRow(grp: String, nCur: Long, nCats: Long, chi2: Double)
+
+  /** Per-group reference CATEGORY counts for the chi-square twin —
+    * bounded by groups × category vocabulary (the enumerable-category
+    * contract of Drift.chiSquareSplit).
+    */
+  def referenceCategories(ref: DataFrame, groupCol: String,
+      catCol: String): Map[String, Map[String, Long]] =
+    ref.select(col(groupCol).as("g"), col(catCol).as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy("g", "c").agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+
+  /** The identical smoothed chi-square as Drift.chiSquareSplit,
+    * folded in sorted category order (the batch ordered-window order —
+    * same float program, round-6 parity spec-pinned). K counts the
+    * categories observed on EITHER side, exactly the batch merged
+    * table's row set.
+    */
+  private[streaming] def chi2Of(refC: Map[String, Long],
+      curC: Map[String, Long], alpha: Double): (Long, Double) = {
+    val cats = (refC.keySet ++ curC.keySet).toSeq.sorted
+    val k = cats.size
+    val nRef = refC.values.sum
+    val nCur = curC.values.sum
+    var acc = 0.0
+    cats.foreach { c =>
+      val cRef = refC.getOrElse(c, 0L)
+      val cCur = curC.getOrElse(c, 0L)
+      val e = (nCur * (cRef + alpha)) / (nRef + alpha * k)
+      acc += (cCur - e) * (cCur - e) / e
+    }
+    (k.toLong,
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** C6s: streaming chi-square categorical drift vs a static reference
+    * — the same bounded counter state shape as [[psiVsReference]], but
+    * keyed by category string instead of bin index (state grows with
+    * the category VOCABULARY, which the batch operator's contract
+    * already requires to be enumerable). Emits the group's refreshed
+    * statistic every micro-batch; nCur >= 1 whenever an emit happens,
+    * so the batch operator's empty-current-side raise has no streaming
+    * counterpart by construction.
+    */
+  def chiVsReference(stream: Dataset[Categorized],
+      ref: Map[String, Map[String, Long]],
+      alpha: Double = 0.5): Dataset[ChiRow] = {
+    require(alpha > 0, s"alpha=$alpha (want > 0)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+
+    def update(grp: String, it: Iterator[Categorized],
+        state: GroupState[Map[String, Long]]): Iterator[ChiRow] =
+      ref.get(grp) match {
+        case None => Iterator.empty // group unseen in the reference
+        case Some(refC) =>
+          var cur = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach { r =>
+            cur = cur.updated(r.cat, cur.getOrElse(r.cat, 0L) + 1L)
+          }
+          state.update(cur)
+          val (k, chi2) = chi2Of(refC, cur, alpha)
+          Iterator.single(ChiRow(grp, cur.values.sum, k, chi2))
+      }
+
+    stream.groupByKey(_.grp)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

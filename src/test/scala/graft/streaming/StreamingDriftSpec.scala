@@ -139,4 +139,48 @@ class StreamingDriftSpec extends SparkSuite {
       assert(rows == Seq("known"))
     } finally query.stop()
   }
+
+  test("streaming chi-square equals the batch operator on replay") {
+    implicit val ctx = spark.sqlContext
+    import StreamingDrift.Categorized
+    val rngR = new scala.util.Random(7)
+    val rngC = new scala.util.Random(8)
+    val refRows = (1 to 400).map(_ => Categorized(s"g${rngR.nextInt(3)}",
+      s"c${rngR.nextInt(4)}"))
+    // current side: shifted mix + a category the reference never saw
+    val curRows = (1 to 300).map { i =>
+      Categorized(s"g${rngC.nextInt(3)}",
+        if (i % 41 == 0) "novel" else s"c${rngC.nextInt(4) / 2}")
+    }
+
+    // batch: one frame split by a side flag, the operator's shape
+    val both = (refRows.map(c => (c.grp, c.cat, true)) ++
+      curRows.map(c => (c.grp, c.cat, false))).toDF("grp", "cat", "r")
+    val batch = Drift.chiSquareSplit(both, col("r"), "grp", "cat",
+        alpha = 0.5)
+      .select("grp", "chi2").distinct()
+      .as[(String, Double)].collect().toMap
+
+    val profile = StreamingDrift.referenceCategories(
+      refRows.map(c => (c.grp, c.cat)).toDF("grp", "cat"), "grp", "cat")
+    val in = MemoryStream[Categorized]
+    val query = StreamingDrift.chiVsReference(in.toDS(), profile)
+      .writeStream.format("memory").queryName("chi_stream")
+      .outputMode("update").start()
+    try {
+      curRows.grouped(110).foreach { b =>
+        in.addData(b: _*); query.processAllAvailable() }
+      val streamed = spark.table("chi_stream")
+        .withColumn("seq", monotonically_increasing_id())
+        .groupBy("grp")
+        .agg(max_by(struct(col("nCur"), col("chi2")), col("seq")).as("e"))
+        .select(col("grp"), col("e.nCur"), col("e.chi2"))
+        .as[(String, Long, Double)].collect()
+      assert(streamed.map(_._1).toSet == batch.keySet)
+      streamed.foreach { case (g, n, chi2) =>
+        assert(n == curRows.count(_.grp == g))
+        assert(chi2 == batch(g), s"group $g: streamed $chi2 vs batch")
+      }
+    } finally query.stop()
+  }
 }
