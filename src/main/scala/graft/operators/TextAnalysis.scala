@@ -704,6 +704,40 @@ object TextAnalysis {
     * Output: docs with at least one query term, ranked
     * (bm25 DESC, doc_id) with a deterministic row_number.
     */
+  /** T17: character-level encoding sanity — the pre-tokenization
+    * filter pass (mojibake, truncated decodes, binary spills) the
+    * quality scorers (T1/T13) assume already ran: a document whose
+    * bytes decoded wrong scores "low quality" for the wrong reason
+    * and poisons vocabulary/BPE tables with ghost tokens. Counts per
+    * document: total chars, non-ASCII, digits, "other" symbols,
+    * C0 control characters (tab/newline/CR excluded — those are
+    * formatting, not corruption), and U+FFFD replacement characters
+    * (the decoder's own corruption marker). `is_clean` = no control,
+    * no replacement.
+    *
+    * Entirely row-local codegen'd regexp counts (count = length −
+    * length after class removal), identical RE2-compatible classes on
+    * the oracle side; ratios are single IEEE divisions, round-6.
+    */
+  def charSanity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    def countOf(cls: String): Column =
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    val nChars = length(text).cast("long")
+    df.select(col(idCol).as("doc_id"),
+        nChars.as("n_chars"),
+        countOf("[^\\x00-\\x7F]").as("n_non_ascii"),
+        countOf("[0-9]").as("n_digit"),
+        countOf("[^A-Za-z0-9\\s]").as("n_other"),
+        countOf("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"),
+        countOf("\\x{FFFD}").as("n_replacement"))
+      .withColumn("non_ascii_ratio",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(col("n_non_ascii") / col("n_chars"), 6)))
+      .withColumn("is_clean",
+        (col("n_control") === 0 && col("n_replacement") === 0).cast("int"))
+  }
+
   private def requireTerms(terms: Seq[String]): Unit = {
     require(terms.nonEmpty && terms == terms.sorted && terms.distinct == terms,
       "terms must be non-empty, sorted, distinct (fixes the sum order)")

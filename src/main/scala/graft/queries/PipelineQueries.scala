@@ -479,6 +479,11 @@ object PipelineQueries {
     TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
       terms = Seq("merge", "quantum", "spark"), topK = 50)
 
+  // T17: character/encoding sanity profile per document.
+  def qCharSanity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charSanity(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   // C5: QI = (nation, market segment); sensitive = acctbal
   // thousand-band. k=10 leaves a mix of safe and at-risk groups at
   // every gate scale.
@@ -898,6 +903,7 @@ object PipelineQueries {
     "q_bm25" -> qBm25,
     "q_pca_moments" -> qPcaMoments,
     "q_drift_chi2" -> qDriftChi2,
+    "q_char_sanity" -> qCharSanity,
     "q_pipeline" -> qPipeline,
     "q_er_pairs" -> qErPairs,
     "q_er_match" -> qErMatch,
@@ -1287,6 +1293,29 @@ object PipelineQueries {
         |    AS INTEGER) AS rnk
         |FROM sc WHERE n_terms_hit > 0
         |ORDER BY rnk LIMIT 50""".stripMargin,
+    // T17: identical RE2 classes; count = len - len(after removal)
+    // (DuckDB needs the 'g' flag Spark applies implicitly).
+    "q_char_sanity" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text,
+        |      '[^\x00-\x7F]', '', 'g')) AS n_non_ascii,
+        |    length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')) AS n_digit,
+        |    length(text) - length(regexp_replace(text,
+        |      '[^A-Za-z0-9\s]', '', 'g')) AS n_other,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_control,
+        |    length(text) - length(regexp_replace(text,
+        |      '\x{FFFD}', '', 'g')) AS n_replacement
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_non_ascii, n_digit, n_other,
+        |  n_control, n_replacement,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |    ELSE round(n_non_ascii / CAST(n_chars AS DOUBLE), 6) END
+        |    AS non_ascii_ratio,
+        |  CASE WHEN n_control = 0 AND n_replacement = 0
+        |    THEN 1 ELSE 0 END AS is_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
     // C6: identical expected-count expression + the ordered-window
     // chi-square sum (the PSI accumulation device).
     "q_drift_chi2" ->

@@ -385,4 +385,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.getAs[String]("text") == "Doc 7 alpha beta gamma & <tag> \"q'")
     assert(out.getAs[Long]("n_chars") == 34L)
   }
+
+  test("charSanity counts corruption markers and formatting whitespace correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text 42!"),
+      (2L, "tab\tand\nnewline are fine"),           // formatting, clean
+      (3L, "bell\u0007and null\u0000inside"),        // control chars
+      (4L, "broken � decode � here"),      // replacement chars
+      (5L, "café résumé"),            // legit non-ASCII
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charSanity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_chars", $"n_non_ascii", $"n_digit",
+        $"n_control", $"n_replacement", $"non_ascii_ratio", $"is_clean")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Int)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 20L, 0L, 2L, 0L, 0L, 0.0, 1),
+      (2L, 24L, 0L, 0L, 0L, 0L, 0.0, 1),
+      (3L, 20L, 0L, 0L, 2L, 0L, 0.0, 0),
+      (4L, 22L, 2L, 0L, 0L, 2L, math.rint(2.0 / 22 * 1e6) / 1e6, 0),
+      (5L, 11L, 3L, 0L, 0L, 0L, math.rint(3.0 / 11 * 1e6) / 1e6, 1),
+      (6L, 0L, 0L, 0L, 0L, 0L, 0.0, 1)))
+  }
 }
