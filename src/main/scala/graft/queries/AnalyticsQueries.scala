@@ -1056,11 +1056,21 @@ object AnalyticsQueries {
   // distinct).
   def qHoppingDistinct(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
-    val g = e.groupBy(window(col("ts"), "3600 seconds", "900 seconds").as("w"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
-    g.select(col("w.start").as("ws"), col("w.end").as("we"),
-        col("exact_users"),
+    val w = window(col("ts"), "3600 seconds", "900 seconds")
+    // the two arms aggregate SEPARATELY (the A10 shape): one groupBy
+    // carrying BOTH a distinct aggregate and the HLL imperative
+    // aggregate plans the combined expand/sort path — measured 19.8 s
+    // vs 0.6 + 1.1 s for the split arms at sf0.1
+    val approx = e.groupBy(w.as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("approx_users"))
+    val exact = e.groupBy(w.as("w"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("exact_users"))
+    approx.join(exact, Seq("ws", "we"))
+      .select(col("ws"), col("we"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           greatest(lit(1L), round(col("exact_users") * 0.05)))
           .as("approx_ok"))

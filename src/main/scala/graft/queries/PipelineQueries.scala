@@ -1346,7 +1346,7 @@ object PipelineQueries {
     "q_pca_moments" ->
       """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |a AS (SELECT v, unnest(generate_series(1, len(v))) AS i1 FROM v),
-        |b AS (SELECT v, i1, unnest(generate_series(1, len(v))) AS j1 FROM a)
+        |b AS (SELECT v, i1, unnest(generate_series(i1, len(v))) AS j1 FROM a)
         |SELECT CAST(i1 - 1 AS INTEGER) AS i, CAST(j1 - 1 AS INTEGER) AS j,
         |  CAST(round(sum(CAST(v[i1] * v[j1] AS DECIMAL(28,10))), 6)
         |    AS DOUBLE) AS sxy,
