@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Bpe, Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Overlap, Packing, Pca, PqIndex, Privacy, Psl, Quantization, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Overlap, Packing, Pca, PqIndex, Privacy, Psl, Quantization, Release, Sampling, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -479,6 +479,18 @@ object PipelineQueries {
     TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
       terms = Seq("merge", "quantum", "spark"), topK = 50)
 
+  // P13: write the corpus partitioned by source (bounded files), read
+  // the artifact back, manifest it — the oracle manifests the SOURCE
+  // table directly, so any loss/duplication/mangling in the
+  // write-read roundtrip breaks the gate.
+  def qReleaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_release_").toString
+    Release.writeAndManifest(t(s, dir, "documents"), tmp, "source",
+        "doc_id", "text", maxRecordsPerFile = 10L)
+      .orderBy("source")
+  }
+
   // T17: character/encoding sanity profile per document.
   def qCharSanity(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.charSanity(t(s, dir, "documents"), "doc_id", "text")
@@ -904,6 +916,7 @@ object PipelineQueries {
     "q_pca_moments" -> qPcaMoments,
     "q_drift_chi2" -> qDriftChi2,
     "q_char_sanity" -> qCharSanity,
+    "q_release_manifest" -> qReleaseManifest,
     "q_pipeline" -> qPipeline,
     "q_er_pairs" -> qErPairs,
     "q_er_match" -> qErMatch,
@@ -1293,6 +1306,17 @@ object PipelineQueries {
         |    AS INTEGER) AS rnk
         |FROM sc WHERE n_terms_hit > 0
         |ORDER BY rnk LIMIT 50""".stripMargin,
+    // P13: the oracle manifests the source table directly — the Spark
+    // side manifests the written-and-read-back artifact; HUGEINT sum
+    // rendered as VARCHAR (the one dtype a 38-digit integer survives
+    // everywhere).
+    "q_release_manifest" ->
+      s"""SELECT source, count(*) AS n_rows,
+         |  CAST(CAST(sum(${graft.functions.Hashing.md5Long60Sql(
+             "CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')")})
+         |    AS HUGEINT) AS VARCHAR) AS content_sum,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // T17: identical RE2 classes; count = len - len(after removal)
     // (DuckDB needs the 'g' flag Spark applies implicitly).
     "q_char_sanity" ->
