@@ -232,6 +232,72 @@ object Baseline {
           "a -> a.s)").as("ewma_rate"))
   }
 
+  /** R28 (beyond the reference): Holt double-exponential baseline —
+    * LEVEL + TREND smoothing over the hourly spine, where R19's EWMA
+    * smooths level only: a steadily ramping flood keeps an EWMA
+    * permanently half a step behind, while Holt's trend term closes
+    * the lag and gives a usable next-hour forecast
+    * (`forecast = level + horizon·trend` — the threshold a detector
+    * should compare the NEXT bucket against).
+    *
+    * α = β = 1/2 (the halving family, like R19) with EXPLICIT floor
+    * division — the trend term goes negative on decay, where Spark's
+    * integer `div` truncates toward zero but SQL `//` floors; both
+    * sides therefore compute `floor(x / 2.0)` (exact double op for
+    * |x| < 2^52, then an exact cast), so the recurrence
+    *
+    *   s_h = floor((x_h + s + b) / 2),  b_h = floor((s_h − s + b) / 2)
+    *
+    * is bit-identical across engines including negative trends. Same
+    * scale shape as [[ewmaRate]]: one keyed count aggregation + a
+    * per-network fold over the bounded windowHours spine.
+    *
+    * Resolution contract: the β=1/2 floor eats per-hour slopes under
+    * ~±2 events/hour (floor(1/2) = 0) — the trend term reads sustained
+    * ramps, not unit drifts; scale counts up (sub-hour buckets, packet
+    * counts) when finer slopes matter.
+    */
+  def holtForecast(df: DataFrame, hostCol: String, tsCol: String,
+      windowHours: Int, prefix: Int, horizonHours: Int = 1): DataFrame = {
+    require(windowHours > 0, s"windowHours=$windowHours")
+    require(horizonHours >= 0, s"horizonHours=$horizonHours")
+    val hourUs = 3600L * 1000000L
+    val maxTs = df.agg(max(unix_micros(col(tsCol))).as("__end"))
+    val counted = df.crossJoin(broadcast(maxTs))
+      .withColumn("__ago",
+        expr(s"(__end - unix_micros($tsCol)) div $hourUs"))
+      .filter(col("__ago") < windowHours)
+      .withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
+      .withColumn("network",
+        IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
+      .withColumn("h", (lit(windowHours - 1) - col("__ago")).cast("int"))
+      .groupBy(col("network"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val hours = df.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(windowHours - 1))).as("__h"))
+      .select(col("__h").cast("int").as("h"))
+    val spine = counted.select(col("network")).distinct()
+      .crossJoin(broadcast(hours))
+    val sNext = "CAST(floor((x.n + a.s + a.b) / 2.0) AS BIGINT)"
+    spine.join(counted, Seq("network", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .groupBy(col("network"))
+      .agg(
+        expr("aggregate(sort_array(collect_list(struct(h, n))), " +
+          "named_struct('i', false, 's', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT)), " +
+          "(a, x) -> IF(NOT a.i, " +
+          "named_struct('i', true, 's', x.n, 'b', CAST(0 AS BIGINT)), " +
+          s"named_struct('i', true, 's', $sNext, " +
+          s"'b', CAST(floor(($sNext - a.s + a.b) / 2.0) AS BIGINT))))")
+          .as("__st"),
+        sum(col("n")).as("n_events"))
+      .select(col("network"), col("__st.s").as("level"),
+        col("__st.b").as("trend"),
+        (col("__st.s") + lit(horizonHours.toLong) * col("__st.b"))
+          .as("forecast"),
+        col("n_events"))
+  }
+
   /** R15 (beyond the reference): seasonality-aware baseline — metrics
     * aggregated per (network, season bucket), where the bucket is any
     * derivation of the timestamp (hour-of-day, day-of-week). A flat

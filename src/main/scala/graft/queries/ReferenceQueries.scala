@@ -237,6 +237,13 @@ object ReferenceQueries {
         windowHours = 168, prefix = 24)
       .orderBy("network")
 
+  // R28: Holt level + trend over the same hourly spine — the
+  // next-hour forecast the level-only EWMA lags on ramps.
+  def qHoltForecast(s: SparkSession, dir: String): DataFrame =
+    Baseline.holtForecast(hostEvents(s, dir), "host", "ts",
+        windowHours = 168, prefix = 24, horizonHours = 1)
+      .orderBy("network")
+
   // R16: robust MAD anomaly scoring — last hour vs 7-day median/MAD
   // per /24, threshold 3x MAD.
   def qMadAnomaly(s: SparkSession, dir: String): DataFrame =
@@ -370,6 +377,7 @@ object ReferenceQueries {
     "q_baseline_max" -> qBaselineMax,
     "q_baseline_p95" -> qBaselineP95,
     "q_baseline_ewma" -> qBaselineEwma,
+    "q_holt_forecast" -> qHoltForecast,
     "q_ip6_roundtrip" -> qIp6Roundtrip,
     "q_ip6_cidr" -> qIp6Cidr,
     "q_baseline_p95_rs" -> qBaselineP95Rs,
@@ -545,6 +553,45 @@ object ReferenceQueries {
         |FROM g ORDER BY user_id""".stripMargin,
     // R19: the IDENTICAL integer fold — list_reduce over the dense
     // hour spine, state halved per hour (integer division both sides).
+    // R28: the identical Holt fold — LIST-state list_reduce
+    // ([s, b, init]; a struct-state lambda hit a DuckDB 1.0 quirk
+    // where `a.s` in the trend field resolved against the struct
+    // being BUILT, yielding trend 0 — toy-cased and worked around),
+    // with EXPLICIT floor(x / 2.0) both sides (the trend term goes
+    // negative, where `div` truncates but `//` floors).
+    "q_holt_forecast" ->
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS e FROM events),
+         |w AS (SELECT $ipNumSql AS ip_num,
+         |        ((SELECT e FROM mx) - epoch_us(ts)) // 3600000000 AS ago
+         |      FROM events
+         |      WHERE ((SELECT e FROM mx) - epoch_us(ts)) // 3600000000 < 168),
+         |n AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network,
+         |        167 - ago AS h FROM w),
+         |c AS (SELECT network, h, count(*) AS n FROM n GROUP BY 1, 2),
+         |spine AS (SELECT s.network, gs.h
+         |  FROM (SELECT DISTINCT network FROM n) s
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 167)) AS h) gs),
+         |d AS (SELECT spine.network, spine.h,
+         |        coalesce(c.n, CAST(0 AS BIGINT)) AS n
+         |      FROM spine LEFT JOIN c
+         |        ON c.network = spine.network AND c.h = spine.h),
+         |f AS (SELECT network,
+         |  list_reduce(
+         |    list_prepend(
+         |      [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+         |      list([n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)] ORDER BY h)),
+         |    (a, x) -> CASE WHEN a[3] = 0 THEN
+         |        [x[1], CAST(0 AS BIGINT), CAST(1 AS BIGINT)]
+         |      ELSE [
+         |        CAST(floor((x[1] + a[1] + a[2]) / 2.0) AS BIGINT),
+         |        CAST(floor((CAST(floor((x[1] + a[1] + a[2]) / 2.0)
+         |          AS BIGINT) - a[1] + a[2]) / 2.0) AS BIGINT),
+         |        CAST(1 AS BIGINT)] END) AS st,
+         |  CAST(sum(n) AS BIGINT) AS n_events
+         |  FROM d GROUP BY network)
+         |SELECT network, st[1] AS level, st[2] AS trend,
+         |  st[1] + 1 * st[2] AS forecast, n_events
+         |FROM f ORDER BY network""".stripMargin,
     "q_baseline_ewma" ->
       s"""WITH mx AS (SELECT max(epoch_us(ts)) AS e FROM events),
          |w AS (SELECT $ipNumSql AS ip_num,

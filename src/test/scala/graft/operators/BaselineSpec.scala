@@ -115,6 +115,53 @@ class BaselineSpec extends SparkSuite {
     assert(got == Seq(("10.1.2.0", 0L, 1000L), ("10.9.9.0", 1L, 1L)))
   }
 
+  test("holtForecast matches the sequential floor recurrence, incl. negative trend") {
+    // one /24, 4-hour window anchored at the newest event:
+    // hourly counts ascending h = [2, 8, 14, 0] (a ramp then silence)
+    val rows =
+      Seq.fill(2)(("10.1.2.3", ts("2024-01-10 09:10:00"), 1.0)) ++
+      Seq.fill(8)(("10.1.2.4", ts("2024-01-10 10:10:00"), 1.0)) ++
+      Seq.fill(13)(("10.1.2.5", ts("2024-01-10 11:10:00"), 1.0)) ++
+      Seq(("10.1.2.6", ts("2024-01-10 12:10:00"), 1.0)) // anchor; h=3 has 1
+    def refFold(xs: Seq[Long]): (Long, Long) = {
+      var s = xs.head; var b = 0L
+      xs.tail.foreach { x =>
+        val s2 = math.floor((x + s + b) / 2.0).toLong
+        b = math.floor((s2 - s + b) / 2.0).toLong
+        s = s2
+      }
+      (s, b)
+    }
+    val (level, trend) = refFold(Seq(2L, 8L, 13L, 1L))
+    val got = Baseline.holtForecast(rows.toDF("host", "ts", "value"),
+        "host", "ts", windowHours = 4, prefix = 24, horizonHours = 2)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("10.1.2.0", level, trend, level + 2 * trend, 24L)))
+    // the silence after the ramp must have turned the trend negative
+    assert(trend < 0, s"trend=$trend")
+  }
+
+  test("holtForecast tracks a steady ramp where level-only EWMA lags") {
+    // counts 4, 8, .., 32 over 8 hours (a +4/h ramp — floor division
+    // eats slopes under +2/h, which is the documented resolution of
+    // the halving family): the 1-hour forecast lands closer to the
+    // next value (36) than the EWMA level does
+    val rows = (0 until 8).flatMap { h =>
+      Seq.fill(4 * (h + 1))(("10.1.2.3",
+        ts(f"2024-01-10 0$h%d:30:00"), 1.0))
+    }
+    val df = rows.toDF("host", "ts", "value")
+    val holt = Baseline.holtForecast(df, "host", "ts",
+        windowHours = 8, prefix = 24)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val ewma = Baseline.ewmaRate(df, "host", "ts",
+        windowHours = 8, prefix = 24)
+      .as[(String, Long, Long)].collect().head
+    assert(holt._3 > 0, s"trend=${holt._3}")
+    assert(math.abs(holt._4 - 36L) < math.abs(ewma._2 - 36L),
+      s"holt forecast ${holt._4} vs ewma level ${ewma._2}")
+  }
+
   test("incremental profile: merged slice states equal the full recompute bit-for-bit") {
     // values chosen so the avg has a non-terminating binary expansion
     // (the case where a float re-aggregation would drift)
