@@ -250,7 +250,12 @@ object Baseline {
     *
     * is bit-identical across engines including negative trends. Same
     * scale shape as [[ewmaRate]]: one keyed count aggregation + a
-    * per-network fold over the bounded windowHours spine.
+    * per-network fold over the bounded windowHours spine. The fold
+    * INITIALIZES at each network's first active hour inside the
+    * window (level = that hour's count, trend = 0) and zero-fills
+    * only interior gaps — which is also what makes the streaming twin
+    * ([[graft.streaming.StreamingHolt]]), which cannot know the
+    * window anchor, replay-exact.
     *
     * Resolution contract: the β=1/2 floor eats per-hour slopes under
     * ~±2 events/hour (floor(1/2) = 0) — the trend term reads sustained
@@ -276,8 +281,16 @@ object Baseline {
     val hours = df.sparkSession.range(1)
       .select(explode(sequence(lit(0), lit(windowHours - 1))).as("__h"))
       .select(col("__h").cast("int").as("h"))
-    val spine = counted.select(col("network")).distinct()
+    // the spine zero-fills GAPS, not the left edge: it starts at each
+    // network's first ACTIVE hour (init = that hour's count), so a
+    // network that appears mid-window folds the same series the
+    // streaming twin (which cannot know the window anchor) folds —
+    // left-padded zeros would make init s=0 and silently diverge the
+    // two (the r10 review finding)
+    val spine = counted.groupBy(col("network")).agg(min(col("h")).as("__h0"))
       .crossJoin(broadcast(hours))
+      .filter(col("h") >= col("__h0"))
+      .select("network", "h")
     val sNext = "CAST(floor((x.n + a.s + a.b) / 2.0) AS BIGINT)"
     spine.join(counted, Seq("network", "h"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))

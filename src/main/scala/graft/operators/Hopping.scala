@@ -43,7 +43,11 @@ object Hopping {
           .as("w"),
         col(keyCol))
       .agg(count(lit(1)).as("n"),
-        graft.queries.Shared.sum2(col(valueCol)).as("sum_value"))
+        // the decimal-exact sum device, inlined rather than imported
+        // from graft.queries.Shared — operators never depend on the
+        // query layer (same arithmetic as Shared.sum2 / sum2Sql)
+        round(sum(col(valueCol).cast("decimal(28,10)")), 2)
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("ws"), col("w.end").as("we"),
         col(keyCol), col("n"), col("sum_value"))
   }

@@ -29,9 +29,13 @@ object Overlap {
 
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sets = Dedup.shingleSets(docs, srcCol, textCol, n)
-      .select(col("doc_id").as("src"), col("sh"))
-      .distinct()
+    // materialized once: the self-join's two sides and the size table
+    // would otherwise re-run the tokenize+hash+distinct pipeline three
+    // times (the bandedHammingPairs rationale)
+    val sets = Materializer.of(docs.sparkSession)(
+      Dedup.shingleSets(docs, srcCol, textCol, n)
+        .select(col("doc_id").as("src"), col("sh"))
+        .distinct())
     val sizes = sets.groupBy("src").agg(count(lit(1)).as("n"))
     sets.select(col("src").as("src_a"), col("sh"))
       .join(sets.select(col("src").as("src_b"), col("sh")), Seq("sh"))

@@ -63,6 +63,12 @@ object Pca {
     require(iters >= 1, s"iters=$iters (want >= 1)")
     val momentRows = moments(df, vecCol).collect()
     require(momentRows.nonEmpty, "topComponent: empty input")
+    // ragged corpora would leave high-(i,j) cells summed over FEWER
+    // vectors — a silently wrong covariance; every cell must have seen
+    // every vector
+    require(momentRows.map(_.getLong(4)).distinct.length == 1,
+      "topComponent: vectors have differing lengths — the moment " +
+        "matrix is only defined over a uniform-dimension corpus")
     val d = momentRows.map(_.getInt(0)).max + 1
     val n = momentRows.head.getLong(4).toDouble
     val sxy = Array.ofDim[Double](d, d)

@@ -50,11 +50,17 @@ object Resample {
             "origin first (non-negativity is the trunc==floor invariant)")))
           .otherwise(col("__vm")))
       .select("key", "us", "vm")
+    // floor division via pmod (exact for NEGATIVE micros too — a
+    // pre-1970 series under truncating `div` grew a ghost tick past
+    // its last observation, the r10 review finding); integer ceil =
+    // floor(x + step − 1) holds for any sign with a true floor
+    def floorDiv(x: String): String =
+      s"(($x) - pmod($x, $stepUs)) div $stepUs"
     val grid = obs.groupBy("key")
       .agg(min("us").as("lo"), max("us").as("hi"))
       .select(col("key"),
-        expr(s"(lo + ${stepUs - 1}) div $stepUs").as("t0"),
-        expr(s"hi div $stepUs").as("t1"))
+        expr(floorDiv(s"lo + ${stepUs - 1}")).as("t0"),
+        expr(floorDiv("hi")).as("t1"))
       // Spark's sequence(a, b) DESCENDS when a > b — a span shorter
       // than one tick must yield no rows, not a reversed ghost tick
       .filter(col("t0") <= col("t1"))

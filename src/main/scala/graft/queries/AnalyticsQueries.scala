@@ -1044,7 +1044,11 @@ object AnalyticsQueries {
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("part")).as("kind"),
         expr("node div 2").as("key"), col("deg"), col("rank_fp"),
-        round(col("rank_fp") / 1000000000.0, 6).as("rank"))
+        // NO round: long/1e9 is one correctly-rounded IEEE division of
+        // identical operands in both engines — a round(x, 6) on top
+        // hit a halfway case at sf0.1 where DuckDB's scaled-multiply
+        // rounding and Java's exact-binary BigDecimal disagree by 1
+        (col("rank_fp") / 1000000000.0).as("rank"))
       .orderBy(col("rank_fp").desc, col("kind"), col("key"))
   }
 
@@ -1247,7 +1251,7 @@ object AnalyticsQueries {
         |       FROM deg d LEFT JOIN i3 i ON d.node = i.node)
         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
         |  node // 2 AS key, deg, r AS rank_fp,
-        |  round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
+        |  CAST(r AS DOUBLE) / 1000000000.0 AS rank
         |FROM r3 ORDER BY rank_fp DESC, kind, key""".stripMargin,
     // A57: per-day leaderboard + day+1 self-join for rank movement.
     "q_trending" ->

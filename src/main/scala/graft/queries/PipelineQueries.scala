@@ -484,8 +484,9 @@ object PipelineQueries {
   // table directly, so any loss/duplication/mangling in the
   // write-read roundtrip breaks the gate.
   def qReleaseManifest(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_release_").toString
+    // fixed scratch path + overwrite mode: a fresh temp dir per
+    // invocation accumulated a full corpus copy per gate/bench run
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_release_gate"
     Release.writeAndManifest(t(s, dir, "documents"), tmp, "source",
         "doc_id", "text", maxRecordsPerFile = 10L)
       .orderBy("source")
@@ -1257,6 +1258,17 @@ object PipelineQueries {
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** One constant for both quota arms (window + RankSelect): their
+    * contract is literal set equality against the identical SQL.
+    */
+  private val QuotaSampleOracleSql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source, row_number() OVER (
+      |      PARTITION BY source
+      |      ORDER BY md5('quota_' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 40 ORDER BY doc_id""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
     // T16: the identical BM25 float program — literal ops spelled the
     // same way ((1.2 + 1), 1 - 0.75) so both engines constant-fold to
@@ -1808,22 +1820,11 @@ object PipelineQueries {
     // P9: the identical hash-order row_number cut. NULL sources form
     // one partition on both sides (keyOf's sentinel vs SQL's NULL
     // group — same grouping, no real source collides with either).
-    "q_quota_sample" ->
-      """SELECT doc_id, source FROM (
-        |  SELECT doc_id, source, row_number() OVER (
-        |      PARTITION BY source
-        |      ORDER BY md5('quota_' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM documents)
-        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+    "q_quota_sample" -> QuotaSampleOracleSql,
     // P9-RS: the bucket-kernel arm's contract is set equality with the
-    // window form, so the oracle is the identical sort-window SQL.
-    "q_quota_sample_rs" ->
-      """SELECT doc_id, source FROM (
-        |  SELECT doc_id, source, row_number() OVER (
-        |      PARTITION BY source
-        |      ORDER BY md5('quota_' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM documents)
-        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+    // window form, so BOTH keys bind the ONE oracle constant — a
+    // duplicated string could drift and silently weaken the RS gate.
+    "q_quota_sample_rs" -> QuotaSampleOracleSql,
     // C2: the same all-integer ladder — sums CAST back to BIGINT
     // (DuckDB widens sum(BIGINT) to HUGEINT), products exact in 64-bit
     // at gate scale, the one division on DOUBLEs on both engines.

@@ -569,8 +569,9 @@ object ReferenceQueries {
          |        167 - ago AS h FROM w),
          |c AS (SELECT network, h, count(*) AS n FROM n GROUP BY 1, 2),
          |spine AS (SELECT s.network, gs.h
-         |  FROM (SELECT DISTINCT network FROM n) s
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 167)) AS h) gs),
+         |  FROM (SELECT network, min(h) AS h0 FROM c GROUP BY 1) s
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 167)) AS h) gs
+         |  WHERE gs.h >= s.h0),
          |d AS (SELECT spine.network, spine.h,
          |        coalesce(c.n, CAST(0 AS BIGINT)) AS n
          |      FROM spine LEFT JOIN c

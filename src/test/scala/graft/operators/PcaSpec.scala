@@ -66,6 +66,15 @@ class PcaSpec extends SparkSuite {
     assert(pa == pb)
   }
 
+  test("ragged vector lengths are rejected, not silently mis-averaged") {
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pca.topComponent(df, "embedding")
+    }
+    assert(e.getMessage.contains("differing lengths"))
+  }
+
   test("embeddings table: component is unit-norm, eigenvalue positive") {
     val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
       "embeddings")

@@ -73,6 +73,21 @@ class ResampleSpec extends SparkSuite {
     assert(got.head._3 == 3000000L)
   }
 
+  test("pre-1970 timestamps: floor bounds, no ghost tick past the last obs") {
+    // us in [-1000s, -100s]: grid ticks at -900s only (step 900s);
+    // truncating div used to emit a ghost tick at 0 with NULL value
+    val rows = Seq(
+      ("a", new Timestamp(-1000L * 1000), 0.0),
+      ("a", new Timestamp(-100L * 1000), 9.0))
+    val got = run(rows, 900L)
+    assert(got.size == 1)
+    val (_, tick, micros, _) = got.head
+    assert(tick.getTime == -900L * 1000)
+    // linear between (-1000s, 0) and (-100s, 9e6): at -900s ->
+    // 9e6 * 100/900 div = (0*(800e6) + 9e6*(100e6)) div 900e6 = 1e6
+    assert(micros == 1000000L)
+  }
+
   test("negative values raise loudly") {
     val rows = Seq(
       ("a", ts("2024-01-01 00:00:00"), -1.0),

@@ -53,21 +53,35 @@ class StreamingHoltSpec extends SparkSuite {
     val events = hours.zipWithIndex.flatMap { case (n, h) =>
       Seq.fill(n.toInt)((s"10.1.2.${h + 1}",
         ts(f"2024-01-10 0${9 + h}%d:30:00"), 1.0))
-    }
+    } ++ Seq(
+      // a second /24 that APPEARS MID-WINDOW (hours 2, 3 only): the
+      // trimmed batch spine must init at ITS first hour, matching the
+      // streaming twin which cannot know the window anchor (the r10
+      // review finding)
+      ("10.9.9.1", ts("2024-01-10 11:30:00"), 1.0),
+      ("10.9.9.1", ts("2024-01-10 11:30:00"), 1.0),
+      ("10.9.9.2", ts("2024-01-10 12:30:00"), 1.0))
     val batch = Baseline.holtForecast(events.toDF("host", "ts", "value"),
         "host", "ts", windowHours = 4, prefix = 24, horizonHours = 1)
-      .as[(String, Long, Long, Long, Long)].collect().head
+      .orderBy("network")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
 
     val ticks = StreamingEwma.ticks(events.toDF("host", "ts", "value"),
-      "host", "ts", 24).collect().toSeq.sortBy(_.hourIdx)
+      "host", "ts", 24).collect().toSeq.sortBy(t => (t.hourIdx, t.network))
     // split mid-hour-2 AND mid-hour-3: same-hour accumulation across
     // batch boundaries must not re-fold the recurrence
-    val streamed = run(Seq(ticks.take(5), ticks.slice(5, 17),
-      ticks.drop(17)), "holt_parity")("10.1.2.0")
+    val streamedAll = run(Seq(ticks.take(5), ticks.slice(5, 17),
+      ticks.drop(17)), "holt_parity")
+    val streamed = streamedAll("10.1.2.0")
     assert((streamed.level, streamed.trend) == refFold(hours))
-    assert(streamed.level == batch._2 && streamed.trend == batch._3 &&
-      streamed.forecast == batch._4)
+    val b1 = batch.find(_._1 == "10.1.2.0").get
+    assert(streamed.level == b1._2 && streamed.trend == b1._3 &&
+      streamed.forecast == b1._4)
     assert(streamed.n_late == 0L)
+    val late2 = streamedAll("10.9.9.0")
+    val b2 = batch.find(_._1 == "10.9.9.0").get
+    assert((late2.level, late2.trend) == refFold(Seq(2L, 1L)))
+    assert(late2.level == b2._2 && late2.trend == b2._3)
   }
 
   test("gap hours decay via the zero recurrence; long gaps hit the fixpoint") {
