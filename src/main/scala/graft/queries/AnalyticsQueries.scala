@@ -1052,6 +1052,31 @@ object AnalyticsQueries {
       .orderBy(col("rank_fp").desc, col("kind"), col("key"))
   }
 
+  // A64: changelog application over documents — updates (v1), deletes
+  // (v2, overriding the %77 update overlap), inserts (new ids).
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val snap = t(s, dir, "documents")
+    val updates = snap.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(col("text"), lit(" [v2]")))
+      .withColumn("version", lit(1L)).withColumn("op", lit("upsert"))
+    val deletes = snap.filter(col("doc_id") % 11 === 0)
+      .withColumn("version", lit(2L)).withColumn("op", lit("delete"))
+    val inserts = snap.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("version", lit(1L)).withColumn("op", lit("upsert"))
+    graft.operators.Cdc.applyChangelog(snap,
+        updates.unionByName(deletes).unionByName(inserts),
+        "doc_id", "version", "op")
+      .orderBy("doc_id")
+  }
+
+  // A65: SCD2 validity intervals of each user's event-type state.
+  def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.scd2(
+        t(s, dir, "events").select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", Seq("event_type"))
+      .orderBy("user_id", "valid_from")
+
   // A63: HLL distinct users per hopping window — the A10 sketch under
   // the A60 window generator (sliding reach, the metric a tumbling
   // distinct understates at window boundaries). Banded self-check:
@@ -1097,6 +1122,8 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hopping_window" -> qHoppingWindow,
     "q_hopping_distinct" -> qHoppingDistinct,
+    "q_cdc_apply" -> qCdcApply,
+    "q_scd2" -> qScd2,
     "q_interpolate" -> qInterpolate,
     "q_key_skew" -> qKeySkew,
     "q_attribution" -> qAttribution,
@@ -1160,6 +1187,43 @@ object AnalyticsQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
 
   val oracleSql: Map[String, String] = Map(
+    // A64: latest-version-wins merge, window form (the Spark side is
+    // one max_by aggregation — same winner by the unique-version
+    // contract).
+    "q_cdc_apply" ->
+      """WITH snap AS (SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(0 AS BIGINT) AS version, 'upsert' AS op FROM documents),
+        |upd AS (SELECT doc_id, text || ' [v2]' AS text, lang, source,
+        |    n_chars, CAST(1 AS BIGINT), 'upsert' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |del AS (SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(2 AS BIGINT), 'delete' FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |ins AS (SELECT doc_id + 1000000, text, lang, source, n_chars,
+        |    CAST(1 AS BIGINT), 'upsert' FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM upd
+        |      UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC) AS rk FROM u)
+        |SELECT doc_id, version, text, lang, source, n_chars
+        |FROM r WHERE rk = 1 AND op <> 'delete' ORDER BY doc_id""".stripMargin,
+    // A65: change-collapse + lead interval close; first row survives
+    // via the IS NULL arm (event_type is never NULL in the corpus, so
+    // plain <> matches the null-safe struct compare).
+    "q_scd2" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM x
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to,
+        |  CASE WHEN lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
     // A63: exact sliding distinct via the same 4-start expansion; the
     // sketch band asserts literally TRUE (the A10 device).
     "q_hopping_distinct" ->
