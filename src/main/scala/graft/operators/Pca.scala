@@ -108,6 +108,31 @@ object Pca {
         expr("element_at(sxv, i + 1)").as("sx"), col("n"))
   }
 
+  /** E3b: [[momentsViaAgg]] PER GROUP — one moment matrix per group
+    * key in the same single pass (the aggregate is a normal Spark
+    * aggregate, so grouping composes for free). Per-cluster/source
+    * anisotropy is the shape diagnostic E2's scalar compactness
+    * cannot see: two groups with equal centroid-cosine spread can be
+    * a sphere and a pancake; their per-group top eigenvalues differ.
+    * Output bounded by groups × d(d+1)/2.
+    */
+  def momentsViaAggBy(df: DataFrame, vecCol: String, dim: Int,
+      groupCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = (for (i <- 0 until dim; j <- i until dim)
+      yield (i * (2 * dim - i + 1) / 2 + (j - i), i, j))
+      .toDF("t", "i", "j")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.Moments.matrix(
+        col(vecCol).cast("array<double>"), dim).as("m"))
+      .select(col(groupCol), col("m.n").as("n"), col("m.sx").as("sxv"),
+        posexplode(col("m.sxy")).as(Seq("t", "sxy")))
+      .join(broadcast(idx), "t")
+      .select(col(groupCol), col("i"), col("j"), col("sxy"),
+        expr("element_at(sxv, i + 1)").as("sx"), col("n"))
+  }
+
   /** [[topComponent]] on the matrix-accumulating aggregate
     * ([[graft.functions.Moments]], the A53 pattern) — the scale path
     * the explode plan's scaladoc names: no d² row explosion, one

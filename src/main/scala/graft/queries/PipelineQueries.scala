@@ -531,6 +531,12 @@ object PipelineQueries {
     Pca.momentsViaAgg(t(s, dir, "embeddings"), "embedding", dim = 64)
       .orderBy("i", "j")
 
+  // E3b: one moment matrix per label in the same pass.
+  def qPcaMomentsBy(s: SparkSession, dir: String): DataFrame =
+    Pca.momentsViaAggBy(t(s, dir, "embeddings"), "embedding", dim = 64,
+        groupCol = "label")
+      .orderBy("label", "i", "j")
+
   // E1: int8 symmetric quantization report per embedding vector.
   def qEmbedQuant(s: SparkSession, dir: String): DataFrame =
     Quantization.int8Report(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -917,6 +923,7 @@ object PipelineQueries {
     "q_source_overlap" -> qSourceOverlap,
     "q_bm25" -> qBm25,
     "q_pca_moments" -> qPcaMoments,
+    "q_pca_moments_by" -> qPcaMomentsBy,
     "q_drift_chi2" -> qDriftChi2,
     "q_char_sanity" -> qCharSanity,
     "q_release_manifest" -> qReleaseManifest,
@@ -1392,6 +1399,22 @@ object PipelineQueries {
         |    AS DOUBLE) AS sx,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // E3b: the grouped twin of the q_pca_moments expansion.
+    "q_pca_moments_by" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |a AS (SELECT label, v, unnest(generate_series(1, len(v))) AS i1
+        |  FROM v),
+        |b AS (SELECT label, v, i1,
+        |    unnest(generate_series(i1, len(v))) AS j1 FROM a)
+        |SELECT label, CAST(i1 - 1 AS INTEGER) AS i,
+        |  CAST(j1 - 1 AS INTEGER) AS j,
+        |  CAST(round(sum(CAST(v[i1] * v[j1] AS DECIMAL(28,10))), 6)
+        |    AS DOUBLE) AS sxy,
+        |  CAST(round(sum(CAST(v[i1] AS DECIMAL(28,10))), 6)
+        |    AS DOUBLE) AS sx,
+        |  count(*) AS n
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // C5: one aggregation on the QI columns; all-integer outputs.
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,

@@ -96,6 +96,23 @@ class PcaSpec extends SparkSuite {
     assert(fast13 == slow)
   }
 
+  test("grouped moments equal per-group runs of the ungrouped aggregate") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val grouped = Pca.momentsViaAggBy(df, "embedding", 64, "label")
+      .as[(Int, Int, Int, Double, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5, r._6))
+        .toSet).toMap
+    val labels = df.select("label").distinct()
+      .as[Int].collect().toSeq
+    labels.foreach { l =>
+      val single = Pca.momentsViaAgg(df.filter($"label" === l),
+          "embedding", 64)
+        .as[(Int, Int, Double, Double, Long)].collect().toSet
+      assert(grouped(l) == single, s"label $l")
+    }
+  }
+
   test("matrix aggregate raises on a dim mismatch and on oversized values") {
     val ragged = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
