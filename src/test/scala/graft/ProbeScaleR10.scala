@@ -41,6 +41,23 @@ object ProbeScaleR10 {
         "host", "ts", 86400L, 20)))
       e.unpersist()
     }
+
+    // pagerank slope: k-replicated DISJOINT purchase graphs (node ids
+    // offset per replica) — volume grows, diameter does not
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+    val l = graft.sources.Tables.load(spark, dir, "lineitem")
+    val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    def edgesK(k: Int) = (0 until k).map { i =>
+      val off = i * 10000000L
+      e0.select((col("c") * 2 + off).as("src"), (col("p") * 2 + 1 + off).as("dst"))
+        .union(e0.select((col("p") * 2 + 1 + off).as("src"), (col("c") * 2 + off).as("dst")))
+    }.reduce(_ union _)
+    for (k <- Seq(1, 2, 4)) {
+      val ed = edgesK(k).cache(); ed.count()
+      time(s"pagerank  k=$k")(noop(graft.operators.Graph.pageRank(ed, 3)))
+      ed.unpersist()
+    }
     spark.stop()
   }
 }
