@@ -43,17 +43,20 @@ object Cdc {
     val all = snap.unionByName(changelog)
     val row = struct((col(versionCol) +: col(opCol) +:
       payload.map(col)): _*)
+    // The duplicate-version raise is embedded in the ONE filter
+    // predicate (not a separate conjunct): evaluating "keep this key?"
+    // forces the guard first, so a top-version tie raises even when the
+    // max_by winner is a delete that would otherwise drop the key
+    // silently — no reliance on Catalyst's conjunct evaluation order.
+    val guardedOp = when(col("__n") =!= col("__nv"), raise_error(lit(
+        "applyChangelog: duplicate version for a key — no defined " +
+          "winner; assign unique versions per key")))
+      .otherwise(col(s"__w.$opCol"))
     all.groupBy(col(keyCol))
       .agg(max_by(row, col(versionCol)).as("__w"),
         count(lit(1)).as("__n"),
         count_distinct(col(versionCol)).as("__nv"))
-      .withColumn("__guard",
-        when(col("__n") =!= col("__nv"), raise_error(lit(
-          "applyChangelog: duplicate version for a key — no defined " +
-            "winner; assign unique versions per key")))
-          .otherwise(lit(1)))
-      .filter(col("__guard") === 1 &&
-        col(s"__w.$opCol") =!= lit(deleteOp))
+      .filter(guardedOp =!= lit(deleteOp))
       .select(col(keyCol) +: col(s"__w.$versionCol").as(versionCol) +:
         payload.map(c => col(s"__w.$c").as(c)): _*)
   }

@@ -683,27 +683,6 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  /** T16: BM25 retrieval scoring — T11's tf·idf turned into the
-    * ranking function a corpus search actually runs (Robertson &
-    * Zaragoza 2009; k1 saturates term frequency, b normalizes by
-    * document length). For a FIXED query-term set: corpus stats (N,
-    * total tokens, per-term document frequencies) reduce to ONE
-    * broadcast-sized row; every document then scores row-locally —
-    * term frequencies from in-row `filter()` over the token array, the
-    * per-term partial and the final sum as one fixed expression tree.
-    * No per-(doc, term) explosion, no ordering anywhere: at 100 TB
-    * this is a stats pass + a map.
-    *
-    * Float discipline: idf = round(ln(1 + (N−df+0.5)/(df+0.5)), 6)
-    * (round-6 absorbs the cross-engine ln ulp, the T11/T13 device);
-    * per-term scores round-6; the total sums the ≤|terms| partials in
-    * SORTED TERM ORDER as one literal expression — both engines
-    * evaluate the identical float program. Zero-df terms contribute
-    * nothing (tf = 0 everywhere) but keep their idf defined.
-    *
-    * Output: docs with at least one query term, ranked
-    * (bm25 DESC, doc_id) with a deterministic row_number.
-    */
   /** T17: character-level encoding sanity — the pre-tokenization
     * filter pass (mojibake, truncated decodes, binary spills) the
     * quality scorers (T1/T13) assume already ran: a document whose
@@ -809,6 +788,28 @@ object TextAnalysis {
       .filter(col("n_terms_hit") > 0)
   }
 
+  /** T16: BM25 retrieval scoring — T11's tf·idf turned into the
+    * ranking function a corpus search actually runs (Robertson &
+    * Zaragoza 2009; k1 saturates term frequency, b normalizes by
+    * document length). For a FIXED query-term set: corpus stats (N,
+    * total tokens, per-term document frequencies) reduce to ONE
+    * broadcast-sized row ([[bm25Stats]]); every document then scores
+    * row-locally ([[bm25Score]]) — term frequencies from in-row
+    * `filter()` over the token array, the per-term partial and the
+    * final sum as one fixed expression tree. No per-(doc, term)
+    * explosion, no ordering anywhere: at 100 TB this is a stats pass
+    * + a map.
+    *
+    * Float discipline: idf = round(ln(1 + (N−df+0.5)/(df+0.5)), 6)
+    * (round-6 absorbs the cross-engine ln ulp, the T11/T13 device);
+    * per-term scores round-6; the total sums the ≤|terms| partials in
+    * SORTED TERM ORDER as one literal expression — both engines
+    * evaluate the identical float program. Zero-df terms contribute
+    * nothing (tf = 0 everywhere) but keep their idf defined.
+    *
+    * Output: docs with at least one query term, ranked
+    * (bm25 DESC, doc_id) with a deterministic row_number.
+    */
   def bm25(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 50): DataFrame = {

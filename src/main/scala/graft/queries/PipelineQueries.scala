@@ -484,9 +484,12 @@ object PipelineQueries {
   // table directly, so any loss/duplication/mangling in the
   // write-read roundtrip breaks the gate.
   def qReleaseManifest(s: SparkSession, dir: String): DataFrame = {
-    // fixed scratch path + overwrite mode: a fresh temp dir per
-    // invocation accumulated a full corpus copy per gate/bench run
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_release_gate"
+    // per-APPLICATION scratch path + overwrite mode: repeated
+    // invocations inside one session reuse (not accumulate) the dir,
+    // while two concurrent gate/bench runs on the same box get
+    // disjoint paths instead of clobbering each other mid write/read
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_release_gate_" +
+      s.sparkContext.applicationId
     Release.writeAndManifest(t(s, dir, "documents"), tmp, "source",
         "doc_id", "text", maxRecordsPerFile = 10L)
       .orderBy("source")

@@ -16,12 +16,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * No-op repeats (same value) collapse without emitting — the batch
   * change-filter semantics. NULL values are real states (Option
-  * equality, not a wildcard). Out-of-order rows (ts at or before the
-  * open interval's start) are COUNTED AND EXCLUDED (`n_late` rides on
-  * every emitted row): interval history admits no order-free late
-  * merge — a late state change would have to split an already-emitted
-  * interval — so the meter surfaces watermark violations instead of
-  * silently rewriting history.
+  * equality, not a wildcard). Out-of-order rows are COUNTED AND
+  * EXCLUDED (`n_late` rides on every emitted row): lateness is judged
+  * against the MAX (ts, tie) the key has ever observed — not the open
+  * interval's start, which no-op repeats collapse into without
+  * advancing, so an event between the open start and a later
+  * already-seen observation is late too. Interval history admits no
+  * order-free late merge — a late state change would have to split an
+  * already-emitted interval — so the meter surfaces watermark
+  * violations instead of silently rewriting history.
   */
 object StreamingScd2 {
 
@@ -35,20 +38,28 @@ object StreamingScd2 {
     val spark = stream.sparkSession
     import spark.implicits._
 
+    // state = (open value, open from, n_late, max ts seen, max tie seen)
     def update(key: String, rows: Iterator[ScdEvent],
-        state: GroupState[(Option[String], Long, Long)])
+        state: GroupState[(Option[String], Long, Long, Long, Long)])
         : Iterator[ClosedInterval] = {
       var out = List.empty[ClosedInterval]
       var cur = state.getOption
       rows.toSeq.sortBy(e => (e.tsUs, e.tie)).foreach { e =>
         cur match {
-          case None => cur = Some((e.value, e.tsUs, 0L))
-          case Some((v, from, late)) =>
-            if (e.tsUs <= from) cur = Some((v, from, late + 1))
+          case None => cur = Some((e.value, e.tsUs, 0L, e.tsUs, e.tie))
+          case Some((v, from, late, maxTs, maxTie)) =>
+            if (e.tsUs < maxTs || (e.tsUs == maxTs && e.tie <= maxTie))
+              // at or before something already observed (duplicates
+              // included): late, even if the open interval started
+              // earlier — collapsed no-ops advanced the watermark
+              cur = Some((v, from, late + 1, maxTs, maxTie))
             else if (e.value != v) {
               out ::= ClosedInterval(key, v, from, e.tsUs, late)
-              cur = Some((e.value, e.tsUs, late))
-            } // same value: no-op repeat, collapsed
+              cur = Some((e.value, e.tsUs, late, e.tsUs, e.tie))
+            } else
+              // same value: no-op repeat, collapsed — but it WAS
+              // observed, so the seen-watermark advances
+              cur = Some((v, from, late, e.tsUs, e.tie))
         }
       }
       cur.foreach(state.update)

@@ -44,6 +44,22 @@ class CdcSpec extends SparkSuite {
     assert(msgs(e).exists(_.contains("duplicate version")))
   }
 
+  test("applyChangelog: a version tie whose winner is a delete still raises") {
+    // the guard rides in the keep-this-key predicate itself, so the
+    // raise cannot be short-circuited away by the delete filter — a
+    // silent drop here would hide the no-defined-winner corruption
+    val snap = Seq((1L, "a")).toDF("id", "name")
+    val cl = Seq((1L, "x", 1L, "delete"), (1L, "y", 1L, "delete"))
+      .toDF("id", "name", "version", "op")
+    val e = intercept[Exception] {
+      Cdc.applyChangelog(snap, cl, "id", "version", "op").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate version")))
+  }
+
   test("applyChangelog: mismatched payload schemas are rejected") {
     val snap = Seq((1L, "a")).toDF("id", "name")
     val cl = Seq((1L, 9, 1L, "upsert")).toDF("id", "other", "version", "op")

@@ -73,4 +73,24 @@ class StreamingScd2Spec extends SparkSuite {
       "scd_late")
     assert(after.last.n_late == 1L && after.last.value == Some("a"))
   }
+
+  test("late event between open start and a collapsed repeat is late") {
+    // a@01-01 opens; a@01-03 collapses as a no-op but ADVANCES the
+    // seen-watermark; z@01-02 sits between the open start and that
+    // watermark — it must be classified late, not folded in-order
+    // (folding would close [01-01, 01-02) and rewrite history)
+    val events = Seq(
+      ScdEvent("k", us("2024-01-01 00:00:00"), 1L, Some("a")),
+      ScdEvent("k", us("2024-01-03 00:00:00"), 2L, Some("a")))
+    val late = Seq(
+      ScdEvent("k", us("2024-01-02 00:00:00"), 9L, Some("z")),
+      // exact duplicate of an observed (ts, tie): also late
+      ScdEvent("k", us("2024-01-03 00:00:00"), 2L, Some("a")))
+    val fin = Seq(
+      ScdEvent("k", us("2024-01-05 00:00:00"), 10L, Some("b")))
+    val streamed = run(Seq(events, late, fin), "scd_between")
+    assert(streamed.map(c =>
+      (c.value, c.valid_from_us, c.valid_to_us, c.n_late)) == Seq(
+      (Some("a"), us("2024-01-01 00:00:00"), us("2024-01-05 00:00:00"), 2L)))
+  }
 }
