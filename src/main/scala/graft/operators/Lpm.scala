@@ -102,4 +102,107 @@ object Lpm {
       .join(winners, Seq("__hn"), "left")
       .drop("__hn")
   }
+
+  // ------------------------------------------------------------- IPv6
+
+  /** Big-endian 8-byte binary -> signed long, built-ins only:
+    * hex + conv(…, 16, -10) (negative radix = two's-complement signed,
+    * so 0xfff… round-trips instead of overflowing the bigint cast).
+    */
+  private[graft] def be64(b: Column): Column =
+    conv(hex(b), 16, -10).cast("bigint")
+
+  def cidr6Len(cidr: Column): Column = split(cidr, "/").getItem(1).cast("int")
+
+  /** The one containment predicate both the batch and streaming v6
+    * paths share: "first `len` bits of host == first `len` bits of
+    * base" over the (hi, lo) signed-long pair. All shift amounts stay
+    * in 1..63 on the evaluated branch (Java long shifts are mod 64, so
+    * a literal shift-by-64 would silently no-op): len <= 64 compares
+    * hi-parts only (len = 0 short-circuits TRUE before any shift
+    * matters), len > 64 pins hi equality and shifts the lo-parts by
+    * 128 - len.
+    */
+  private[graft] def contains6Sql(hhi: String, hlo: String, len: String,
+      bhi: String, blo: String): String =
+    s"CASE WHEN $len <= 64 THEN $len = 0 OR " +
+      s"shiftrightunsigned($hhi, 64 - $len) = shiftrightunsigned($bhi, 64 - $len) " +
+      s"ELSE $hhi = $bhi AND " +
+      s"shiftrightunsigned($hlo, 128 - $len) = shiftrightunsigned($blo, 128 - $len) END"
+
+  /** Step (1) of the v6 LPM plan (shared with
+    * [[graft.streaming.StreamingLpm6]]): parse + expand the block
+    * table to fixed `anchor`-bit join-key rows — the exact
+    * [[expandedIndex]] device re-expressed over 16-byte addresses as
+    * a (hi, lo) signed-long pair (R13's `Ip6ToBytes` does the parse;
+    * the reference skips IPv6 outright, main.go:223-227). The anchor
+    * key lives entirely in the hi long, so anchor <= 63; blocks
+    * shorter than the anchor explode into their 2^(anchor-len)
+    * anchor-sized children (base is pre-masked per the CIDR contract,
+    * so children enumerate by plain +i), bounded to 2^16 per block.
+    * Malformed CIDR text or an out-of-range length raises loudly
+    * inside __len — never a silently dropped row.
+    */
+  def expandedIndex6(blocks: DataFrame, cidrCol: String,
+      anchor: Int): DataFrame = {
+    require(anchor >= 1 && anchor <= 63, s"anchor=$anchor (want 1..63)")
+    val lenLo = math.max(0, anchor - 16)
+    val parsed = graft.functions.Ip6Expressions.ip6ToBytes(
+      split(col(cidrCol), "/").getItem(0))
+    blocks
+      .withColumn("__b", parsed)
+      .withColumn("__len",
+        when(col("__b").isNotNull &&
+            cidr6Len(col(cidrCol)).between(lenLo, 128),
+            cidr6Len(col(cidrCol)))
+          .otherwise(raise_error(concat(lit(s"lpmEnrich6: malformed " +
+            s"CIDR or prefix length out of range (want $lenLo..128 at " +
+            s"anchor=$anchor): "), col(cidrCol)))))
+      .withColumn("__bhi", be64(substring(col("__b"), 1, 8)))
+      .withColumn("__blo", be64(substring(col("__b"), 9, 8)))
+      .withColumn("__i", explode(expr(
+        s"sequence(0L, shiftleft(CAST(1 AS BIGINT), " +
+          s"greatest(0, $anchor - __len)) - 1L)")))
+      .withColumn("__ak",
+        expr(s"shiftrightunsigned(__bhi, ${64 - anchor}) + __i"))
+      .drop("__i", "__b")
+  }
+
+  /** R26 v6: longest-prefix-match enrichment over IPv6 hosts — the
+    * [[lpmEnrich]] plan shape verbatim (expand blocks to anchor keys,
+    * equi-join DISTINCT host addresses, shift-compare containment,
+    * max_by(preflen) winner, left-join back), with the 32-bit host
+    * number replaced by (16-byte parse key, hi/lo signed-long pair).
+    * Unmatched hosts — including unparseable host text, whose NULL
+    * parse key never equi-joins — keep NULL block columns.
+    */
+  def lpmEnrich6(df: DataFrame, hostCol: String, blocks: DataFrame,
+      cidrCol: String, anchor: Int = 40,
+      broadcastBlocks: Boolean = true): DataFrame = {
+    val bcast: DataFrame => DataFrame =
+      if (broadcastBlocks) broadcast else identity
+    val attrs = blocks.columns.filter(_ != cidrCol).toSeq
+
+    val expanded = expandedIndex6(blocks, cidrCol, anchor)
+
+    val hostB = graft.functions.Ip6Expressions.ip6ToBytes(col(hostCol))
+    val hosts = df.select(hostB.as("__hb")).distinct()
+      .withColumn("__hhi", be64(substring(col("__hb"), 1, 8)))
+      .withColumn("__hlo", be64(substring(col("__hb"), 9, 8)))
+    val cand = hosts
+      .withColumn("__ak", expr(s"shiftrightunsigned(__hhi, ${64 - anchor})"))
+      .join(bcast(expanded), "__ak")
+      .filter(expr(contains6Sql("__hhi", "__hlo", "__len", "__bhi", "__blo")))
+
+    val blkStruct = struct(
+      (col(cidrCol).as("matched_cidr") +: col("__len").as("matched_len") +:
+        attrs.map(a => col(a))): _*)
+    val winners = cand.groupBy(col("__hb"))
+      .agg(max_by(blkStruct, col("__len")).as("__blk"))
+      .select(col("__hb"), col("__blk.*"))
+
+    df.withColumn("__hb", hostB)
+      .join(winners, Seq("__hb"), "left")
+      .drop("__hb")
+  }
 }

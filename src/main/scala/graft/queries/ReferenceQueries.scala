@@ -362,9 +362,41 @@ object ReferenceQueries {
         countDistinct(col("host")).as("n_hosts"))
       .orderBy("matched_cidr")
 
+  /** [[lpmBlocks]] in IPv6 clothes: /32 backbone, even-second-group
+    * /48 regions, /64 sites where (b + c) % 3 == 0 — hex group text,
+    * decimal owner labels, so the oracle rebuilds both with printf.
+    */
+  def lpm6Blocks(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val b32 = Seq(("2001:db8::/32", "backbone"))
+    val b48 = (0 until 256 by 2).map(b => (f"2001:db8:$b%x::/48", s"region-$b"))
+    val b64 = for { b <- 0 until 16; c <- 0 until 256 if (b + c) % 3 == 0 }
+      yield (f"2001:db8:$b%x:$c%x::/64", s"site-$b-$c")
+    (b32 ++ b48 ++ b64).toDF("cidr", "owner")
+  }
+
+  // R26 v6: the same attribution report over IPv6 — hosts synthesized
+  // as 2001:db8:<o2>:<o3>::<o4> from the user_id octets (compressed
+  // text, so the R13 parser is exercised end-to-end), matched against
+  // the three-specificity v6 block table. The reference skips IPv6
+  // networks outright (main.go:223-227).
+  def qLpm6Enrich(s: SparkSession, dir: String): DataFrame = {
+    def g(shift: Int) = lower(hex(
+      shiftright(col("user_id"), shift).bitwiseAND(lit(255L))))
+    val e = t(s, dir, "events").select(col("user_id"))
+      .withColumn("ip6", concat(lit("2001:db8:"), g(16), lit(":"),
+        g(8), lit("::"), g(0)))
+    graft.operators.Lpm.lpmEnrich6(e, "ip6", lpm6Blocks(s), "cidr")
+      .groupBy("owner", "matched_cidr", "matched_len")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("ip6")).as("n_hosts"))
+      .orderBy("matched_cidr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mad_anomaly" -> qMadAnomaly,
     "q_lpm_enrich" -> qLpmEnrich,
+    "q_lpm6_enrich" -> qLpm6Enrich,
     "q_cusum" -> qCusum,
     "q_trend" -> qTrend,
     "q_zscore_anomaly" -> qZscoreAnomaly,
@@ -489,6 +521,31 @@ object ReferenceQueries {
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(count(DISTINCT hn) AS BIGINT) AS n_hosts
          |FROM r GROUP BY 1, 2, 3 ORDER BY matched_cidr""".stripMargin,
+    // R26 v6: same closed-form resolution — the oracle KNOWS the
+    // fixture's three specificity levels and rebuilds the hex block
+    // text with printf; it never parses IPv6.
+    "q_lpm6_enrich" ->
+      """WITH e AS (SELECT user_id & 16777215 AS hn,
+        |    (user_id >> 16) & 255 AS o2, (user_id >> 8) & 255 AS o3
+        |  FROM events),
+        |m AS (SELECT hn, o2, o3,
+        |    CASE WHEN o2 <= 15 AND (o2 + o3) % 3 = 0 THEN 64
+        |         WHEN o2 % 2 = 0 THEN 48 ELSE 32 END AS len
+        |  FROM e),
+        |r AS (SELECT hn,
+        |    CASE len WHEN 64 THEN 'site-' || o2 || '-' || o3
+        |             WHEN 48 THEN 'region-' || o2
+        |             ELSE 'backbone' END AS owner,
+        |    CASE len WHEN 64 THEN '2001:db8:' || printf('%x', o2)
+        |                || ':' || printf('%x', o3) || '::/64'
+        |             WHEN 48 THEN '2001:db8:' || printf('%x', o2) || '::/48'
+        |             ELSE '2001:db8::/32' END AS matched_cidr,
+        |    CAST(len AS INTEGER) AS matched_len
+        |  FROM m)
+        |SELECT owner, matched_cidr, matched_len,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT hn) AS BIGINT) AS n_hosts
+        |FROM r GROUP BY 1, 2, 3 ORDER BY matched_cidr""".stripMargin,
     "q_baseline_avg" -> baselineSql("avg"),
     "q_baseline_max" -> baselineSql("max"),
     "q_baseline_incremental" ->
