@@ -169,12 +169,20 @@ object Lpm {
   }
 
   /** R26 v6: longest-prefix-match enrichment over IPv6 hosts — the
-    * [[lpmEnrich]] plan shape verbatim (expand blocks to anchor keys,
-    * equi-join DISTINCT host addresses, shift-compare containment,
-    * max_by(preflen) winner, left-join back), with the 32-bit host
-    * number replaced by (16-byte parse key, hi/lo signed-long pair).
-    * Unmatched hosts — including unparseable host text, whose NULL
-    * parse key never equi-joins — keep NULL block columns.
+    * [[lpmEnrich]] plan shape (expand blocks to anchor keys, equi-join
+    * DISTINCT hosts, shift-compare containment, max_by(preflen)
+    * winner, left-join back), with the 32-bit host number replaced by
+    * the (hi, lo) signed-long pair of R13's 16-byte parse.
+    *
+    * Unlike the v4 twin (whose 4-byte parse is a handful of integer
+    * ops), the v6 parse is the expensive step — so BOTH the distinct
+    * pass and the winners-back join key on the RAW HOST STRING:
+    * `ip6ToBytes` runs once per DISTINCT host, never per event row,
+    * and never again on the join-back side. (Two spellings of one
+    * address each get their own winner row — same enrichment values,
+    * LPM being a function of the parsed address.) Unmatched hosts —
+    * including unparseable text, whose NULL parse never survives the
+    * anchor equi-join — keep NULL block columns.
     */
   def lpmEnrich6(df: DataFrame, hostCol: String, blocks: DataFrame,
       cidrCol: String, anchor: Int = 40,
@@ -185,8 +193,9 @@ object Lpm {
 
     val expanded = expandedIndex6(blocks, cidrCol, anchor)
 
-    val hostB = graft.functions.Ip6Expressions.ip6ToBytes(col(hostCol))
-    val hosts = df.select(hostB.as("__hb")).distinct()
+    val hosts = df.select(col(hostCol).as("__hs")).distinct()
+      .withColumn("__hb",
+        graft.functions.Ip6Expressions.ip6ToBytes(col("__hs")))
       .withColumn("__hhi", be64(substring(col("__hb"), 1, 8)))
       .withColumn("__hlo", be64(substring(col("__hb"), 9, 8)))
     val cand = hosts
@@ -197,12 +206,11 @@ object Lpm {
     val blkStruct = struct(
       (col(cidrCol).as("matched_cidr") +: col("__len").as("matched_len") +:
         attrs.map(a => col(a))): _*)
-    val winners = cand.groupBy(col("__hb"))
+    val winners = cand.groupBy(col("__hs"))
       .agg(max_by(blkStruct, col("__len")).as("__blk"))
-      .select(col("__hb"), col("__blk.*"))
+      .select(col("__hs"), col("__blk.*"))
 
-    df.withColumn("__hb", hostB)
-      .join(winners, Seq("__hb"), "left")
-      .drop("__hb")
+    df.join(winners, df(hostCol) === winners("__hs"), "left")
+      .drop("__hs")
   }
 }

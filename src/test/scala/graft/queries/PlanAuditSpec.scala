@@ -44,11 +44,12 @@ class PlanAuditSpec extends SparkSuite {
     // class as the simhash band join; both sides are the full decoded
     // fingerprint table, not broadcastable at image-corpus scale
     "q_mm_neardup",
-    // LPM enrichment's winners-back join keys on the host VALUE: the
-    // winner table is distinct-host-sized (up to 4B rows), so it is
+    // LPM enrichment's winners-back join keys on the host VALUE (v4:
+    // parsed number; v6: the raw host string): the winner table is
+    // distinct-host-sized (up to 4B v4 hosts, unbounded v6), so it is
     // deliberately NOT force-broadcast — AQE demotes to broadcast at
     // runtime when it measures small (block-table joins stay hinted)
-    "q_lpm_enrich",
+    "q_lpm_enrich", "q_lpm6_enrich",
     // attribution's conversions x touches join keys on user_id with
     // both sides carved from the event stream — data x data at any
     // scale (the interval-join class); per-conversion fanout bounded

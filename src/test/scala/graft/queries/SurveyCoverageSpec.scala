@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** SURVEY §2 is the coverage contract ("every row with a query key has
+  * BOTH a SparkEntry.queries entry and an oracleSql") — and the r11
+  * verdict caught it drifting the other way: a gated query shipped
+  * with no §2 inventory row. This spec makes BOTH directions of that
+  * contract a red test instead of a per-round human diff:
+  *
+  *   1. every `SparkEntry.queries` key appears in SURVEY §2 (a new
+  *      operator cannot ship uninventoried);
+  *   2. every `q…` key named in §2 exists in `SparkEntry.queries` (a
+  *      renamed/removed query cannot leave a stale inventory row);
+  *   3. every `queries` key has an `oracleSql` entry (the driver's
+  *      correctness gate covers the whole surface).
+  */
+class SurveyCoverageSpec extends AnyFunSuite {
+
+  private val surveySection2: String = {
+    val path = Seq("SURVEY.md", "/root/repo/SURVEY.md")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse(fail("SURVEY.md not found from the test working dir"))
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val start = text.indexOf("## §2 ")
+    val end = text.indexOf("## §3 ", start)
+    assert(start >= 0 && end > start, "SURVEY.md §2/§3 headers not found")
+    text.substring(start, end)
+  }
+
+  // exact backticked-token extraction, not substring containment:
+  // `q_ann_lsh` must not count as covered because `q_ann_lsh_mp` is
+  // listed, and prose words like "quantile" must not read as keys.
+  // §2's own convention is that query keys are individually backticked
+  // (the one glob, `q_baseline_*` in R3's row, ends in '*' and is
+  // correctly excluded by requiring the closing backtick to follow
+  // the key chars directly).
+  private val surveyKeys: Set[String] =
+    "`(q(?:\\d|_)[a-z0-9_]*)`".r.findAllMatchIn(surveySection2)
+      .map(_.group(1)).toSet
+
+  test("every SparkEntry.queries key has a SURVEY §2 inventory row") {
+    val missing = SparkEntry.queries.keySet -- surveyKeys
+    assert(missing.isEmpty,
+      s"gated queries with no SURVEY §2 row: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every query key named in SURVEY §2 still exists in SparkEntry.queries") {
+    val stale = surveyKeys -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"SURVEY §2 names query keys that no longer exist: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every SparkEntry.queries key has a DuckDB oracle") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty,
+      s"gated queries with no oracleSql entry: ${unoracled.toSeq.sorted.mkString(", ")}")
+  }
+}
