@@ -70,8 +70,18 @@ object Bench {
       "same-code TOTALS have varied 104.9-128.97s across refreshes on " +
       "this shared box - compare cross-round totals only via isolated " +
       "probes or a paired same-session oracle run (BENCH_DUCK)"
+    // every interpolated string goes through the JSON escape — a
+    // quote/backslash/control char in a future noise_note edit (or an
+    // exotic sfDir) must never corrupt the one-line artifact all three
+    // consumers json.load
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_covers":"successful_queries_only","noise_note":"$noise","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_covers":"successful_queries_only","noise_note":${jstr(noise)},"queries":$qs,"failed":$failed,"sf":${jstr(sfDir)}}"""
     // stdout is the driver contract, but its tail-scrape truncated the
     // head of the (now ~90-entry) line in round 5 — also write the
     // whole artifact to files the driver (and a human) can read intact

@@ -29,6 +29,26 @@ import graft.functions.Hashing
   */
 object Release {
 
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register `dir` for recursive deletion at JVM exit (idempotent per
+    * path). Eager post-build deletion is impossible for the gate's
+    * scratch artifact — the returned manifest frame reads it LAZILY at
+    * execution time — so the hook bounds disk accumulation at one
+    * scratch copy per LIVE JVM instead of one per historical run (the
+    * per-application path already keeps concurrent runs disjoint).
+    */
+  def deleteOnExit(dir: String): Unit =
+    if (cleanupRegistered.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }))
+
   /** Order-independent per-partition manifest of any frame. */
   def manifest(df: DataFrame, partitionCol: String, idCol: String,
       textCol: String): DataFrame =

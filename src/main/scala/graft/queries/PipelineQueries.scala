@@ -483,15 +483,28 @@ object PipelineQueries {
   // the artifact back, manifest it — the oracle manifests the SOURCE
   // table directly, so any loss/duplication/mangling in the
   // write-read roundtrip breaks the gate.
+  //
+  // Gate scope: 4 of the 20 sources, maxRecordsPerFile=10. The tiny
+  // file size is the POINT of the gate (it forces multi-file
+  // partitions and cross-file reassembly at every sf — 3 files/source
+  // at sf0.01); the source subset keeps the gate's real write+read I/O
+  // from reading as a 5.5 s *operator cost* in the bench (it is a
+  // file-count artifact, not plan work — ProbeReleaseThroughput
+  // measures the production-file-size write rate over the FULL corpus
+  // separately, SURVEY §22).
   def qReleaseManifest(s: SparkSession, dir: String): DataFrame = {
     // per-APPLICATION scratch path + overwrite mode: repeated
     // invocations inside one session reuse (not accumulate) the dir,
     // while two concurrent gate/bench runs on the same box get
-    // disjoint paths instead of clobbering each other mid write/read
+    // disjoint paths instead of clobbering each other mid write/read;
+    // the shutdown hook deletes the scratch copy when the JVM exits
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_release_gate_" +
       s.sparkContext.applicationId
-    Release.writeAndManifest(t(s, dir, "documents"), tmp, "source",
-        "doc_id", "text", maxRecordsPerFile = 10L)
+    Release.deleteOnExit(tmp)
+    Release.writeAndManifest(
+        t(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1", "src2", "src3")),
+        tmp, "source", "doc_id", "text", maxRecordsPerFile = 10L)
       .orderBy("source")
   }
 
@@ -1333,14 +1346,16 @@ object PipelineQueries {
     // P13: the oracle manifests the source table directly — the Spark
     // side manifests the written-and-read-back artifact; HUGEINT sum
     // rendered as VARCHAR (the one dtype a 38-digit integer survives
-    // everywhere).
+    // everywhere). Same 4-source gate scope as the Spark side.
     "q_release_manifest" ->
       s"""SELECT source, count(*) AS n_rows,
          |  CAST(CAST(sum(${graft.functions.Hashing.md5Long60Sql(
              "CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')")})
          |    AS HUGEINT) AS VARCHAR) AS content_sum,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+         |FROM documents
+         |WHERE source IN ('src0', 'src1', 'src2', 'src3')
+         |GROUP BY source ORDER BY source""".stripMargin,
     // T17: identical RE2 classes; count = len - len(after removal)
     // (DuckDB needs the 'g' flag Spark applies implicitly).
     "q_char_sanity" ->

@@ -25,6 +25,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * order-free late merge — a late state change would have to split an
   * already-emitted interval — so the meter surfaces watermark
   * violations instead of silently rewriting history.
+  *
+  * CHECKPOINT COMPATIBILITY: the per-key state tuple widened from 3 to
+  * 5 elements (r11, adding the (max ts, max tie) seen-watermark), which
+  * changes the state-store row encoding — a streaming query restored
+  * from a checkpoint written by the 3-element version will fail or
+  * misdecode state. Discard pre-r11 StreamingScd2 checkpoints (or
+  * replay the source from scratch); any future widening needs the same
+  * call-out or an explicit state-version field.
   */
 object StreamingScd2 {
 
