@@ -43,16 +43,86 @@ object Moments {
     Bridge.column(MomentsAgg(Bridge.expression(vec), dim)
       .toAggregateExpression())
 
-  private[functions] def unscaled10(x: Double): Long =
+  private[graft] def unscaled10(x: Double): Long =
     JBigDecimal.valueOf(x).setScale(10, RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 
-  private[functions] def cellToDouble(hi: Long, lo: Long): Double = {
+  private[graft] def cellToDouble(hi: Long, lo: Long): Double = {
     val big = BigInteger.valueOf(hi).shiftLeft(64)
       .add(new BigInteger(1, java.nio.ByteBuffer.allocate(8)
         .putLong(lo).array()))
     new JBigDecimal(big, 10).setScale(6, RoundingMode.HALF_UP)
       .doubleValue()
+  }
+
+  // ---- the shared fold kernel: the batch aggregate and the streaming
+  // ---- twin (graft.streaming.StreamingMoments) run THESE functions,
+  // ---- so a streamed buffer and a batch buffer over identical rows
+  // ---- are the same Array[Long] by construction (spec-pinned)
+
+  private[graft] def bufLen(dim: Int): Int = 1 + 2 * dim + dim * (dim + 1)
+
+  /** signed-128 += signed-64 at cell base `p` (hi at p, lo at p+1). */
+  private[graft] def add64(buf: Array[Long], p: Int, v: Long): Unit = {
+    val old = buf(p + 1)
+    val nl = old + v
+    buf(p + 1) = nl
+    val carry = ((old & v) | ((old | v) & ~nl)) >>> 63
+    buf(p) += (v >> 63) + carry
+  }
+
+  /** Fold one dim-length vector into a buffer — order-independent
+    * (integer adds), so any micro-batch split or partition order
+    * reproduces the identical cells.
+    */
+  private[graft] def updateBuf(buf: Array[Long], x: Array[Double],
+      dim: Int): Unit = {
+    if (x.length != dim) throw new IllegalArgumentException(
+      s"graft_moments: vector of length ${x.length} != dim $dim")
+    buf(0) += 1
+    var i = 0
+    var t = 0
+    while (i < dim) {
+      try add64(buf, 1 + 2 * i, unscaled10(x(i)))
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"graft_moments: |x| too large for the scale-10 long at i=$i")
+      }
+      var j = i
+      while (j < dim) {
+        try add64(buf, 1 + 2 * dim + 2 * t, unscaled10(x(i) * x(j)))
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"graft_moments: |x_i*x_j| too large for the scale-10 long " +
+              s"at ($i, $j)")
+        }
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  private[graft] def evalSx(buf: Array[Long], dim: Int): Array[Double] = {
+    val sx = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      sx(i) = cellToDouble(buf(1 + 2 * i), buf(2 + 2 * i))
+      i += 1
+    }
+    sx
+  }
+
+  private[graft] def evalSxy(buf: Array[Long], dim: Int): Array[Double] = {
+    val nTri = dim * (dim + 1) / 2
+    val sxy = new Array[Double](nTri)
+    var t = 0
+    while (t < nTri) {
+      sxy(t) = cellToDouble(buf(1 + 2 * dim + 2 * t),
+        buf(2 + 2 * dim + 2 * t))
+      t += 1
+    }
+    sxy
   }
 }
 
@@ -66,7 +136,7 @@ case class MomentsAgg(
   private val nTri = dim * (dim + 1) / 2
   // layout: [0] = count; [1 .. 2d] = sx (hi, lo) pairs;
   // [2d+1 .. 2d+2*nTri] = sxy (hi, lo) pairs
-  private val bufLen = 1 + 2 * dim + 2 * nTri
+  private val bufLen = Moments.bufLen(dim)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -86,15 +156,6 @@ case class MomentsAgg(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](bufLen)
 
-  // signed-128 += signed-64 at cell base `p` (hi at p, lo at p+1)
-  private def add64(buf: Array[Long], p: Int, v: Long): Unit = {
-    val old = buf(p + 1)
-    val nl = old + v
-    buf(p + 1) = nl
-    val carry = ((old & v) | ((old | v) & ~nl)) >>> 63
-    buf(p) += (v >> 63) + carry
-  }
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
@@ -109,28 +170,7 @@ case class MomentsAgg(
         x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         i += 1
       }
-      buf(0) += 1
-      i = 0
-      var t = 0
-      while (i < dim) {
-        try add64(buf, 1 + 2 * i, Moments.unscaled10(x(i)))
-        catch { case _: ArithmeticException =>
-          throw new IllegalArgumentException(
-            s"graft_moments: |x| too large for the scale-10 long at i=$i")
-        }
-        var j = i
-        while (j < dim) {
-          try add64(buf, 1 + 2 * dim + 2 * t, Moments.unscaled10(x(i) * x(j)))
-          catch { case _: ArithmeticException =>
-            throw new IllegalArgumentException(
-              s"graft_moments: |x_i*x_j| too large for the scale-10 long " +
-                s"at ($i, $j)")
-          }
-          t += 1
-          j += 1
-        }
-        i += 1
-      }
+      Moments.updateBuf(buf, x, dim)
     }
     buf
   }
@@ -152,23 +192,10 @@ case class MomentsAgg(
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    val sx = new Array[Any](dim)
-    var i = 0
-    while (i < dim) {
-      sx(i) = Moments.cellToDouble(buf(1 + 2 * i), buf(2 + 2 * i))
-      i += 1
-    }
-    val sxy = new Array[Any](nTri)
-    var t = 0
-    while (t < nTri) {
-      sxy(t) = Moments.cellToDouble(buf(1 + 2 * dim + 2 * t),
-        buf(2 + 2 * dim + 2 * t))
-      t += 1
-    }
+  override def eval(buf: Array[Long]): Any =
     org.apache.spark.sql.catalyst.InternalRow(
-      buf(0), new GenericArrayData(sx), new GenericArrayData(sxy))
-  }
+      buf(0), new GenericArrayData(Moments.evalSx(buf, dim)),
+      new GenericArrayData(Moments.evalSxy(buf, dim)))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(buf.length * 8)
