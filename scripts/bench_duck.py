@@ -2,7 +2,9 @@
 """Time the DuckDB oracle SQL per query (single-node reference bar)
 and compare with a graft Bench JSON line. Usage:
     python3 scripts/bench_duck.py /tmp/verify_out/oracle_sql.json \
-        /root/testdata/sf0.1 [bench.json]
+        /root/testdata/sf0.1 [bench.json] [out.json]
+With out.json, also writes the per-query (duckdb, spark) pairs as a
+committed artifact (BENCH_DUCK_r{N}.json).
 (Driver-side tooling only — the Scala library never depends on this.)
 """
 import json
@@ -15,7 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(oracle_path, sf_dir, bench_path=None):
+def main(oracle_path, sf_dir, bench_path=None, out_path=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -48,6 +50,30 @@ def main(oracle_path, sf_dir, bench_path=None):
                       if k in duck and isinstance(v, (int, float)) and v > 0)
         print(f"{'TOTAL (oracle set)':22s} {total_d:8.2f} {total_s:8.2f} "
               f"{total_s / total_d:6.1f}x")
+    if out_path:
+        pairs = {
+            name: {"duckdb": round(duck[name], 3),
+                   "spark": (round(spark[name], 3)
+                             if isinstance(spark.get(name), (int, float))
+                             else None)}
+            for name in sorted(duck)}
+        artifact = {
+            "note": ("paired same-session run: DuckDB times the IDENTICAL "
+                     "oracle SQL the driver's correctness gate hashes "
+                     "against; spark times are the Bench medians from the "
+                     "same box"),
+            "sf_dir": sf_dir,
+            "n_queries": len(pairs),
+            "total_duckdb_sec": round(total_d, 2),
+            "total_spark_sec": (round(sum(
+                v for k, v in spark.items()
+                if k in duck and isinstance(v, (int, float)) and v > 0), 2)
+                if spark else None),
+            "queries": pairs,
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
