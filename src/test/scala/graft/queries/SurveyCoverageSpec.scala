@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkEntry
@@ -57,5 +59,28 @@ class SurveyCoverageSpec extends AnyFunSuite {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled.isEmpty,
       s"gated queries with no oracleSql entry: ${unoracled.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every streaming operator source file is named in SURVEY §2") {
+    // the ScalaTest-only half of the inventory contract: streaming
+    // twins have no queries key, so the key checks above can't see
+    // them — r12 found StreamingSessionize and StreamingHostgroups
+    // shipped (with specs) but uninventoried; this pins the whole
+    // directory instead of trusting per-round diligence
+    val dir = Seq("src/main/scala/graft/streaming",
+        "/root/repo/src/main/scala/graft/streaming")
+      .map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.isDirectory(_))
+      .getOrElse(fail("streaming source dir not found from the test working dir"))
+    val objects = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".scala")).map(_.stripSuffix(".scala")).toSet
+      finally s.close()
+    }
+    val missing = objects.filterNot(surveySection2.contains)
+    assert(missing.isEmpty,
+      s"streaming operators with no SURVEY §2 row: ${missing.toSeq.sorted.mkString(", ")}")
   }
 }
