@@ -69,6 +69,47 @@ class JdbcSourceSpec extends SparkSuite {
     assert(df.count() === 1000L * 49 / 100) // val in 51..99: 49 of 100 residues
   }
 
+  test("the reference's CIDR membership predicate pushes into the JDBC scan") {
+    // the reference's actual ClickHouse query shape: host_metrics
+    // filtered to a networks_list block (main.go:112-133). graft's
+    // cidr predicate is a numeric range on a long column, so it must
+    // reach the DATABASE as two pushed comparisons — the filter runs
+    // where the data lives, exactly as it does against parquet
+    // (CidrPushdownSpec proves the parquet leg)
+    // host space is 10.0.0.0-10.0.0.63; /28 keeps 16 of the 64 hosts
+    val df = jdbcTable().filter(graft.functions.IpFunctions.cidrContains(
+      "10.0.0.16/28", graft.functions.IpFunctions.ip4ToNum(col("host"))))
+    // ip4ToNum(host) is an expression the database can't evaluate, so
+    // for the PUSHED variant store the numeric column (the production
+    // layout: parse once at ingest, store the long — SURVEY §4)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE host_metrics_num") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE host_metrics_num (host_num BIGINT, val BIGINT)")
+      st.execute("INSERT INTO host_metrics_num " +
+        "SELECT 167772160 + ts, val FROM host_metrics") // 10.0.0.0 + ts
+    } finally conn.close()
+    val stored = spark.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "host_metrics_num").load()
+      .filter(graft.functions.IpFunctions.cidrContains(
+        "10.0.0.16/28", col("host_num")))
+    // scan metadata renders truncated at spark.sql.maxMetadataStringLength
+    // (the upper bound got elided to "LessThanOrEqual(HOST_NUM,1677721..."
+    // at the default 100), so assert on the untruncated relation filters
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val scan = try stored.queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert(scan.contains("GreaterThanOrEqual(HOST_NUM,167772176)") &&
+      scan.contains("LessThanOrEqual(HOST_NUM,167772191)"),
+      s"cidr range did not reach the JDBC scan as pushed comparisons:\n$scan")
+    assert(stored.count() === 16L)
+    // and the expression-side variant agrees on the kept host set
+    assert(df.select("host").distinct().count() === 16L)
+  }
+
   test("partitioned read splits the table into parallel range queries") {
     val df = jdbcTable("partitionColumn" -> "ts", "lowerBound" -> "0",
       "upperBound" -> "1000", "numPartitions" -> "4")
