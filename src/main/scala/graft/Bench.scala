@@ -67,9 +67,10 @@ object Bench {
     // can tell cross-refresh deltas from real regressions (which need
     // an isolated fresh-JVM probe, e.g. ProbeNoiseR11, to confirm)
     val noise = "per-query medians of " + runs + " in-process runs; " +
-      "same-code TOTALS have varied 104.9-128.97s across refreshes on " +
-      "this shared box - compare cross-round totals only via isolated " +
-      "probes or a paired same-session oracle run (BENCH_DUCK)"
+      "same-code TOTALS have varied 104.9-165.5s across refreshes on " +
+      "this shared box (SURVEY 17/19/21/22) - compare cross-round " +
+      "totals only via isolated probes or a paired same-session " +
+      "oracle run (BENCH_DUCK)"
     // every interpolated string goes through the JSON escape — a
     // quote/backslash/control char in a future noise_note edit (or an
     // exotic sfDir) must never corrupt the one-line artifact all three
