@@ -4,7 +4,7 @@ import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BytesToIp6, CmsEstimate, CountMinAgg, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6ToBytes, NumToIp4, TopKAgg, ZOrder2}
+import graft.functions.{BytesToIp6, CmsEstimate, CountMinAgg, DotProduct, HeavyHittersAgg, Ip4ToNum, Ip6ToBytes, MomentsAgg, NumToIp4, TopKAgg, ZOrder2}
 
 /** Spark extension entry point: registers graft's native expressions
   * into the session's function registry, so the library's surface is
@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CountMinAgg(args(0),
           intLiteral("graft_cms", args(1)),
           intLiteral("graft_cms", args(2))).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_moments"),
+      new ExpressionInfo(classOf[MomentsAgg].getName, "graft_moments"),
+      (args: Seq[Expression]) => {
+        arity("graft_moments", 2, args)
+        MomentsAgg(args(0),
+          intLiteral("graft_moments", args(1))).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_cms_estimate"),

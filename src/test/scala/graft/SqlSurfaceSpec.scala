@@ -54,6 +54,23 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(sql == api && sql.nonEmpty)
   }
 
+  test("graft_moments is callable from SQL and matches the Column API") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Tables.registerAll(spark, dir)
+    val sql = spark.sql(
+      """SELECT label, graft_moments(cast(embedding AS array<double>), 64) AS m
+        |FROM embeddings GROUP BY label""".stripMargin)
+      .selectExpr("label", "m.n", "m.sx", "m.sxy")
+      .collect().map(r => r.get(0) -> r.toSeq.tail).toMap
+    val api = graft.sources.Tables.load(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(graft.functions.Moments.matrix(
+        col("embedding").cast("array<double>"), 64).as("m"))
+      .selectExpr("label", "m.n", "m.sx", "m.sxy")
+      .collect().map(r => r.get(0) -> r.toSeq.tail).toMap
+    assert(sql.nonEmpty && sql == api)
+  }
+
   test("graft_zorder2 is callable from SQL and matches the kernel") {
     val got = spark.sql("SELECT graft_zorder2(3L, 3L) AS z, graft_zorder2(1L, 0L) AS a")
       .collect().head
