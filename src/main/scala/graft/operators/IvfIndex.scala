@@ -61,15 +61,26 @@ object IvfIndex {
     val centroids = n.orderBy(col("vec_id")).limit(nlist)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    Index(centroids, assign(centroids, vecs, idCol, vecCol))
+  }
+
+  /** Assign every vector of `vecs` to its L2-nearest centroid (ties to
+    * the lower cell) — the row-local half of the deterministic build,
+    * reusable for routing an INCOMING batch onto an existing index's
+    * cells (the centroid array is config-sized and rides into the
+    * expression as literals, so assignment is a zero-shuffle map).
+    * Returns (vec_id, cell, v, nrm2).
+    */
+  def assign(centroids: Array[Array[Double]], vecs: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val n = Similarity.withNorm(vecs, idCol, vecCol)
     val dists = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(distToCentroid(col("v"), col("nrm2"), c).as("d"),
         lit(i).as("cell"))
     }.toIndexedSeq: _*)
-    val cells = n
-      .withColumn("__d", dists)
+    n.withColumn("__d", dists)
       .withColumn("cell", expr("element_at(array_sort(__d), 1).cell"))
       .select(col("vec_id"), col("cell"), col("v"), col("nrm2"))
-    Index(centroids, cells)
   }
 
   /** Persist an index: cells as parquet bucketed by cell id (searches

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, HeavyHitters}
-import graft.operators.{Bpe, Contamination, Dedup, Drift, IvfIndex, Materializer, Multimodal, Overlap, Packing, Pca, PqIndex, Privacy, Psl, Quantization, Release, Sampling, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Drift, Dsir, IvfIndex, Materializer, Multimodal, Overlap, Packing, Pca, PqIndex, Privacy, Psl, Quantization, Release, Sampling, SemDedup, Similarity, Snapshot, TextAnalysis}
 import Shared._
 
 /** SURVEY.md §2.3 — training-data pipeline operators over the
@@ -112,6 +112,43 @@ object PipelineQueries {
     Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         "label", 0.3)
       .orderBy("id_a", "id_b")
+
+  // D9: SemDeDup — cluster-then-prune semantic dedup on the
+  // deterministic IVF cells (16 cells, tau = 0.3, lower-id dominance).
+  // Oracle-checked end-to-end: cell assignment, within-cell pair set,
+  // and per-vector verdict.
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
+    SemDedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 16, tau = 0.3)
+      .orderBy("vec_id")
+
+  // D9b: incremental SemDeDup — a synthesized incoming batch (exact
+  // copies of every 5th vector, +0.25-shifted copies of every 7th)
+  // classified against the full corpus on its IVF cells; incoming x
+  // corpus cell-mates is the ONLY pair join (the D8 ingest contract in
+  // embedding space).
+  def qDedupSemanticInc(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val vd = col("embedding").cast("array<double>")
+    val incoming = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"), vd.as("embedding"))
+      .union(e.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 20000L).as("vec_id"),
+          transform(vd, x => x + lit(0.25)).as("embedding")))
+    SemDedup.semDedupIncremental(e, incoming, "vec_id", "embedding",
+        nlist = 16, tau = 0.3)
+      .orderBy("vec_id")
+  }
+
+  // P14: DSIR-style importance selection — hashed unigram+bigram
+  // log-likelihood ratio of a 4-source target slice against the raw
+  // corpus, 256 buckets, top 25% selected. The integer-micro ladder
+  // makes every score an order-free exact sum.
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame =
+    Dsir.select(t(s, dir, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3"),
+        nBuckets = 256, selectPermille = 250)
+      .orderBy("doc_id")
 
   // S1: brute-force cosine top-5 for queries vec_id < 10.
   def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
@@ -961,6 +998,9 @@ object PipelineQueries {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dup_passages" -> qDupPassages,
     "q_dedup_embed" -> qDedupEmbed,
+    "q_dedup_semantic" -> qDedupSemantic,
+    "q_dedup_semantic_inc" -> qDedupSemanticInc,
+    "q_dsir_select" -> qDsirSelect,
     "q_ann_topk" -> qAnnTopk,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_lsh_mp" -> qAnnLshMp,
@@ -1174,20 +1214,27 @@ object PipelineQueries {
     * nprobe=4 and the sweep gate nests the chain at each probe count,
     * so one definition serves both.
     */
+  /** Deterministic IVF cell assignment (mirrors
+    * IvfIndex.buildDeterministic at nlist=16) — shared by the ANN
+    * chain oracles and the SemDeDup (D9) oracle.
+    */
+  private val ivfCellsCte =
+    """cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |         v AS cv, nrm2 AS cn
+      |       FROM (SELECT vec_id, v, nrm2 FROM n ORDER BY vec_id LIMIT 16)),
+      |ad AS (SELECT n.vec_id, cc.cell,
+      |         n.nrm2 - 2.0 * list_dot_product(n.v, cc.cv) + cc.cn AS d
+      |       FROM n, cc),
+      |asg AS (SELECT vec_id, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, cell) AS rn FROM ad)
+      |  WHERE rn = 1),
+      |cells AS (SELECT n.vec_id, a.cell, n.v, n.nrm2
+      |          FROM n JOIN asg a USING (vec_id))""".stripMargin
+
   private def ivfChainSql(nprobe: Int): String =
     s"""WITH $normCte,
-       |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-       |         v AS cv, nrm2 AS cn
-       |       FROM (SELECT vec_id, v, nrm2 FROM n ORDER BY vec_id LIMIT 16)),
-       |ad AS (SELECT n.vec_id, cc.cell,
-       |         n.nrm2 - 2.0 * list_dot_product(n.v, cc.cv) + cc.cn AS d
-       |       FROM n, cc),
-       |asg AS (SELECT vec_id, cell FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY d, cell) AS rn FROM ad)
-       |  WHERE rn = 1),
-       |cells AS (SELECT n.vec_id, a.cell, n.v, n.nrm2
-       |          FROM n JOIN asg a USING (vec_id)),
+       |$ivfCellsCte,
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn
        |      FROM n WHERE vec_id < 10),
        |qp AS (SELECT query_id, qv, qn, cell FROM (
@@ -1696,6 +1743,95 @@ object PipelineQueries {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    // D9: the IVF assignment chain fused with a within-cell lower-id
+    // pair join — the whole SemDeDup verdict re-derived in SQL.
+    "q_dedup_semantic" ->
+      s"""WITH $normCte,
+         |$ivfCellsCte,
+         |pr AS (SELECT a.vec_id,
+         |         list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2) AS cos
+         |       FROM cells a JOIN cells b
+         |         ON a.cell = b.cell AND b.vec_id < a.vec_id),
+         |agg AS (SELECT vec_id, count(*) AS n_sim_lower, max(cos) AS mx
+         |        FROM pr WHERE cos >= 0.3 GROUP BY 1)
+         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+         |  CAST(coalesce(g.n_sim_lower, 0) AS BIGINT) AS n_sim_lower,
+         |  CAST(CASE WHEN g.n_sim_lower IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS kept,
+         |  round(g.mx, 6) AS max_cos_lower
+         |FROM cells c LEFT JOIN agg g USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+    // D9b: corpus IVF assignment (proven chain) + the synthesized
+    // incoming batch routed onto the same centroids + the incoming x
+    // corpus cell-mate pair join, re-derived end-to-end.
+    "q_dedup_semantic_inc" ->
+      s"""WITH $normCte,
+         |$ivfCellsCte,
+         |inc AS (SELECT vec_id + 10000 AS vec_id, v FROM n WHERE vec_id % 5 = 0
+         |        UNION ALL
+         |        SELECT vec_id + 20000 AS vec_id,
+         |          list_transform(v, x -> x + 0.25) AS v
+         |        FROM n WHERE vec_id % 7 = 3),
+         |ni AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm2 FROM inc),
+         |adi AS (SELECT ni.vec_id, cc.cell,
+         |          ni.nrm2 - 2.0 * list_dot_product(ni.v, cc.cv) + cc.cn AS d
+         |        FROM ni, cc),
+         |asgi AS (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d, cell) AS rn FROM adi)
+         |  WHERE rn = 1),
+         |icells AS (SELECT ni.vec_id, a.cell, ni.v, ni.nrm2
+         |           FROM ni JOIN asgi a USING (vec_id)),
+         |pr AS (SELECT a.vec_id, b.vec_id AS cid,
+         |         list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2) AS cos
+         |       FROM icells a JOIN cells b ON a.cell = b.cell),
+         |agg AS (SELECT vec_id, min(cid) AS match_id, count(*) AS n_sim,
+         |          max(cos) AS mx
+         |        FROM pr WHERE cos >= 0.3 GROUP BY 1)
+         |SELECT i.vec_id, CAST(i.cell AS BIGINT) AS cell,
+         |  CASE WHEN match_id IS NULL THEN 'new' ELSE 'near_dup' END AS status,
+         |  match_id, CAST(coalesce(n_sim, 0) AS BIGINT) AS n_sim,
+         |  round(mx, 6) AS max_cos
+         |FROM icells i LEFT JOIN agg USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+    // P14: bucket counts, the micro-log lambda ladder, and the exact
+    // integer document scores re-derived in SQL.
+    "q_dsir_select" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |       regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, source, toks[i] AS gram
+         |      FROM (SELECT doc_id, source, toks,
+         |              unnest(generate_series(1, len(toks))) AS i FROM d) x
+         |      UNION ALL
+         |      SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS gram
+         |      FROM (SELECT doc_id, source, toks,
+         |              unnest(generate_series(1, len(toks) - 1)) AS i
+         |            FROM d WHERE len(toks) >= 2) y),
+         |gb AS (SELECT doc_id, source,
+         |         ${Hashing.h30Sql("gram")} % 256 AS bucket FROM g),
+         |cnt AS (SELECT bucket, count(*) AS r_b,
+         |          count(*) FILTER (WHERE source IN
+         |            ('src0', 'src1', 'src2', 'src3')) AS t_b
+         |        FROM gb GROUP BY 1),
+         |tot AS (SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM cnt),
+         |lam AS (SELECT bucket,
+         |          CAST(round(round(ln((t_b + 1.0) / (t_tot + 256.0)), 6)
+         |            * 1000000) AS BIGINT)
+         |        - CAST(round(round(ln((r_b + 1.0) / (r_tot + 256.0)), 6)
+         |            * 1000000) AS BIGINT) AS lam
+         |        FROM cnt, tot),
+         |sc AS (SELECT doc_id, count(*) AS n_grams,
+         |         CAST(sum(lam) AS BIGINT) AS score_micro
+         |       FROM gb JOIN lam USING (bucket) GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_docs FROM documents),
+         |r AS (SELECT doc_id, n_grams, score_micro,
+         |        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+         |          AS BIGINT) AS sel_rank
+         |      FROM sc)
+         |SELECT doc_id, n_grams, score_micro, sel_rank,
+         |  CAST(CASE WHEN sel_rank <= (n_docs * 250) // 1000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM r, nn ORDER BY doc_id""".stripMargin,
     "q_ann_topk" -> annTopkRawSql,
     "q_ann_lsh" ->
       s"""WITH $normCte,

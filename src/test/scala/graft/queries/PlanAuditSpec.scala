@@ -44,6 +44,18 @@ class PlanAuditSpec extends SparkSuite {
     // class as the simhash band join; both sides are the full decoded
     // fingerprint table, not broadcastable at image-corpus scale
     "q_mm_neardup",
+    // SemDeDup's within-cell pair self-join — both sides are the full
+    // cell-assigned embedding table (corpus x corpus, shuffled on cell
+    // id); candidate volume is bounded by cell sizes, not by making a
+    // side broadcastable. The cells subplan is materialized at runtime
+    // so the SMJ joins two reads of one small table; at corpus scale
+    // the shuffle-on-cell SMJ is exactly the intended plan
+    "q_dedup_semantic",
+    // the incremental form's incoming x corpus cell-mate join — same
+    // class: at ingest scale BOTH sides are data-sized (a day's batch
+    // x the corpus), shuffled on cell id, broadcast only when AQE
+    // measures the batch small
+    "q_dedup_semantic_inc",
     // LPM enrichment's winners-back join keys on the host VALUE (v4:
     // parsed number; v6: the raw host string): the winner table is
     // distinct-host-sized (up to 4B v4 hosts, unbounded v6), so it is
