@@ -93,4 +93,77 @@ object Graph {
     }
     ranks
   }
+
+  /** A66: exact triangle counting over an undirected edge list — the
+    * graph-cohesion operator (clustering-coefficient numerators,
+    * community density, link-farm detection on a web corpus's host
+    * graph).
+    *
+    * Algorithm: degree-ordered orientation (the classic
+    * node-iterator++ / Schank-Wagner discipline). Every undirected
+    * edge {u,v} is directed from the (degree, id)-SMALLER endpoint to
+    * the larger, which makes the orientation acyclic and bounds every
+    * out-degree by O(√m) regardless of how skewed the raw degree
+    * distribution is — the hub that would generate deg² wedges as a
+    * wedge CENTER has the highest (deg, id) order, so every edge
+    * points INTO it and it centers none. Each triangle {a,b,c} is then
+    * counted exactly once, as the wedge b←a→c (b,c out-neighbors of
+    * the smallest-order vertex a, ordered b < c by the same total
+    * order) closed by the oriented edge b→c.
+    *
+    * Scale shape: two data×data equi-joins — wedges = oriented ⋈
+    * oriented on the center (fan-out Σ C(outdeg,2) ≤ m·O(√m), the
+    * orientation's guarantee) and closure = wedges ⋈ oriented on BOTH
+    * endpoints (an equi-join because orientation is a function of the
+    * graph: if {b,c} is an edge at all, its oriented form is exactly
+    * (b,c) — no OR-of-directions probe, which would degrade to a
+    * nested loop on any engine). The oriented edge table materializes
+    * once (three consumers); no global rank/row_number — the (deg, id)
+    * pair IS the total order, so nothing funnels through a single
+    * partition.
+    *
+    * Returns one row per node: (node, deg, n_tri) with n_tri the
+    * number of triangles the node participates in (Σ n_tri = 3 ×
+    * triangle count).
+    *
+    * `edges`: integral columns `src`, `dst`, any orientation;
+    * self-loops dropped, duplicates collapsed.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val mat = Materializer.of(edges.sparkSession)
+    val e = mat.eager(edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge by (deg, id); carry the head's (deg, id) so the
+    // wedge join can order the two out-neighbors without re-joining deg
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val tailFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = mat.eager(e.join(du, "u").join(dv, "v")
+      .select(
+        when(tailFirst, col("u")).otherwise(col("v")).as("s"),
+        when(tailFirst, col("v")).otherwise(col("u")).as("t"),
+        when(tailFirst, col("dv")).otherwise(col("du")).as("tdeg")))
+    val w1 = oriented.select(col("s").as("a"), col("t").as("b"),
+      col("tdeg").as("bdeg"))
+    val w2 = oriented.select(col("s").as("a"), col("t").as("c"),
+      col("tdeg").as("cdeg"))
+    val wedges = w1.join(w2, Seq("a"))
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    val tri = wedges.join(
+      oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

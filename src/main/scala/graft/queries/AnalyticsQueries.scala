@@ -1052,6 +1052,37 @@ object AnalyticsQueries {
       .orderBy(col("rank_fp").desc, col("kind"), col("key"))
   }
 
+  // A66: exact triangle counts over the part co-purchase graph
+  // (parts sharing an urgent-priority order — the priority filter
+  // keeps the gate graph's density representative without the full
+  // graph's 1.9M-triangle oracle cost).
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val a = li.select(col("o"), col("p").as("src"))
+    val b = li.select(col("o").as("o2"), col("p").as("dst"))
+    val edges = a.join(b, col("o") === col("o2") && col("src") < col("dst"))
+      .select("src", "dst")
+    graft.operators.Graph.triangles(edges)
+      .orderBy("node")
+  }
+
+  // A67: lag 1..6 autocorrelation of each event type's hourly
+  // value-sum series (values on the integer-micro ladder — floor, not
+  // round: round's half-away ties are engine-ambiguous, floor is not).
+  def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type").as("key"),
+        expr("unix_micros(ts) div 3600000000").as("t"))
+      .agg(sum(floor(col("value") * 1000000).cast("long")).as("x"))
+    graft.operators.Autocorr.acf(hourly, "key", "t", "x", lags = 1 to 6)
+      .orderBy("key", "lag")
+  }
+
   // A64: changelog application over documents — updates (v1), deletes
   // (v2, overriding the %77 update overlap), inserts (new ids).
   def qCdcApply(s: SparkSession, dir: String): DataFrame = {
@@ -1132,6 +1163,8 @@ object AnalyticsQueries {
     "q_trending" -> qTrending,
     "q_basket" -> qBasket,
     "q_pagerank" -> qPagerank,
+    "q_triangles" -> qTriangles,
+    "q_acf" -> qAcf,
     "q_histogram" -> qHistogram,
     "q_col_profile" -> qColProfile,
     "q_retention" -> qRetention,
@@ -1317,6 +1350,67 @@ object AnalyticsQueries {
         |  node // 2 AS key, deg, r AS rank_fp,
         |  CAST(r AS DOUBLE) / 1000000000.0 AS rank
         |FROM r3 ORDER BY rank_fp DESC, kind, key""".stripMargin,
+    // A66: the identical degree-ordered orientation + wedge closure,
+    // re-derived in SQL. Orientation by the (deg, id) pair directly
+    // (no global row_number rank — nothing funnels through one
+    // partition on either engine), closure as a pure equi-join on
+    // both endpoints (an OR-of-directions probe would nested-loop).
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+        |       FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |       WHERE ord.o_orderpriority = '1-URGENT'),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |ori AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |            THEN e.u ELSE e.v END AS s,
+        |          CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |            THEN e.v ELSE e.u END AS t,
+        |          CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |            THEN dv.deg ELSE du.deg END AS tdeg
+        |        FROM e JOIN deg du ON e.u = du.node
+        |               JOIN deg dv ON e.v = dv.node),
+        |w AS (SELECT d1.s AS a, d1.t AS b, d2.t AS c
+        |      FROM ori d1 JOIN ori d2 ON d1.s = d2.s
+        |        AND ((d1.tdeg, d1.t) < (d2.tdeg, d2.t))),
+        |tri AS (SELECT a, b, c
+        |        FROM w JOIN ori d ON w.b = d.s AND w.c = d.t),
+        |pn AS (SELECT node, count(*) AS n_tri FROM (
+        |         SELECT a AS node FROM tri UNION ALL
+        |         SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |       GROUP BY 1)
+        |SELECT deg.node, deg.deg, coalesce(pn.n_tri, 0) AS n_tri
+        |FROM deg LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin,
+    // A67: the identical six integer pair sums in HUGEINT (DuckDB's
+    // decimal(38,0)-capacity type), the identical final IEEE
+    // expression. Pair generation is the same (key, t + lag) equi-join.
+    "q_acf" ->
+      """WITH h AS (SELECT event_type AS key,
+        |        epoch_us(ts) // 3600000000 AS t,
+        |        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+        |      FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.key, l.lag, a.x AS x, b.x AS y
+        |      FROM h a CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) l
+        |      JOIN h b ON a.key = b.key AND b.t = a.t + l.lag),
+        |g AS (SELECT key, lag,
+        |        CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+        |        CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+        |        CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+        |      FROM p GROUP BY 1, 2)
+        |SELECT key, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM g ORDER BY key, lag""".stripMargin,
     // A57: per-day leaderboard + day+1 self-join for rank movement.
     "q_trending" ->
       """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

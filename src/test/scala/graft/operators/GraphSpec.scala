@@ -88,4 +88,60 @@ class GraphSpec extends SparkSuite {
     assert(total <= ideal && total >= ideal - 5 * (edges.size + 4 + 1),
       s"mass $total vs ideal $ideal")
   }
+
+  /** Brute-force per-node triangle counts: test all node triples. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val e = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val deg = nodes.map(n =>
+      n -> e.count { case (a, b) => a == n || b == n }.toLong).toMap
+    val tris = nodes.combinations(3).filter { c =>
+      e((c(0), c(1))) && e((c(0), c(2))) && e((c(1), c(2)))
+    }.toSeq
+    nodes.map(n => n ->
+      (deg(n), tris.count(_.contains(n)).toLong)).toMap
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graph.triangles(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, d, t) => n -> (d, t) }.toMap
+
+  test("triangles: K4 — every node in 3 of the 4 triangles") {
+    val edges = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(runTri(edges) == (1L to 4L).map(_ -> (3L, 3L)).toMap)
+  }
+
+  test("triangles: star graph has none") {
+    val edges = (2L to 6L).map(n => (1L, n))
+    val got = runTri(edges)
+    assert(got(1L) == (5L, 0L))
+    assert(got.values.forall(_._2 == 0L))
+  }
+
+  test("triangles: two triangles sharing an edge") {
+    // {1,2,3} and {2,3,4}: nodes 2,3 in both
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = runTri(edges)
+    assert(got == Map(1L -> (2L, 1L), 2L -> (3L, 2L),
+      3L -> (3L, 2L), 4L -> (2L, 1L)))
+  }
+
+  test("triangles: duplicates, reversed orientations, self-loops normalize") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L))
+    assert(runTri(edges) ==
+      Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
+  }
+
+  test("triangles: matches brute force on a dense pseudo-random graph") {
+    // deterministic edge set: 18 nodes, edge iff (a*31 + b*17) % 3 == 0
+    val edges = for {
+      a <- 1L to 18L; b <- (a + 1) to 18L
+      if (a * 31 + b * 17) % 3 == 0
+    } yield (a, b)
+    assert(edges.nonEmpty)
+    assert(runTri(edges) == bruteTriangles(edges))
+  }
 }

@@ -66,7 +66,18 @@ class PlanAuditSpec extends SparkSuite {
     // both sides carved from the event stream — data x data at any
     // scale (the interval-join class); per-conversion fanout bounded
     // by the lookback, never by broadcast
-    "q_attribution") ++
+    "q_attribution",
+    // triangle counting's wedge + closure self-joins of the oriented
+    // edge table (and the co-purchase edge generator's lineitem
+    // self-join feeding it): every side is edge-scale — data x data
+    // at any graph size, shuffled on node ids; the degree-ordered
+    // orientation bounds the wedge fan-out, not broadcastability
+    "q_triangles",
+    // autocorrelation's series x shifted-series equi-join on
+    // (key, t + lag): both sides are the SAME aggregated series table
+    // (hosts x horizon at metrics scale — data x data), shuffled on
+    // the series key; a broadcast would materialize the whole series
+    "q_acf") ++
     // SMJ only under THIS audit's lazy materializer: at runtime these
     // materialize their shared truth/index/frontier subplans, the
     // consumers read small materialized tables, and the SMJs are gone
