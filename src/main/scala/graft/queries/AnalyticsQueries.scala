@@ -1083,6 +1083,17 @@ object AnalyticsQueries {
       .orderBy("key", "lag")
   }
 
+  // A68: winsorized robust stats of each event type's value
+  // distribution (integer-micro ladder, discrete p05/p95 band).
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type").as("key"),
+        floor(col("value") * 1000000).cast("long").as("v"))
+    graft.operators.Winsorize.stats(ev, "key", "v",
+        pLoPermille = 50, pHiPermille = 950)
+      .orderBy("key")
+  }
+
   // A64: changelog application over documents — updates (v1), deletes
   // (v2, overriding the %77 update overlap), inserts (new ids).
   def qCdcApply(s: SparkSession, dir: String): DataFrame = {
@@ -1165,6 +1176,7 @@ object AnalyticsQueries {
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
     "q_acf" -> qAcf,
+    "q_winsorize" -> qWinsorize,
     "q_histogram" -> qHistogram,
     "q_col_profile" -> qColProfile,
     "q_retention" -> qRetention,
@@ -1411,6 +1423,41 @@ object AnalyticsQueries {
         |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |  END AS r
         |FROM g ORDER BY key, lag""".stripMargin,
+    // A68: the identical discrete-percentile clamp — rn/n windows,
+    // position-selected thresholds via in-partition conditional max,
+    // integer clamped sums, one final IEEE expression per moment.
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_type AS key,
+        |        CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT key, v,
+        |        row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY key) AS n FROM e),
+        |i AS (SELECT *,
+        |        least(greatest((n * 50 + 999) // 1000, 1), n) AS ilo,
+        |        least(greatest((n * 950 + 999) // 1000, 1), n) AS ihi
+        |      FROM r),
+        |b AS (SELECT *,
+        |        max(CASE WHEN rn = ilo THEN v END)
+        |          OVER (PARTITION BY key) AS lo,
+        |        max(CASE WHEN rn = ihi THEN v END)
+        |          OVER (PARTITION BY key) AS hi
+        |      FROM i),
+        |c AS (SELECT key, n, lo, hi, v,
+        |        least(greatest(v, lo), hi) AS w FROM b),
+        |g AS (SELECT key, max(n) AS n, max(lo) AS lo, max(hi) AS hi,
+        |        sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_clip_lo,
+        |        sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_clip_hi,
+        |        CAST(sum(CAST(w AS HUGEINT)) AS HUGEINT) AS sw,
+        |        CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS HUGEINT) AS sww,
+        |        CAST(count(*) AS HUGEINT) AS cn
+        |      FROM c GROUP BY 1)
+        |SELECT key, CAST(n AS BIGINT) AS n, lo, hi,
+        |  CAST(n_clip_lo AS BIGINT) AS n_clip_lo,
+        |  CAST(n_clip_hi AS BIGINT) AS n_clip_hi,
+        |  round(CAST(sw AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS mean_w,
+        |  round(sqrt(CAST(cn * sww - sw * sw AS DOUBLE))
+        |    / CAST(cn AS DOUBLE), 6) AS std_w
+        |FROM g ORDER BY key""".stripMargin,
     // A57: per-day leaderboard + day+1 self-join for rank movement.
     "q_trending" ->
       """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -150,6 +150,15 @@ object PipelineQueries {
         nBuckets = 256, selectPermille = 250)
       .orderBy("doc_id")
 
+  // E4: fixed-point Lloyd k-means over embeddings — k=8, 3 exact
+  // integer rounds, deterministic lowest-id seeding; the whole fit
+  // (assignments, centroid updates, inertia) is oracle-reproducible.
+  def qKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeansFixed.summary(
+        graft.operators.KMeansFixed.fit(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 3))
+      .orderBy("cell", "dim")
+
   // S1: brute-force cosine top-5 for queries vec_id < 10.
   def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -1001,6 +1010,7 @@ object PipelineQueries {
     "q_dedup_semantic" -> qDedupSemantic,
     "q_dedup_semantic_inc" -> qDedupSemanticInc,
     "q_dsir_select" -> qDsirSelect,
+    "q_kmeans" -> qKmeans,
     "q_ann_topk" -> qAnnTopk,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_lsh_mp" -> qAnnLshMp,
@@ -1189,6 +1199,60 @@ object PipelineQueries {
         val arr = p.map(_.toString).mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product($v, $arr) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** DuckDB twin of the whole KMeansFixed fit at (k, iters): the
+    * quantized long-format vector table, lowest-id seeding, and each
+    * Lloyd round unrolled as assign (argmin over exact integer
+    * squared-L2) + update (`sum // count`, empty cells keeping the
+    * previous centroid via LEFT JOIN). Round `iters + 1` is the final
+    * assignment whose distances feed the inertia.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val init =
+      s"""m0 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |         x -> CAST(floor((x + 1.0) * 1000000) AS BIGINT)) AS m
+         |       FROM embeddings),
+         |ml AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, m[i] AS val
+         |       FROM (SELECT vec_id, m,
+         |               unnest(generate_series(1, len(m))) AS i FROM m0)),
+         |c0 AS (SELECT ids.cell, ml.dim, ml.val AS c
+         |       FROM (SELECT vec_id,
+         |               row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         |             FROM (SELECT vec_id FROM m0 ORDER BY vec_id LIMIT $k)) ids
+         |         JOIN ml USING (vec_id))""".stripMargin
+    val rounds = (1 to (iters + 1)).map { i =>
+      val p = i - 1
+      val assign =
+        s"""d$i AS (SELECT ml.vec_id, c.cell,
+           |         sum((ml.val - c.c) * (ml.val - c.c)) AS dist
+           |       FROM ml JOIN c$p c USING (dim) GROUP BY 1, 2),
+           |a$i AS (SELECT vec_id, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, cell) AS rn FROM d$i) WHERE rn = 1)""".stripMargin
+      val update = if (i <= iters)
+        s""",
+           |u$i AS (SELECT a.cell, ml.dim, sum(ml.val) AS s, count(*) AS cnt
+           |        FROM ml JOIN a$i a USING (vec_id) GROUP BY 1, 2),
+           |c$i AS (SELECT c.cell, c.dim,
+           |          CAST(coalesce(u.s // u.cnt, c.c) AS BIGINT) AS c
+           |        FROM c$p c LEFT JOIN u$i u
+           |          ON c.cell = u.cell AND c.dim = u.dim)""".stripMargin
+      else ""
+      assign + update
+    }.mkString(",\n")
+    val f = iters + 1
+    s"""WITH $init,
+       |$rounds,
+       |st AS (SELECT a.cell, count(*) AS n,
+       |         CAST(sum(d.dist) AS BIGINT) AS inertia
+       |       FROM a$f a JOIN d$f d
+       |         ON a.vec_id = d.vec_id AND a.cell = d.cell
+       |       GROUP BY 1)
+       |SELECT c.cell, CAST(coalesce(st.n, 0) AS BIGINT) AS n, c.dim,
+       |  c.c AS centroid_micro, CAST(coalesce(st.inertia, 0) AS BIGINT) AS inertia
+       |FROM c$iters c LEFT JOIN st USING (cell)
+       |ORDER BY c.cell, c.dim""".stripMargin
+  }
 
   private val tokCte =
     """d AS (SELECT doc_id, lang, source, text,
@@ -1794,6 +1858,10 @@ object PipelineQueries {
          |  round(mx, 6) AS max_cos
          |FROM icells i LEFT JOIN agg USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+    // E4: the whole fixed-point Lloyd fit unrolled (see
+    // kmeansOracleSql) — quantization, seeding, 3 assign/update
+    // rounds, final assignment, inertia.
+    "q_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
     // P14: bucket counts, the micro-log lambda ladder, and the exact
     // integer document scores re-derived in SQL.
     "q_dsir_select" ->
