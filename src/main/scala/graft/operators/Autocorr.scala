@@ -45,8 +45,34 @@ object Autocorr {
       s"lags must be positive, got $lags")
     val base = series.select(col(keyCol).as("key"),
       col(tCol).cast("long").as("t"), col(vCol).cast("long").as("x"))
-    val lagged = base.select(col("key"), col("t").as("t_y"),
-      col("x").as("y"))
+    lagCorr(base, base.select(col("key"), col("t"), col("x").as("y")), lags)
+  }
+
+  /** A69: lag-k CROSS-correlation of two keyed series — the lead/lag
+    * discovery diagnostic (does `views` at hour t predict `purchases`
+    * at t+k? which k?). Same exactness and join shape as [[acf]]
+    * (which is the xs == ys special case); lags may be negative or
+    * zero (negative k means `ys` LEADS `xs`). `xs`/`ys` share (key,
+    * t) conventions; r at each lag correlates x(t) with y(t + lag).
+    */
+  def ccf(xs: DataFrame, ys: DataFrame, keyCol: String, tCol: String,
+      vCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty, "lags must be non-empty")
+    require(lags.distinct.size == lags.size, s"duplicate lags in $lags")
+    lagCorr(
+      xs.select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+        col(vCol).cast("long").as("x")),
+      ys.select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+        col(vCol).cast("long").as("y")),
+      lags)
+  }
+
+  /** Shared kernel: pair x(t) with y(t + lag) per key, six exact
+    * integer sums, one final IEEE Pearson expression.
+    */
+  private def lagCorr(base: DataFrame, ySide: DataFrame,
+      lags: Seq[Int]): DataFrame = {
+    val lagged = ySide.select(col("key"), col("t").as("t_y"), col("y"))
     val xk = base.withColumn("lag",
         explode(array(lags.map(l => lit(l)).toIndexedSeq: _*)))
       .withColumn("t_y", col("t") + col("lag"))

@@ -432,6 +432,58 @@ object TextAnalysis {
         col("idf"), round(col("tf") * col("idf"), 4).as("tfidf"))
   }
 
+  /** T18: collocation lift — the exact-ratio form of bigram PMI, the
+    * phrase-mining signal behind tokenizer merge candidates, stopword
+    * discovery, and boilerplate phrase detection. For each adjacent
+    * token pair:
+    *
+    *   lift(a,b) = p(a,b) / (p(a)·p(b)) = n_ab · N² / (M · n_a · n_b)
+    *
+    * (N total tokens, M total bigrams). PMI is ln(lift); the ln is
+    * deliberately NOT taken — it adds a cross-engine libm hazard
+    * (the T11 lesson) and no information, since ln is monotone: any
+    * PMI threshold is a lift threshold. Numerator and denominator
+    * are exact decimal(38,0) integer products; the single final
+    * division is one IEEE op on identical doubles.
+    *
+    * Scale shape: one bigram explode (row-local transform over the
+    * token array) + two grouped counts (unigram, bigram — both
+    * map-side combinable) + two vocab-keyed equi-joins of the
+    * PAIR-FLOOR-filtered bigram table against the unigram counts, and
+    * a broadcast scalar join for (N, M). `minPairCount` is applied
+    * BEFORE the joins — the pair table an engine joins is the
+    * above-floor one, never the raw Zipf tail.
+    */
+  def collocations(df: DataFrame, textCol: String,
+      minPairCount: Long): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> struct(ts[i-1] AS a, ts[i] AS b))")).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val totals = toks.agg(
+      sum(size(col("ts")).cast("long")).as("__n_tok"),
+      sum(greatest(size(col("ts")).cast("long") - 1L, lit(0L)))
+        .as("__n_bi"))
+    val d38 = "decimal(38,0)"
+    bi
+      .join(uni.select(col("token").as("tok_a"), col("n").as("n_a")), "tok_a")
+      .join(uni.select(col("token").as("tok_b"), col("n").as("n_b")), "tok_b")
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(
+          (col("n_ab").cast(d38) * col("__n_tok").cast(d38) *
+            col("__n_tok").cast(d38)).cast("double") /
+          (col("__n_bi").cast(d38) * col("n_a").cast(d38) *
+            col("n_b").cast(d38)).cast("double"), 6).as("lift"))
+  }
+
   /** T12: line-level dedup — the C4-style boilerplate pass: any line
     * whose trimmed text appears in >= `minDocs` DISTINCT documents
     * (nav bars, cookie banners, copyright footers) is dropped from

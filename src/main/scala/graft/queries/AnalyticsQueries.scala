@@ -1094,6 +1094,19 @@ object AnalyticsQueries {
       .orderBy("key")
   }
 
+  // A69: cross-correlation of view-vs-purchase hourly series per
+  // user-id cohort, lags -6..6 (negative = purchases lead views).
+  def qCcf(s: SparkSession, dir: String): DataFrame = {
+    def hourly(ty: String) = t(s, dir, "events")
+      .filter(col("event_type") === ty)
+      .groupBy((col("user_id") % 4).as("key"),
+        expr("unix_micros(ts) div 3600000000").as("t"))
+      .agg(sum(floor(col("value") * 1000000).cast("long")).as("v"))
+    graft.operators.Autocorr.ccf(hourly("view"), hourly("purchase"),
+        "key", "t", "v", lags = -6 to 6)
+      .orderBy("key", "lag")
+  }
+
   // A64: changelog application over documents — updates (v1), deletes
   // (v2, overriding the %77 update overlap), inserts (new ids).
   def qCdcApply(s: SparkSession, dir: String): DataFrame = {
@@ -1177,6 +1190,7 @@ object AnalyticsQueries {
     "q_triangles" -> qTriangles,
     "q_acf" -> qAcf,
     "q_winsorize" -> qWinsorize,
+    "q_ccf" -> qCcf,
     "q_histogram" -> qHistogram,
     "q_col_profile" -> qColProfile,
     "q_retention" -> qRetention,
@@ -1458,6 +1472,35 @@ object AnalyticsQueries {
         |  round(sqrt(CAST(cn * sww - sw * sw AS DOUBLE))
         |    / CAST(cn AS DOUBLE), 6) AS std_w
         |FROM g ORDER BY key""".stripMargin,
+    // A69: the A67 kernel with two filtered series and signed lags.
+    "q_ccf" ->
+      """WITH hx AS (SELECT user_id % 4 AS key,
+        |        epoch_us(ts) // 3600000000 AS t,
+        |        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |hy AS (SELECT user_id % 4 AS key,
+        |        epoch_us(ts) // 3600000000 AS t,
+        |        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p AS (SELECT a.key, l.lag, a.x AS x, b.y AS y
+        |      FROM hx a CROSS JOIN (SELECT unnest(range(-6, 7)) AS lag) l
+        |      JOIN hy b ON a.key = b.key AND b.t = a.t + l.lag),
+        |g AS (SELECT key, lag,
+        |        CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+        |        CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+        |        CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+        |      FROM p GROUP BY 1, 2)
+        |SELECT key, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM g ORDER BY key, lag""".stripMargin,
     // A57: per-day leaderboard + day+1 self-join for rank movement.
     "q_trending" ->
       """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -500,6 +500,14 @@ object PipelineQueries {
         minTf = 2, minDf = 2)
       .orderBy("doc_id", "token")
 
+  // T18: collocation lift for adjacent token pairs seen >= 5 times —
+  // exact decimal products, one IEEE division, no ln (monotone, so
+  // any PMI threshold is a lift threshold).
+  def qCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minPairCount = 5L)
+      .orderBy("tok_a", "tok_b")
+
   // P6: deterministic corpus shuffle — the training-order permutation,
   // reproducible from (salt, id) alone; rank assembled from the
   // 256-bucket offset + per-bucket row_number (no one-task sort).
@@ -1035,6 +1043,7 @@ object PipelineQueries {
     "q_normalize" -> qNormalize,
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
+    "q_collocations" -> qCollocations,
     "q_line_dedup" -> qLineDedup,
     "q_lm_score" -> qLmScore,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -2310,6 +2319,29 @@ object PipelineQueries {
         |FROM tf JOIN dfc USING (token) CROSS JOIN n
         |WHERE tf >= 2 AND df >= 2
         |ORDER BY doc_id, token""".stripMargin,
+    // T18: identical counts (unigram, adjacent-bigram, totals) and the
+    // identical lift expression — HUGEINT products, one IEEE division.
+    "q_collocations" ->
+      """WITH d AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ts
+        |       FROM documents),
+        |uni AS (SELECT token, count(*) AS n FROM (
+        |          SELECT unnest(ts) AS token FROM d) GROUP BY 1),
+        |bi AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM (
+        |         SELECT ts[i] AS tok_a, ts[i + 1] AS tok_b
+        |         FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |               FROM d WHERE len(ts) >= 2))
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tot AS (SELECT CAST(sum(len(ts)) AS HUGEINT) AS n_tok,
+        |          CAST(sum(greatest(len(ts) - 1, 0)) AS HUGEINT) AS n_bi
+        |        FROM d)
+        |SELECT bi.tok_a, bi.tok_b, bi.n_ab, a.n AS n_a, b.n AS n_b,
+        |  round(CAST(CAST(bi.n_ab AS HUGEINT) * n_tok * n_tok AS DOUBLE)
+        |    / CAST(n_bi * CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)
+        |        AS DOUBLE), 6) AS lift
+        |FROM bi JOIN uni a ON bi.tok_a = a.token
+        |        JOIN uni b ON bi.tok_b = b.token
+        |        CROSS JOIN tot
+        |ORDER BY tok_a, tok_b""".stripMargin,
     "q_shuffle" ->
       """SELECT doc_id, lang,
         |  row_number() OVER (

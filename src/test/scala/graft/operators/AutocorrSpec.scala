@@ -87,4 +87,40 @@ class AutocorrSpec extends SparkSuite {
         "key", "t", "x", Seq(0))
     }
   }
+
+  private def runCcf(xs: Seq[(String, Long, Long)],
+      ys: Seq[(String, Long, Long)], lags: Seq[Int])
+      : Map[(String, Int), (Long, Option[Double])] =
+    Autocorr.ccf(xs.toDF("key", "t", "v"), ys.toDF("key", "t", "v"),
+        "key", "t", "v", lags)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map { case (k, l, n, r) => (k, l) -> (n, r) }.toMap
+
+  test("ccf: a shifted copy correlates perfectly at the planted lag") {
+    val xs = (0L until 50L).map(t => ("s", t, 100L + (t * t) % 37))
+    val ys = xs.map { case (k, t, v) => (k, t + 3, v) }  // y(t) = x(t-3)
+    val got = runCcf(xs, ys, Seq(1, 3, 5))
+    assert(got(("s", 3)) == (50L, Some(1.0)))
+    assert(got(("s", 1))._2.get < 1.0)
+  }
+
+  test("ccf: ccf(x,y,k) == ccf(y,x,-k), zero lag is plain correlation") {
+    val xs = (0L until 30L).map(t => ("k", t, (t % 11) * 13L))
+    val ys = (0L until 30L).map(t => ("k", t, 500L - (t % 7) * 29L))
+    val ab = runCcf(xs, ys, Seq(-2, 0, 2))
+    val ba = runCcf(ys, xs, Seq(-2, 0, 2))
+    assert(ab(("k", 2)) == ba(("k", -2)))
+    assert(ab(("k", -2)) == ba(("k", 2)))
+    assert(ab(("k", 0)) == ba(("k", 0)))
+  }
+
+  test("ccf: rejects duplicate or empty lag sets") {
+    val df = Seq(("a", 1L, 1L)).toDF("key", "t", "v")
+    intercept[IllegalArgumentException] {
+      Autocorr.ccf(df, df, "key", "t", "v", Seq(1, 1))
+    }
+    intercept[IllegalArgumentException] {
+      Autocorr.ccf(df, df, "key", "t", "v", Nil)
+    }
+  }
 }

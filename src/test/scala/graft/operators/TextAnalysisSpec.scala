@@ -410,4 +410,37 @@ class TextAnalysisSpec extends SparkSuite {
       (5L, 11L, 3L, 0L, 0L, 0L, math.rint(3.0 / 11 * 1e6) / 1e6, 1),
       (6L, 0L, 0L, 0L, 0L, 0L, 0.0, 1)))
   }
+
+  test("collocations: lift from hand-counted pairs") {
+    // corpus: "new york" always adjacent (3x), "the cat"/"the dog"
+    // mixed; N = 4+5+4 = 13 tokens, M = 3+4+3 = 10 bigrams
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "the cat saw the dog"),
+      (3L, "new york the cat")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minPairCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // pairs >= 2: (new, york) n_ab=3, (york, new)=1 (below floor),
+    // (the, cat)=2
+    assert(got.keySet == Set(("new", "york"), ("the", "cat")))
+    val (_, _, nAb, nA, nB, lift) = got(("new", "york"))
+    assert((nAb, nA, nB) == (3L, 3L, 3L))
+    // lift = 3 * 13^2 / (10 * 3 * 3) = 507/90
+    assert(lift == math.rint(3.0 * 13 * 13 / (10.0 * 3 * 3) * 1e6) / 1e6)
+    val (_, _, nAb2, nA2, nB2, lift2) = got(("the", "cat"))
+    assert((nAb2, nA2, nB2) == (2L, 3L, 2L))
+    assert(lift2 == math.rint(2.0 * 13 * 13 / (10.0 * 3 * 2) * 1e6) / 1e6)
+  }
+
+  test("collocations: single-token and empty docs contribute no bigrams") {
+    val docs = Seq((1L, "solo"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minPairCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (a, b, nAb, nA, nB, _) = got.head
+    // N = 5 tokens (solo, a, b, a, b), M = 2 bigrams
+    assert((a, b, nAb, nA, nB) == ("a", "b", 2L, 2L, 2L))
+  }
 }

@@ -77,7 +77,9 @@ class PlanAuditSpec extends SparkSuite {
     // (key, t + lag): both sides are the SAME aggregated series table
     // (hosts x horizon at metrics scale — data x data), shuffled on
     // the series key; a broadcast would materialize the whole series
-    "q_acf") ++
+    "q_acf",
+    // cross-correlation: the identical join with two series tables
+    "q_ccf") ++
     // SMJ only under THIS audit's lazy materializer: at runtime these
     // materialize their shared truth/index/frontier subplans, the
     // consumers read small materialized tables, and the SMJs are gone
