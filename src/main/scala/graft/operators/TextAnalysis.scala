@@ -484,6 +484,51 @@ object TextAnalysis {
             col("n_b").cast(d38)).cast("double"), 6).as("lift"))
   }
 
+  /** T19: token-distribution Shannon entropy per group — the
+    * diversity metric corpus curation reads before mixing sources (a
+    * low-entropy source is template spam no dedup threshold caught;
+    * normalized entropy ~1 means tokens spread evenly over the
+    * type vocabulary). In nats:
+    *
+    *   H = ln N − (Σ c·ln c)/N     (N tokens, c per-type counts)
+    *
+    * Float discipline: every ln goes through the [[microLogProb]]
+    * ladder (ln rounded to 6 dp, scaled to an integer), so
+    * Σ c·lnm(c) is an order-free exact decimal(38,0) sum and the two
+    * output cells are single IEEE divisions of exact integers —
+    * `entropy_nats` = (lnm(N)·N − S)/(N·10⁶) and `norm_entropy` =
+    * (lnm(N)·N − S)/(N·lnm(T)) (NULL when T = 1: a one-type group
+    * has no normalizable spread).
+    *
+    * Scale shape: one (group, token) grouped count (map-side
+    * combinable — in-document repeats collapse before the shuffle)
+    * + one grouped reduction to (N, T, S) per group. No window, no
+    * join, no collect.
+    */
+  def tokenEntropy(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def lnm(x: Column) =
+      round(round(log(x.cast("double")), 6) * 1e6).cast("long")
+    val counts = df
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast(d38) * lnm(col("c")).cast(d38)).as("__s"))
+    val num = lnm(col("n_tokens")).cast(d38) * col("n_tokens").cast(d38) -
+      col("__s")
+    agg.select(col("grp"), col("n_tokens"), col("n_types"),
+      round(num.cast("double") /
+        (col("n_tokens").cast(d38) * lit(1000000L).cast(d38))
+          .cast("double"), 6).as("entropy_nats"),
+      when(col("n_types") > 1,
+        round(num.cast("double") /
+          (col("n_tokens").cast(d38) * lnm(col("n_types")).cast(d38))
+            .cast("double"), 6)).as("norm_entropy"))
+  }
+
   /** T12: line-level dedup — the C4-style boilerplate pass: any line
     * whose trimmed text appears in >= `minDocs` DISTINCT documents
     * (nav bars, cookie banners, copyright footers) is dropped from

@@ -508,6 +508,13 @@ object PipelineQueries {
         minPairCount = 5L)
       .orderBy("tok_a", "tok_b")
 
+  // T19: token-distribution entropy per source — the mix-diversity
+  // panel read before source weighting (low entropy = template spam).
+  def qEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(t(s, dir, "documents"), "source", "text")
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
   // P6: deterministic corpus shuffle — the training-order permutation,
   // reproducible from (salt, id) alone; rank assembled from the
   // 256-bucket offset + per-bucket row_number (no one-task sort).
@@ -1044,6 +1051,7 @@ object PipelineQueries {
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
     "q_collocations" -> qCollocations,
+    "q_entropy" -> qEntropy,
     "q_line_dedup" -> qLineDedup,
     "q_lm_score" -> qLmScore,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -2319,6 +2327,35 @@ object PipelineQueries {
         |FROM tf JOIN dfc USING (token) CROSS JOIN n
         |WHERE tf >= 2 AND df >= 2
         |ORDER BY doc_id, token""".stripMargin,
+    // T19: the identical ln-micro ladder (round(round(ln,6)*1e6)),
+    // HUGEINT sums, and the two final IEEE divisions.
+    "q_entropy" ->
+      """WITH tok AS (SELECT source, unnest(
+        |        regexp_split_to_array(trim(text), '\s+')) AS token
+        |      FROM documents),
+        |c AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |g AS (SELECT source,
+        |        CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        count(*) AS n_types,
+        |        CAST(sum(CAST(c AS HUGEINT) *
+        |          CAST(CAST(round(round(ln(CAST(c AS DOUBLE)), 6) * 1000000, 0)
+        |            AS BIGINT) AS HUGEINT)) AS HUGEINT) AS s
+        |      FROM c GROUP BY 1),
+        |n AS (SELECT *,
+        |        CAST(CAST(round(round(ln(CAST(n_tokens AS DOUBLE)), 6) * 1000000, 0)
+        |          AS BIGINT) AS HUGEINT) * CAST(n_tokens AS HUGEINT) - s AS num,
+        |        CAST(CAST(round(round(ln(CAST(n_types AS DOUBLE)), 6) * 1000000, 0)
+        |          AS BIGINT) AS HUGEINT) AS lnm_t
+        |      FROM g)
+        |SELECT source, n_tokens, n_types,
+        |  round(CAST(num AS DOUBLE)
+        |    / CAST(CAST(n_tokens AS HUGEINT) * 1000000 AS DOUBLE), 6)
+        |    AS entropy_nats,
+        |  CASE WHEN n_types > 1 THEN
+        |    round(CAST(num AS DOUBLE)
+        |      / CAST(CAST(n_tokens AS HUGEINT) * lnm_t AS DOUBLE), 6)
+        |  END AS norm_entropy
+        |FROM n ORDER BY source""".stripMargin,
     // T18: identical counts (unigram, adjacent-bigram, totals) and the
     // identical lift expression — HUGEINT products, one IEEE division.
     "q_collocations" ->

@@ -434,6 +434,45 @@ class TextAnalysisSpec extends SparkSuite {
     assert(lift2 == math.rint(2.0 * 13 * 13 / (10.0 * 3 * 2) * 1e6) / 1e6)
   }
 
+  test("tokenEntropy: hand-computed ladder values, uniform and skewed") {
+    val docs = Seq(
+      ("u", "a b c d"),          // uniform: 4 types, 4 tokens
+      ("s", "a a a a a a a b"),  // skewed: 8 tokens, 7xa 1xb
+      ("1", "x x x")             // single type: H = 0, norm NULL
+    ).toDF("source", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "source", "text")
+      .as[(String, Long, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    def lnm(x: Long): Long =
+      math.round(math.rint(math.log(x.toDouble) * 1e6) / 1e6 * 1e6)
+    // uniform: every c = 1, lnm(1) = 0 -> H = lnm(4)*4/(4e6)
+    val (_, nu, tu, hu, nmu) = got("u")
+    assert((nu, tu) == (4L, 4L))
+    assert(hu == math.rint(lnm(4L) * 4.0 / 4e6 * 1e6) / 1e6)
+    assert(math.abs(nmu.get - 1.0) < 1e-5)
+    // skewed: num = lnm(8)*8 - 7*lnm(7)
+    val (_, ns, ts, hs, _) = got("s")
+    assert((ns, ts) == (8L, 2L))
+    val num = lnm(8L) * 8L - 7L * lnm(7L)
+    assert(hs == math.rint(num.toDouble / 8e6 * 1e6) / 1e6)
+    // single type: exactly zero entropy, no normalized value
+    val (_, n1, t1, h1, nm1) = got("1")
+    assert((n1, t1, h1, nm1) == (3L, 1L, 0.0, None))
+  }
+
+  test("tokenEntropy: order- and partition-free (exact integer sums)") {
+    val docs = (0 until 60).map(i =>
+      (s"g${i % 2}", s"tok${i % 7} tok${i % 5} tok${i % 3}"))
+    val a = TextAnalysis.tokenEntropy(docs.toDF("source", "text"),
+        "source", "text")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSet
+    val b = TextAnalysis.tokenEntropy(
+        docs.reverse.toDF("source", "text").repartition(13),
+        "source", "text")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSet
+    assert(a == b)
+  }
+
   test("collocations: single-token and empty docs contribute no bigrams") {
     val docs = Seq((1L, "solo"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
     val got = TextAnalysis.collocations(docs, "text", minPairCount = 2L)
