@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S10: reciprocal-rank fusion (SURVEY.md §2.3) — the standard way a
+  * retrieval pipeline combines heterogeneous ranking arms (keyword
+  * BM25 + dense ANN, or two ANN index layouts) without calibrating
+  * their incomparable scores: only RANKS cross arms,
+  *
+  *   rrf(item) = Σ_arms 1/(c + rank_arm(item))      (Cormack et al.,
+  *                                                   c = 60 standard)
+  *
+  * Exactness: each reciprocal is quantized to the integer micro
+  * ladder (`round(10⁶/(c + rank))` — one IEEE division of exact
+  * integers then one half-up round, identical cross-engine), so the
+  * fused score is an order-free exact integer sum and the output
+  * ranking has no float-accumulation ambiguity; ties break on the
+  * item id.
+  *
+  * Scale shape: a union of the arms' (query, item, rank) frames
+  * (each arm already top-k-bounded by its own retrieval, so the
+  * union is queries × arms × k rows — never corpus-sized), ONE
+  * map-side-combinable grouped sum on (query, item), and a per-query
+  * top-k window (partition-local sort over ≤ arms·k candidates).
+  */
+object RankFusion {
+
+  /** Fuse ranking arms. Each arm: (queryCol, itemCol, rankCol) with
+    * rank ≥ 1. Returns per query the top `k` fused items:
+    * (query, rnk, item, rrf_micro, n_arms).
+    */
+  def rrf(arms: Seq[DataFrame], queryCol: String, itemCol: String,
+      rankCol: String, k: Int, c: Long = 60L): DataFrame = {
+    require(arms.nonEmpty, "need at least one arm")
+    require(k > 0 && c >= 0, s"k=$k c=$c")
+    val shaped = arms.map(_.select(col(queryCol).as("query"),
+      col(itemCol).as("item"), col(rankCol).cast("long").as("rank")))
+    val u = shaped.reduce(_.unionByName(_))
+    val contrib =
+      round(lit(1000000.0) / (lit(c) + col("rank")), 0).cast("long")
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("rrf_micro").desc, col("item"))
+    u.select(col("query"), col("item"), contrib.as("__c"))
+      .groupBy(col("query"), col("item"))
+      .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_arms"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query"), col("rnk"), col("item"), col("rrf_micro"),
+        col("n_arms"))
+  }
+}

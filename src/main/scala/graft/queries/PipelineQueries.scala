@@ -159,6 +159,22 @@ object PipelineQueries {
           "vec_id", "embedding", k = 8, iters = 3))
       .orderBy("cell", "dim")
 
+  // S10: hybrid retrieval — reciprocal-rank fusion of the LSH arm
+  // (S2) and the IVF arm (S3) at k=5, c=60.
+  def qAnnRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 8, 64)
+    val ivf = IvfIndex.search(
+      IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16),
+      q, "vec_id", "embedding", k = 5, nprobe = 4)
+    graft.operators.RankFusion.rrf(Seq(lsh, ivf), "query_id",
+        "neighbor_id", "rnk", k = 5)
+      .withColumnRenamed("query", "query_id")
+      .withColumnRenamed("item", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   // S1: brute-force cosine top-5 for queries vec_id < 10.
   def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -1026,6 +1042,7 @@ object PipelineQueries {
     "q_dedup_semantic_inc" -> qDedupSemanticInc,
     "q_dsir_select" -> qDsirSelect,
     "q_kmeans" -> qKmeans,
+    "q_ann_rrf" -> qAnnRrf,
     "q_ann_topk" -> qAnnTopk,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_lsh_mp" -> qAnnLshMp,
@@ -1331,6 +1348,24 @@ object PipelineQueries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** S2 oracle — the single-probe LSH chain; shared by the q_ann_lsh
+    * entry and the S10 fusion oracle's LSH arm.
+    */
+  private lazy val annLshRawSql =
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, nrm2,
+       |         CAST(${lshBucketSql("v")} AS BIGINT) AS bucket
+       |       FROM n),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn, bucket
+       |      FROM nb WHERE vec_id < 10),
+       |s AS (SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
+       |        list_dot_product(q.qv, c.v) / sqrt(q.qn * c.nrm2) AS cos
+       |      FROM q JOIN nb c USING (bucket) WHERE q.query_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, bucket, rnk, neighbor_id, round(cos, 6) AS cos
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** S5 oracle: reproduces the multi-probe bucket set — per-plane
@@ -1918,19 +1953,22 @@ object PipelineQueries {
          |    THEN 1 ELSE 0 END AS BIGINT) AS selected
          |FROM r, nn ORDER BY doc_id""".stripMargin,
     "q_ann_topk" -> annTopkRawSql,
-    "q_ann_lsh" ->
-      s"""WITH $normCte,
-         |nb AS (SELECT vec_id, v, nrm2,
-         |         CAST(${lshBucketSql("v")} AS BIGINT) AS bucket
-         |       FROM n),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm2 AS qn, bucket
-         |      FROM nb WHERE vec_id < 10),
-         |s AS (SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
-         |        list_dot_product(q.qv, c.v) / sqrt(q.qn * c.nrm2) AS cos
-         |      FROM q JOIN nb c USING (bucket) WHERE q.query_id <> c.vec_id),
+    "q_ann_lsh" -> annLshRawSql,
+    // S10: both proven arm chains nested verbatim, the same micro
+    // reciprocal ladder, one grouped integer sum, per-query top-5.
+    "q_ann_rrf" ->
+      s"""WITH lsh AS (SELECT query_id, neighbor_id, rnk FROM ($annLshRawSql)),
+         |ivf AS (SELECT query_id, neighbor_id, rnk FROM (${ivfChainSql(4)})),
+         |u AS (SELECT * FROM lsh UNION ALL SELECT * FROM ivf),
+         |f AS (SELECT query_id, neighbor_id,
+         |        CAST(sum(CAST(round(1000000.0 / (60 + rnk), 0) AS BIGINT))
+         |          AS BIGINT) AS rrf_micro,
+         |        count(*) AS n_arms
+         |      FROM u GROUP BY 1, 2),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
-         |SELECT query_id, bucket, rnk, neighbor_id, round(cos, 6) AS cos
+         |        ORDER BY rrf_micro DESC, neighbor_id) AS rnk FROM f)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+         |  rrf_micro, CAST(n_arms AS BIGINT) AS n_arms
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_ann_lsh_mp" -> annLshMpSql,
     "q_ann_lsh_mt" -> annLshMtSql,
