@@ -14,9 +14,19 @@ import org.apache.spark.sql.functions._
   * (`floor((x + offset) · 1e6)`, offset makes every coordinate
   * non-negative so truncating and flooring division agree
   * cross-engine — negative inputs RAISE, the A62 discipline), then
-  * every Lloyd step is exact integer arithmetic — squared-L2 in
-  * longs, centroid update `sum div count` — identical on any engine,
-  * any partitioning, any core count.
+  * every Lloyd step is exact integer arithmetic — squared-L2 from
+  * integer-valued doubles, centroid update `sum div count` on longs —
+  * identical on any engine, any partitioning, any core count.
+  *
+  * Exactness envelope: the quantized coordinates are CARRIED AS
+  * DOUBLES holding exact integer values so the distance runs through
+  * the codegen'd dot expression (|m−c|² = ⟨m,m⟩ − 2⟨m,c⟩ + ⟨c,c⟩ —
+  * measured ~20× the interpreted zip_with/aggregate lambda form);
+  * float64 arithmetic on integers is EXACT while every intermediate
+  * stays under 2^53, i.e. d · max_micro² < 9·10¹⁵ — embedding-scale
+  * inputs (|x| ≤ ~10 → micro ≤ ~10⁷) hold to d ≈ 100; wider/larger
+  * ladders must shrink the scale (the bound is documented, the
+  * offset-negativity violation RAISES).
   *
   * Scale shape per iteration: assignment is a ZERO-shuffle row-local
   * argmin against the k×d centroid literal array (the IvfIndex.assign
@@ -29,11 +39,6 @@ import org.apache.spark.sql.functions._
   * depth stays constant across iterations because each round's
   * centroids are literals, not lineage.
   *
-  * Ladder bound (documented, not checked per-row): |micro| must stay
-  * ≤ ~2^31 per coordinate so a d-dimensional squared distance fits a
-  * long (d ≤ ~4096 at full 2^31 magnitude); embedding-scale inputs
-  * (|x| ≤ ~1e3) are orders of magnitude inside it.
-  *
   * Empty cells keep their previous centroid (reported with n = 0) —
   * the standard Lloyd convention, and the one a SQL LEFT JOIN
   * reproduces exactly.
@@ -42,52 +47,60 @@ object KMeansFixed {
 
   final case class Model(centroids: Array[Array[Long]], assigned: DataFrame)
 
+  /** Quantized micro coordinates as exact-integer-valued doubles. */
   private def microCol(vecCol: String, offset: Double): Column = {
     val m = transform(col(vecCol).cast("array<double>"),
-      x => floor((x + lit(offset)) * lit(1000000.0)).cast("long"))
-    when(exists(m, e => e < 0L), raise_error(lit(
+      x => floor((x + lit(offset)) * lit(1000000.0)).cast("double"))
+    when(exists(m, e => e < 0.0), raise_error(lit(
         "KMeansFixed: negative coordinate after offset — raise `offset`" +
           " (non-negativity is the cross-engine division invariant)")))
       .otherwise(m)
   }
 
-  private def distTo(m: Column, c: Array[Long]): Column = {
-    val lc = array(c.map(lit).toIndexedSeq: _*)
-    aggregate(zip_with(m, lc, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+  /** Exact squared L2 to a centroid literal via the codegen dot:
+    * requires the precomputed `m2` = ⟨m,m⟩ column.
+    */
+  private def distTo(m: Column, m2: Column, c: Array[Long]): Column = {
+    val lc = array(c.map(v => lit(v.toDouble)).toIndexedSeq: _*)
+    val c2 = c.foldLeft(0L)((acc, v) => acc + v * v).toDouble
+    m2 - lit(2.0) * Similarity.dotD(m, lc) + lit(c2)
   }
 
   /** Row-local nearest-centroid id. Ties go to the lower cell:
     * array_position returns the FIRST index holding the minimum, and
-    * the distances are exact longs so "equal" is exact, not a float
-    * accident.
+    * the distances are exact integer-valued doubles so "equal" is
+    * exact, not a float accident.
     */
-  private def assignCol(m: Column, cs: Array[Array[Long]]): Column = {
-    val ds = array(cs.map(c => distTo(m, c)).toIndexedSeq: _*)
+  private def assignCol(m: Column, m2: Column,
+      cs: Array[Array[Long]]): Column = {
+    val ds = array(cs.map(c => distTo(m, m2, c)).toIndexedSeq: _*)
     (array_position(ds, array_min(ds)) - 1).cast("long")
   }
 
   /** Fit k clusters with `iters` exact Lloyd rounds. Initial
     * centroids are the `k` lowest-id vectors (the deterministic
     * IVF-flat bootstrap). Returns the final centroids (integer
-    * micros) and the final assignment (id, cell, m).
+    * micros) and the final assignment (id, cell, m, m2).
     */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, offset: Double = 1.0): Model = {
     require(k > 0 && iters >= 0, s"k=$k iters=$iters")
     val mat = Materializer.of(vecs.sparkSession)
-    val quant = mat.eager(vecs.select(col(idCol).cast("long").as("id"),
-      microCol(vecCol, offset).as("m")))
+    val quant = mat.eager(vecs
+      .select(col(idCol).cast("long").as("id"),
+        microCol(vecCol, offset).as("m"))
+      .withColumn("m2", Similarity.dotD(col("m"), col("m"))))
     var cs: Array[Array[Long]] = quant.orderBy(col("id")).limit(k)
-      .select(col("m")).collect().map(_.getSeq[Long](0).toArray)
+      .select(col("m")).collect()
+      .map(_.getSeq[Double](0).map(_.toLong).toArray)
     require(cs.length == k,
       s"k=$k but only ${cs.length} vectors to seed from")
     for (_ <- 1 to iters) {
       val sums = quant
-        .select(assignCol(col("m"), cs).as("cell"),
+        .select(assignCol(col("m"), col("m2"), cs).as("cell"),
           posexplode(col("m")).as(Seq("pos", "val")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("val")).as("s"), count(lit(1)).as("cnt"))
+        .agg(sum(col("val").cast("long")).as("s"), count(lit(1)).as("cnt"))
         .collect()
       val next = cs.map(_.clone())
       sums.foreach { r =>
@@ -96,8 +109,8 @@ object KMeansFixed {
       }
       cs = next
     }
-    Model(cs, quant.select(col("id"), assignCol(col("m"), cs).as("cell"),
-      col("m")))
+    Model(cs, quant.select(col("id"),
+      assignCol(col("m"), col("m2"), cs).as("cell"), col("m"), col("m2")))
   }
 
   /** Gate-shaped summary: one row per (cell, dim) with the centroid
@@ -110,8 +123,9 @@ object KMeansFixed {
     // distance to own centroid needs the per-cell literal: build as a
     // CASE over the k cells (config-sized expression)
     val distOwn = model.centroids.zipWithIndex.foldLeft(lit(null)
-        .cast("long")) { case (acc, (c, i)) =>
-      when(col("cell") === i.toLong, distTo(col("m"), c)).otherwise(acc)
+        .cast("double")) { case (acc, (c, i)) =>
+      when(col("cell") === i.toLong, distTo(col("m"), col("m2"), c))
+        .otherwise(acc)
     }
     val perCell = model.assigned
       .select(col("cell"), distOwn.as("d"))
