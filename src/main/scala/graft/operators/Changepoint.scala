@@ -219,4 +219,49 @@ object Changepoint {
       .limit(topK)
       .withColumn("rnk", row_number().over(w))
   }
+
+  /** R29: threshold alerting with HYSTERESIS — the reference's actual
+    * ban/unban semantics (/root/reference/main.go raises a ban when a
+    * metric exceeds its threshold and clears it later at a LOWER bar;
+    * FastNetMon's unban_threshold): an alert raises when the value
+    * exceeds `hi` and clears only when it falls to `lo` or below, so
+    * a series oscillating inside (lo, hi] never flaps.
+    *
+    * The insight that makes the sequential state machine ONE window:
+    * the alert state at tick t is fully determined by the LAST
+    * crossing signal at or before t — raise (v > hi) or clear
+    * (v ≤ lo); ticks in between emit no signal. That is exactly a
+    * last-observation-carried-forward over the signal column (the A52
+    * device: `last(signal, ignoreNulls)` over the key-ordered window,
+    * default 0 before any signal), identical on both engines — no
+    * fold, no recursion, no UDF.
+    *
+    * Returns one row per input tick: (key, t, v, alert, event) with
+    * event 'raise'/'clear' on transitions, NULL elsewhere.
+    *
+    * Scale shape: one per-key ordered window pass (the A19 class).
+    * The live twin is [[graft.streaming.StreamingHysteresis]] — one
+    * boolean per key forever.
+    */
+  def hysteresis(series: DataFrame, keyCol: String, tCol: String,
+      vCol: String, hi: Long, lo: Long): DataFrame = {
+    require(lo < hi, s"need lo < hi, got lo=$lo hi=$hi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val signal = when(col("v") > hi, 1L).when(col("v") <= lo, 0L)
+    series
+      .select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+        col(vCol).cast("long").as("v"))
+      .withColumn("alert",
+        coalesce(last(signal, ignoreNulls = true).over(w), lit(0L)))
+      .withColumn("__prev",
+        coalesce(lag(col("alert"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key")).orderBy(col("t"))), lit(0L)))
+      .withColumn("event",
+        when(col("alert") === 1L && col("__prev") === 0L, "raise")
+          .when(col("alert") === 0L && col("__prev") === 1L, "clear"))
+      .select(col("key"), col("t"), col("v"), col("alert"), col("event"))
+  }
 }

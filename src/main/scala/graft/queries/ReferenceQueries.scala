@@ -304,6 +304,19 @@ object ReferenceQueries {
         kNum = 3, kDen = 1)
       .orderBy("network")
 
+  // R29: ban/unban hysteresis per /24 on hourly event counts — raise
+  // above 8/hour, clear at <= 3/hour (the reference's
+  // threshold/unban_threshold pair as one LOCF window).
+  def qHysteresis(s: SparkSession, dir: String): DataFrame = {
+    val hourly = netEvents(s, dir)
+      .groupBy(col("network").as("key"),
+        expr("unix_micros(ts) div 3600000000").as("t"))
+      .agg(count(lit(1)).as("v"))
+    graft.operators.Changepoint.hysteresis(hourly, "key", "t", "v",
+        hi = 8L, lo = 3L)
+      .orderBy("key", "t")
+  }
+
   // R24: burst-duration statistics per /24 — maximal consecutive-hour
   // runs at >= 8 events/hour (gaps-and-islands, all-integer).
   def qBursts(s: SparkSession, dir: String): DataFrame =
@@ -401,6 +414,7 @@ object ReferenceQueries {
     "q_trend" -> qTrend,
     "q_zscore_anomaly" -> qZscoreAnomaly,
     "q_bursts" -> qBursts,
+    "q_hysteresis" -> qHysteresis,
     "q_concentration" -> qConcentration,
     "q_heavy_change" -> qHeavyChange,
     "q_ip_roundtrip" -> qIpRoundtrip,
@@ -745,6 +759,27 @@ object ReferenceQueries {
          |    host) AS INTEGER) AS rnk
          |FROM c ORDER BY rnk LIMIT 20""".stripMargin,
     // R24: gaps-and-islands — bucket − row_number island ids.
+    // R29: the same LOCF-over-signal window (the A52 IGNORE NULLS
+    // device) and the same transition lag.
+    "q_hysteresis" ->
+      s"""WITH n AS (SELECT $ipNumSql AS ip_num, ts FROM events),
+         |h AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS key,
+         |        epoch_us(ts) // 3600000000 AS t FROM n),
+         |c AS (SELECT key, t, CAST(count(*) AS BIGINT) AS v FROM h GROUP BY 1, 2),
+         |s AS (SELECT key, t, v,
+         |        coalesce(last_value(
+         |            CASE WHEN v > 8 THEN 1 WHEN v <= 3 THEN 0 END
+         |            IGNORE NULLS)
+         |          OVER (PARTITION BY key ORDER BY t
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |          0) AS alert
+         |      FROM c),
+         |p AS (SELECT *, coalesce(lag(alert)
+         |        OVER (PARTITION BY key ORDER BY t), 0) AS prev FROM s)
+         |SELECT key, t, v, CAST(alert AS BIGINT) AS alert,
+         |  CASE WHEN alert = 1 AND prev = 0 THEN 'raise'
+         |       WHEN alert = 0 AND prev = 1 THEN 'clear' END AS event
+         |FROM p ORDER BY key, t""".stripMargin,
     "q_bursts" ->
       s"""WITH n AS (SELECT $ipNumSql AS ip_num, ts FROM events),
          |b AS (SELECT ${numToIpSql("(ip_num & 4294967040)")} AS network,

@@ -153,4 +153,73 @@ class ChangepointSpec extends SparkSuite {
       .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
     assert(out == Seq((1, "a", 3L), (2, "b", 3L)))
   }
+
+  /** Driver-side reference: the sequential hysteresis state machine
+    * the LOCF window must equal.
+    */
+  private def refHysteresis(vals: Seq[Long], hi: Long,
+      lo: Long): Seq[(Long, Option[String])] = {
+    var alert = false
+    vals.map { v =>
+      val next = if (alert) v > lo else v > hi
+      val event =
+        if (next && !alert) Some("raise")
+        else if (!next && alert) Some("clear")
+        else None
+      alert = next
+      (if (alert) 1L else 0L, event)
+    }
+  }
+
+  private def runHysteresis(vals: Seq[Long], hi: Long,
+      lo: Long): Seq[(Long, Option[String])] = {
+    val rows = vals.zipWithIndex.map { case (v, t) => ("k", t.toLong, v) }
+    Changepoint.hysteresis(rows.toDF("key", "t", "v"), "key", "t", "v",
+        hi, lo)
+      .orderBy("t")
+      .select($"alert", $"event")
+      .as[(Long, Option[String])].collect().toSeq
+  }
+
+  test("hysteresis: oscillation inside (lo, hi] never flaps") {
+    // raise at 9 (>8), wobble 4..8 stays up, clear at 3 (<=3),
+    // wobble 4..8 stays DOWN (no raise without crossing hi)
+    val vals = Seq(5L, 9L, 8L, 4L, 7L, 3L, 5L, 8L, 4L, 9L)
+    val got = runHysteresis(vals, hi = 8L, lo = 3L)
+    assert(got == refHysteresis(vals, 8L, 3L))
+    assert(got.map(_._1) == Seq(0L, 1L, 1L, 1L, 1L, 0L, 0L, 0L, 0L, 1L))
+    assert(got.flatMap(_._2) == Seq("raise", "clear", "raise"))
+  }
+
+  test("hysteresis: boundary semantics — raise strictly above hi, clear at lo") {
+    // v == hi never raises; v == lo clears
+    val vals = Seq(8L, 8L, 9L, 3L, 3L)
+    val got = runHysteresis(vals, 8L, 3L)
+    assert(got == refHysteresis(vals, 8L, 3L))
+    assert(got.map(_._1) == Seq(0L, 0L, 1L, 0L, 0L))
+  }
+
+  test("hysteresis: first tick can raise; keys are independent") {
+    val rows = Seq(("a", 0L, 99L), ("a", 1L, 5L), ("b", 0L, 1L))
+    val got = Changepoint.hysteresis(rows.toDF("key", "t", "v"),
+        "key", "t", "v", hi = 8L, lo = 3L)
+      .as[(String, Long, Long, Long, Option[String])].collect().toSet
+    assert(got == Set(
+      ("a", 0L, 99L, 1L, Some("raise")),
+      ("a", 1L, 5L, 1L, None),
+      ("b", 0L, 1L, 0L, None)))
+  }
+
+  test("hysteresis: matches the state machine on a long pseudo-random series") {
+    val vals = (0 until 300).map(i => ((i * 37 + i * i * 13) % 17).toLong)
+    assert(runHysteresis(vals, hi = 12L, lo = 4L) ==
+      refHysteresis(vals, 12L, 4L))
+  }
+
+  test("hysteresis: rejects lo >= hi") {
+    intercept[IllegalArgumentException] {
+      Changepoint.hysteresis(Seq(("k", 0L, 1L)).toDF("key", "t", "v"),
+        "key", "t", "v", hi = 3L, lo = 3L)
+    }
+  }
 }
