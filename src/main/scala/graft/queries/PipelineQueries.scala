@@ -60,6 +60,32 @@ object PipelineQueries {
     Dedup.minhashLsh(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2, tokenHash)
       .orderBy("doc_a", "doc_b")
 
+  // C7: near-dup split-leakage audit — the check C1's n-gram
+  // contamination does for train/test, at the near-duplicate level
+  // and across ALL split pairs: route the corpus through the P2 hash
+  // split, find D3's MinHash near-dup pairs, and report the pair
+  // matrix per (split_a, split_b) with the cross-split rows flagged.
+  // A leak means a near-copy of a training document sits in val/test
+  // — the eval-inflation failure dedup-then-split is supposed to
+  // prevent, audited rather than assumed.
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 1, 2, tokenHash)
+      .select(col("doc_a"), col("doc_b"))
+    val splits = graft.operators.Sampling
+      .hashSplit(corpus.select(col("doc_id")), "doc_id", 80, 10)
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+      .orderBy("split_a", "split_b")
+  }
+
   // D4: SimHash Hamming<=3 pairs, with the band-width guard on.
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(dupCorpus(s, dir), "doc_id", "text", 3,
@@ -1036,6 +1062,7 @@ object PipelineQueries {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_split_leakage" -> qSplitLeakage,
     "q_dup_passages" -> qDupPassages,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_semantic" -> qDedupSemantic,
@@ -1784,6 +1811,28 @@ object PipelineQueries {
     "q_dedup_minhash" ->
       s"""WITH $minhashPrCtes
          |$jaccardTail""".stripMargin,
+    // C7: the D3 pair chain + the P2 split buckets, re-derived — the
+    // same jaccard >= 1/2 integer tail, the same md5 split kernel.
+    "q_split_leakage" -> {
+      def splitOf(c: String) = {
+        val b = graft.operators.Sampling.bucketOfSql(c, "split", 100)
+        s"""CASE WHEN $b < 80 THEN 'train'
+           |     WHEN $b < 90 THEN 'val' ELSE 'test' END""".stripMargin
+      }
+      s"""WITH $minhashPrCtes,
+         |pairs AS (SELECT p.doc_a, p.doc_b
+         |          FROM pr p JOIN sz sa ON p.doc_a = sa.doc_id
+         |          JOIN sz sb ON p.doc_b = sb.doc_id
+         |          WHERE 3 * p.shared >= sa.n + sb.n),
+         |lab AS (SELECT doc_a, doc_b,
+         |          ${splitOf("doc_a")} AS split_a,
+         |          ${splitOf("doc_b")} AS split_b
+         |        FROM pairs)
+         |SELECT split_a, split_b, count(*) AS n_pairs,
+         |  CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_leak
+         |FROM lab GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+    },
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPrCtes,
          |jp AS (SELECT p.doc_a, p.doc_b
