@@ -529,6 +529,47 @@ object TextAnalysis {
             .cast("double"), 6)).as("norm_entropy"))
   }
 
+  /** T21: readability scoring (Flesch reading-ease form) — the
+    * quality-stack signal complementary to T1's ratios and T13's LM
+    * score: flags both the too-dense tail (legal boilerplate, OCR
+    * glue) and the too-simple tail (SEO spam, keyword lists).
+    *
+    *   flesch = 206.835 − 1.015·(words/sentences)
+    *                    − 84.6·(syllables/words)
+    *
+    * Counts are row-local regex class counts (whitespace tokens for
+    * words, `[.!?]+` terminator groups for sentences — floored at 1
+    * so unpunctuated fragments don't divide by zero, the flag rides
+    * in `n_sentences` = 0 — and `[aeiouy]+` vowel groups as the
+    * standard syllable heuristic); the character classes are
+    * engine-portable ASCII, and the score is ONE fixed IEEE
+    * expression over integer-valued doubles, identical cross-engine.
+    * NULL score for wordless docs. No transcendentals anywhere.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = size(tokens(col(textCol))).cast("long")
+    val s = expr(s"CAST(size(regexp_extract_all($textCol, '[.!?]+', 0)) AS BIGINT)")
+    val syl = expr(
+      s"CAST(size(regexp_extract_all(lower($textCol), '[aeiouy]+', 0)) AS BIGINT)")
+    df.select(col(idCol).as("doc_id"),
+        w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"))
+      .withColumn("__s1", greatest(col("n_sentences"), lit(1L)))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0,
+          round(col("n_words").cast("double") /
+            col("__s1").cast("double"), 6)).as("words_per_sentence"),
+        when(col("n_words") > 0,
+          round(col("n_syllables").cast("double") /
+            col("n_words").cast("double"), 6)).as("syllables_per_word"),
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+                col("__s1").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double")), 4)).as("flesch"))
+  }
+
   /** T12: line-level dedup — the C4-style boilerplate pass: any line
     * whose trimmed text appears in >= `minDocs` DISTINCT documents
     * (nav bars, cookie banners, copyright footers) is dropped from

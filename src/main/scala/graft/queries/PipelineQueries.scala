@@ -557,6 +557,12 @@ object PipelineQueries {
       .withColumnRenamed("grp", "source")
       .orderBy("source")
 
+  // T21: Flesch-form readability per document — one row-local regex
+  // count per component, one fixed IEEE expression, no transcendentals.
+  def qReadability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   // P6: deterministic corpus shuffle — the training-order permutation,
   // reproducible from (salt, id) alone; rank assembled from the
   // 256-bucket offset + per-bucket row_number (no one-task sort).
@@ -1096,6 +1102,7 @@ object PipelineQueries {
     "q_tfidf" -> qTfidf,
     "q_collocations" -> qCollocations,
     "q_entropy" -> qEntropy,
+    "q_readability" -> qReadability,
     "q_line_dedup" -> qLineDedup,
     "q_lm_score" -> qLmScore,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -2414,6 +2421,32 @@ object PipelineQueries {
         |FROM tf JOIN dfc USING (token) CROSS JOIN n
         |WHERE tf >= 2 AND df >= 2
         |ORDER BY doc_id, token""".stripMargin,
+    // T21: the identical ASCII regex classes and the identical single
+    // IEEE expression, literal-for-literal.
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |          AS n_words,
+        |        CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |          AS n_sentences,
+        |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |          AS n_syllables
+        |      FROM documents),
+        |g AS (SELECT *, greatest(n_sentences, 1) AS s1 FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(CAST(n_words AS DOUBLE) / CAST(s1 AS DOUBLE), 6)
+        |  END AS words_per_sentence,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |  END AS syllables_per_word,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(s1 AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |      4)
+        |  END AS flesch
+        |FROM g ORDER BY doc_id""".stripMargin,
     // T19: the identical ln-micro ladder (round(round(ln,6)*1e6)),
     // HUGEINT sums, and the two final IEEE divisions.
     "q_entropy" ->

@@ -473,6 +473,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("readability: hand-counted Flesch components") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),   // 6 words, 2 sentences
+      (2L, "no terminator here"),          // 0 sentences -> floor 1
+      (3L, "aeiou xyz")                    // syllable groups: 1 + 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    def flesch(w: Long, s: Long, syl: Long): Double = {
+      val s1 = math.max(s, 1L)
+      BigDecimal(206.835 - 1.015 * (w.toDouble / s1) -
+          84.6 * (syl.toDouble / w))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (_, w1, s1, y1, _, _, f1) = got(1L)
+    // syllables: e/a/a/e/o/a -> "The"=1 "cat"=1 "sat"=1 "The"=1
+    // "dog"=1 "ran"=1 = 6
+    assert((w1, s1, y1) == (6L, 2L, 6L))
+    assert(f1.get == flesch(6L, 2L, 6L))
+    val (_, w2, s2, y2, wps2, _, f2) = got(2L)
+    assert((w2, s2) == (3L, 0L))
+    assert(wps2.get == 3.0)  // floored divisor, flag stays in n_sentences
+    assert(f2.get == flesch(3L, 0L, y2))
+    val (_, w3, _, y3, _, spw3, _) = got(3L)
+    // "aeiou" is ONE maximal vowel group; "xyz" contributes one via y
+    assert((w3, y3) == (2L, 2L))
+    assert(spw3.get == 1.0)
+  }
+
   test("collocations: single-token and empty docs contribute no bigrams") {
     val docs = Seq((1L, "solo"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
     val got = TextAnalysis.collocations(docs, "text", minPairCount = 2L)
