@@ -86,13 +86,27 @@ object Autocorr {
         sum((col("x").cast(d38)) * col("y").cast(d38)).as("sxy"),
         sum((col("x").cast(d38)) * col("x").cast(d38)).as("sxx"),
         sum((col("y").cast(d38)) * col("y").cast(d38)).as("syy"))
+    // Overflow contract: the Pearson terms multiply two decimal(38,0)
+    // aggregates; Spark caps the product at precision 38 and non-ANSI
+    // mode yields NULL past ~1e38 (the DuckDB HUGEINT oracle and the
+    // StreamingAcf 128-bit twin keep going slightly further). The
+    // inputs are exact sums of longs, so every operand here is
+    // non-NULL by construction — a NULL product can ONLY mean
+    // overflow, and the guard below converts it to a raise so the
+    // documented bit-for-bit parity breaks LOUDLY, never as a silent
+    // NULL r that reads like degenerate variance.
     val num = col("n") * col("sxy") - col("sx") * col("sy")
     val d1 = col("n") * col("sxx") - col("sx") * col("sx")
     val d2 = col("n") * col("syy") - col("sy") * col("sy")
+    def guarded(e: org.apache.spark.sql.Column, nm: String) =
+      when(e.isNotNull, e.cast("double"))
+        .otherwise(raise_error(lit(s"Autocorr: decimal(38,0) overflow " +
+          s"in $nm — per-(key,lag) moments exceed the ~1e38 exactness " +
+          "bound; shard the key or rescale the input")))
     agg
-      .withColumn("__num", num.cast("double"))
-      .withColumn("__d1", d1.cast("double"))
-      .withColumn("__d2", d2.cast("double"))
+      .withColumn("__num", guarded(num, "n*sxy - sx*sy"))
+      .withColumn("__d1", guarded(d1, "n*sxx - sx*sx"))
+      .withColumn("__d2", guarded(d2, "n*syy - sy*sy"))
       .select(col("key"), col("lag").cast("int").as("lag"),
         col("n").cast("long").as("n_pairs"),
         when(col("__d1") > 0.0 && col("__d2") > 0.0,

@@ -541,7 +541,11 @@ object Baseline {
     * The parametric complement of [[madAnomaly]]: no rank windows at
     * all — history collapses to three map-side-combinable moments
     * (n, Σx, Σx²) — so it is the cheaper scorer for roughly-Gaussian
-    * metrics; keep MAD where spikes poison mean/σ.
+    * metrics; keep MAD where spikes poison mean/σ. Both windows are
+    * computed by ONE conditional aggregation over one scan (the R8
+    * wide-agg pattern): `sum(when(is_current...))` splits the moments
+    * per branch, so the physical plan is scan → partial agg → one
+    * Exchange → final agg, with no self-join anywhere.
     *
     * Exactness device (no float on the deciding path): values enter
     * as MICRO-units (round(v·1e6) as long — the T13 micro
@@ -586,16 +590,27 @@ object Baseline {
     val d38 = "decimal(38,0)"
     // sums accumulate in decimal(38,0), NOT long: Spark's non-ANSI
     // sum(long) wraps silently at 2^63, decimal saturates to NULL —
-    // detectable, and converted to a raise below
-    val hist = split.filter(!col("__is_current"))
+    // detectable, and converted to a raise below.
+    // ONE aggregation for BOTH windows (the R8 wide-agg pattern):
+    // history and current moments are conditional sums over the same
+    // scan, so the whole detector costs one fact-table pass + one
+    // shuffle instead of two aggregations joined back together — at
+    // 100 TB the second scan was the entire bill. The inner-join
+    // semantics of the two-branch form (network must appear in BOTH
+    // windows) survive as a filter on the conditional counts.
+    val isHist = !col("__is_current")
+    val isCur = col("__is_current")
+    val agg = split
       .groupBy(col("network"))
-      .agg(count(lit(1)).as("n_hist"),
-        sum(col("__v6").cast(d38)).as("__sx"),
-        sum(col("__v6").cast("decimal(19,0)") * col("__v6").cast("decimal(19,0)"))
-          .as("__sxx"))
-    val cur = split.filter(col("__is_current"))
-      .groupBy(col("network"))
-      .agg(count(lit(1)).as("n_current"), sum(col("__v6").cast(d38)).as("__sc"))
+      .agg(
+        count(when(isHist, lit(1))).as("n_hist"),
+        sum(when(isHist, col("__v6").cast(d38))).as("__sx"),
+        sum(when(isHist,
+          col("__v6").cast("decimal(19,0)") * col("__v6").cast("decimal(19,0)")))
+          .as("__sxx"),
+        count(when(isCur, lit(1))).as("n_current"),
+        sum(when(isCur, col("__v6").cast(d38))).as("__sc"))
+      .filter(col("n_hist") > 0 && col("n_current") > 0)
     val n = col("n_hist")
     val m = col("n_current")
     val varNum = n.cast(d38) * col("__sxx") - col("__sx") * col("__sx")
@@ -604,7 +619,7 @@ object Baseline {
     // surfaced as a raise — never a silent NULL/wrong flag
     val decide = (devNum * devNum * lit(kDen * kDen) >
       lit(kNum * kNum) * m.cast(d38) * m * varNum).cast("int")
-    hist.join(cur, "network")
+    agg
       .select(col("network"), col("n_hist"), col("n_current"),
         round(col("__sx").cast("double") / n / 1e6, 6).as("mean_value"),
         round(sqrt(varNum.cast("double")) / n / 1e6, 6).as("std_value"),

@@ -28,7 +28,15 @@ import org.apache.spark.sql.functions._
 object RankFusion {
 
   /** Fuse ranking arms. Each arm: (queryCol, itemCol, rankCol) with
-    * rank ≥ 1. Returns per query the top `k` fused items:
+    * rank ≥ 1 — ENFORCED: a rank < 1 raises at execution time rather
+    * than contributing a divide-by-zero/negative reciprocal (with
+    * c = 0, rank = 0 would yield a NULL contribution silently dropped
+    * from the sum yet still counted in n_arms). Precondition that is
+    * documented, not enforced: each arm holds at most ONE row per
+    * (query, item) — retrieval top-k output by construction; a
+    * duplicate would double-count both rrf_micro and n_arms, and
+    * deduping here would cost an extra per-arm shuffle the honest
+    * caller never needs. Returns per query the top `k` fused items:
     * (query, rnk, item, rrf_micro, n_arms).
     */
   def rrf(arms: Seq[DataFrame], queryCol: String, itemCol: String,
@@ -38,8 +46,10 @@ object RankFusion {
     val shaped = arms.map(_.select(col(queryCol).as("query"),
       col(itemCol).as("item"), col(rankCol).cast("long").as("rank")))
     val u = shaped.reduce(_.unionByName(_))
-    val contrib =
-      round(lit(1000000.0) / (lit(c) + col("rank")), 0).cast("long")
+    val contrib = when(col("rank") >= 1,
+        round(lit(1000000.0) / (lit(c) + col("rank")), 0).cast("long"))
+      .otherwise(raise_error(lit(
+        "RankFusion.rrf: rank must be >= 1 (got a rank < 1 row)")))
     val w = Window.partitionBy(col("query"))
       .orderBy(col("rrf_micro").desc, col("item"))
     u.select(col("query"), col("item"), contrib.as("__c"))

@@ -548,9 +548,12 @@ object TextAnalysis {
     */
   def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = size(tokens(col(textCol))).cast("long")
-    val s = expr(s"CAST(size(regexp_extract_all($textCol, '[.!?]+', 0)) AS BIGINT)")
-    val syl = expr(
-      s"CAST(size(regexp_extract_all(lower($textCol), '[aeiouy]+', 0)) AS BIGINT)")
+    // Column-built (not SQL-string-interpolated) so column names that
+    // need quoting/backticks work — same idiom as urlDomainsPsl above
+    val s = size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+      .cast("long")
+    val syl = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
     df.select(col(idCol).as("doc_id"),
         w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"))
       .withColumn("__s1", greatest(col("n_sentences"), lit(1L)))

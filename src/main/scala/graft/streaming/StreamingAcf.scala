@@ -54,7 +54,13 @@ object StreamingAcf {
     val nl = old + lo
     buf(p + 1) = nl
     val carry = ((old & lo) | ((old | lo) & ~nl)) >>> 63
-    buf(p) += hi + carry
+    // the low limb wraps BY DESIGN (that is the carry mechanism); the
+    // high limb must not: a signed-64 overflow of buf(p) + hi + carry
+    // is exactly a signed-128 overflow of the accumulator, so use
+    // addExact to THROW — loud like the batch operator's
+    // NULL-surfaced decimal(38,0) saturation — instead of silently
+    // wrapping into a corrupted (plausible-looking) r
+    buf(p) = Math.addExact(buf(p), Math.addExact(hi, carry))
   }
 
   private def addVal(buf: Array[Long], p: Int, v: Long): Unit =
