@@ -153,38 +153,42 @@ object Dedup {
       maxDf: Long = 0): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n, tokenHash)
     if (maxDf <= 0) jaccardFilter(sharedCounts(sets), sets, num, den)
-    else {
-      // the capped path MATERIALIZES the df-annotated index once
-      // (strategy from [[Materializer]]; default executor-local): its
-      // six consumers — both sides of the rare self-join, both hot
-      // add-back probes, and the two size lookups — would each re-run
-      // the whole scan+shingle+window pipeline otherwise (the executed
-      // plan showed 16 file scans / 6 window sorts; measured
-      // 4.1 -> 2.9 s median at sf0.1). An index build IS a
-      // materialization — at cluster scale this stores (doc, sh, df)
-      // rows once instead of re-reading the corpus per consumer; a
-      // fault-tolerant run sets graft.materializer=reliable. The
-      // uncapped path above stays fully lazy.
-      val mat = Materializer.of(df.sparkSession)
-      val withDf = mat(sets.withColumn("__df",
-        count(lit(1)).over(Window.partitionBy(col("sh")))))
-      val rare = withDf.filter(col("__df") <= maxDf).drop("__df")
-      val hot = withDf.filter(col("__df") > maxDf).drop("__df")
-      val rareShared = sharedCounts(rare)
-      val hotShared = rareShared.select("doc_a", "doc_b")
-        .join(hot.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-        .join(hot.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("__hot"))
-      val shared = rareShared.join(hotShared, Seq("doc_a", "doc_b"), "left")
-        .select(col("doc_a"), col("doc_b"),
-          (col("shared") + coalesce(col("__hot"), lit(0L))).as("shared"))
-      // sizes from the SAME materialized rows (the window annotation
-      // kept every (doc, sh) row, so the per-doc counts are identical
-      // to the raw shingle sets')
-      jaccardFilterSizes(shared,
-        withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), num, den)
-    }
+    else cappedJaccardPairs(sets, num, den, maxDf)
+  }
+
+  /** The capped (production) n-gram Jaccard path over a prebuilt
+    * shingle-set frame. MATERIALIZES the df-annotated index once
+    * (strategy from [[Materializer]]; default executor-local): its
+    * six consumers — both sides of the rare self-join, both hot
+    * add-back probes, and the two size lookups — would each re-run
+    * the whole scan+shingle pipeline otherwise (the executed
+    * plan showed 16 file scans / 6 window sorts; measured
+    * 4.1 -> 2.9 s median at sf0.1). An index build IS a
+    * materialization — at cluster scale this stores (doc, sh, df)
+    * rows once instead of re-reading the corpus per consumer; a
+    * fault-tolerant run sets graft.materializer=reliable.
+    */
+  private def cappedJaccardPairs(sets: DataFrame, num: Long, den: Long,
+      maxDf: Long): DataFrame = {
+    val mat = Materializer.of(sets.sparkSession)
+    val withDf = mat(sets.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("sh")))))
+    val rare = withDf.filter(col("__df") <= maxDf).drop("__df")
+    val hot = withDf.filter(col("__df") > maxDf).drop("__df")
+    val rareShared = sharedCounts(rare)
+    val hotShared = rareShared.select("doc_a", "doc_b")
+      .join(hot.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(hot.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("__hot"))
+    val shared = rareShared.join(hotShared, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared") + coalesce(col("__hot"), lit(0L))).as("shared"))
+    // sizes from the SAME materialized rows (the window annotation
+    // kept every (doc, sh) row, so the per-doc counts are identical
+    // to the raw shingle sets')
+    jaccardFilterSizes(shared,
+      withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), num, den)
   }
 
   /** D6: near-dup cluster resolution — connected components over the
@@ -360,37 +364,7 @@ object Dedup {
     */
   def dupPassages(df: DataFrame, idCol: String, textCol: String, n: Int,
       minDocs: Long = 2, tokenHash: Column => Column = Hashing.h30): DataFrame = {
-    require(n <= ShingleCoef.length, s"n=$n exceeds ${ShingleCoef.length}")
-    val combine = (0 until n)
-      .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
-      .mkString(" + ")
-    // tokenized docs materialize once: base feeds the gram stream AND
-    // the final reassembly join, grams feed the df-count AND the
-    // coverage semi-join — without the materialization the
-    // tokenize+hash pipeline runs ~3x (measured 2.5 -> 1.4 s median at
-    // sf0.1; the cleaned corpus needs the token arrays anyway, so
-    // materializing them is what a production pass does)
-    val mat = Materializer.of(df.sparkSession)
-    val base = mat(df
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .withColumn("th", transform(col("toks"), t => tokenHash(t))))
-    // positions are 1-based (pos p covers tokens [p, p+n-1]); grams
-    // keep duplicates here — positions matter, and the distinct-doc
-    // count below dedups per doc on its own
-    val grams = mat(base
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, size(th) - $n), i -> $combine)"))
-          .as(Seq("pos0", "sh")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh")))
-    val dupSh = grams.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("__d"))
-      .filter(col("__d") >= minDocs)
-      .select("sh")
-    val covered = grams.join(dupSh, Seq("sh"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
-      .distinct()
+    val (base, covered) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
     val spans = covered
       .withColumn("__new",
@@ -412,6 +386,98 @@ object Dedup {
         md5(concat_ws(" ", transform(
           array_except(sequence(lit(1), size(col("toks"))), col("__cov")),
           p => element_at(col("toks"), p)))).as("keep_hash"))
+  }
+
+  /** Shared front half of [[dupPassages]] / [[dupSubstrings]]:
+    * `base` = (doc_id, toks, th) tokenized docs, `covered` = the
+    * DISTINCT 1-based token positions of each doc that lie inside any
+    * word-`n`-gram occurring in >= `minDocs` distinct documents.
+    *
+    * Both frames materialize once (`Materializer`): base feeds the
+    * gram stream AND the final reassembly join, grams feed the
+    * df-count AND the coverage semi-join — without the materialization
+    * the tokenize+hash pipeline runs ~3x (measured 2.5 -> 1.4 s median
+    * at sf0.1; the cleaned corpus needs the token arrays anyway, so
+    * materializing them is what a production pass does).
+    *
+    * Scale shape: NO pair fanout — this never materializes doc pairs.
+    * One groupBy on the gram hash (partial-aggregated distinct-doc
+    * count) and a semi-join back on the same key; a stop-phrase gram
+    * shared by 10^6 docs costs one counter, not O(df^2) pairs, so no
+    * df-cap is needed for safety — `minDocs` only tunes sensitivity.
+    */
+  private def coveredPositions(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long, tokenHash: Column => Column): (DataFrame, DataFrame) = {
+    require(n <= ShingleCoef.length, s"n=$n exceeds ${ShingleCoef.length}")
+    val combine = (0 until n)
+      .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
+      .mkString(" + ")
+    val mat = Materializer.of(df.sparkSession)
+    val base = mat(df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .withColumn("th", transform(col("toks"), t => tokenHash(t))))
+    // positions are 1-based (pos p covers tokens [p, p+n-1]); grams
+    // keep duplicates here — positions matter, and the distinct-doc
+    // count below dedups per doc on its own
+    val grams = mat(base
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(th) - $n), i -> $combine)"))
+          .as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh")))
+    val dupSh = grams.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("sh")
+    val covered = grams.join(dupSh, Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    (base, covered)
+  }
+
+  /** D7b: maximal repeated-substring report — the ExactSubstr view of
+    * the [[dupPassages]] machinery (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": remove repeated SUBSTRINGS,
+    * not just whole near-dup documents). Overlapping/adjacent cross-doc
+    * `n`-gram hits merge into MAXIMAL repeated token spans per doc
+    * (gaps-and-islands over the covered positions); each span carries a
+    * content hash so identical substrings are one identity across the
+    * corpus. Output is the span-length distribution:
+    * (span_len, n_spans, n_docs, n_substrings) — the report a curation
+    * run reads to pick its removal threshold (ExactSubstr uses 50
+    * tokens) before cleaning.
+    *
+    * Scale shape: inherits zero-pair-fanout from [[coveredPositions]];
+    * span assembly is one doc-keyed window (same shuffle the coverage
+    * distinct already placed — gaps-and-islands running sum), the
+    * per-span groupBy is co-partitioned (doc_id subsumes (doc_id,
+    * span_id) clustering — no second exchange), and the final
+    * distribution aggregates span rows, a frame ~|corpus| / mean
+    * span length. Nothing driver-side.
+    */
+  def dupSubstrings(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minDocs: Long = 2, tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    val (base, covered) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
+    val spans = covered
+      .withColumn("__new",
+        when(lag(col("tp"), 1).over(w).isNull ||
+          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__sid"))
+      .agg(min(col("tp")).cast("int").as("__start"),
+        count(lit(1)).as("span_len"))
+    spans.join(base, "doc_id")
+      .select(col("doc_id"), col("span_len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("__start"), col("span_len").cast("int"))))
+          .as("__sh"))
+      .groupBy(col("span_len"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("__sh")).as("n_substrings"))
+      .orderBy(col("span_len"))
   }
 
   // ------------------------------------------------------------ MinHash
@@ -477,6 +543,15 @@ object Dedup {
     // pass).
     val sets = Materializer.of(df.sparkSession)(
       shingleSets(df, idCol, textCol, n, tokenHash))
+    lshPairsFromSets(sets, num, den)
+  }
+
+  /** The MinHash+LSH pair chain over a prebuilt (ideally materialized)
+    * shingle-set frame: band-bucket candidates, exact-verified at
+    * `num/den`.
+    */
+  private def lshPairsFromSets(sets: DataFrame, num: Long,
+      den: Long): DataFrame = {
     val bands = bandHashes(minhashSignatures(sets))
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bh"))
@@ -484,6 +559,46 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     jaccardFilter(exactShared(cand, sets), sets, num, den)
+  }
+
+  /** D10: the dedup family's measured recall gate — the S4 pattern
+    * (ANN recall@k vs brute force) applied to near-dup detection: how
+    * much of the EXACT n-gram Jaccard truth set (the D2 capped
+    * production path — candidate df-cap, exact full-overlap counts)
+    * does the D3 MinHash+LSH path recover, bucketed by true Jaccard?
+    * LSH recall is probabilistic with a known S-curve
+    * (P = 1 - (1 - j^r)^b; r=[[BandRows]], b=k/r), so the per-bucket
+    * numbers are the measured version of that curve — the
+    * bands/rows/threshold trade a 100 TB deployment tunes on a corpus
+    * SAMPLE before committing the config, exactly like S4's
+    * recall/nprobe sweep.
+    *
+    * Both chains share ONE materialized shingle index (the truth
+    * chain's df-annotation and the LSH chain's signatures read the
+    * same stored rows — the corpus is scanned once). The Jaccard
+    * bucket is pure integer arithmetic
+    * (`10*shared div (n_a+n_b-shared)` — floor of 10j with no float
+    * boundary), so bucket membership cannot disagree with the oracle.
+    * Output: (bucket, n_true, n_hit, recall), bucket num*10/den..10.
+    */
+  def lshRecall(df: DataFrame, idCol: String, textCol: String, n: Int,
+      num: Long, den: Long, tokenHash: Column => Column = Hashing.h30,
+      maxDf: Long = 0): DataFrame = {
+    val sets = Materializer.of(df.sparkSession)(
+      shingleSets(df, idCol, textCol, n, tokenHash))
+    val truth = if (maxDf <= 0) jaccardFilter(sharedCounts(sets), sets, num, den)
+      else cappedJaccardPairs(sets, num, den, maxDf)
+    val hits = lshPairsFromSets(sets, num, den)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
+    truth
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"))
+      .withColumn("bucket", expr("10 * shared div (n_a + n_b - shared)"))
+      .join(hits, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_true"), 4))
+      .orderBy(col("bucket"))
   }
 
   /** D8: incremental dedup — classify an INCOMING batch against an

@@ -60,6 +60,13 @@ object PipelineQueries {
     Dedup.minhashLsh(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2, tokenHash)
       .orderBy("doc_a", "doc_b")
 
+  // D10: dedup recall gate — D3 LSH recall against the D2 exact
+  // truth set, bucketed by true Jaccard (floor(10j), integer
+  // arithmetic); one shared shingle index feeds both chains.
+  def qDedupRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecall(dupCorpus(s, dir), "doc_id", "text", 3, 1, 2, tokenHash,
+      maxDf = NgramMaxDf)
+
   // C7: near-dup split-leakage audit — the check C1's n-gram
   // contamination does for train/test, at the near-duplicate level
   // and across ALL split pairs: route the corpus through the P2 hash
@@ -110,6 +117,13 @@ object PipelineQueries {
   def qDupPassages(s: SparkSession, dir: String): DataFrame =
     Dedup.dupPassages(t(s, dir, "documents"), "doc_id", "text", 5, 2, tokenHash)
       .orderBy("doc_id")
+
+  // D7b: maximal repeated-substring distribution — the ExactSubstr
+  // report over the same corpus: cross-doc 5-gram hits merged into
+  // maximal spans, grouped by span length with doc and distinct-
+  // substring counts.
+  def qDupSubstrings(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSubstrings(t(s, dir, "documents"), "doc_id", "text", 5, 2, tokenHash)
 
   // D8: incremental dedup — ingest-time classification of a new batch
   // against the already-curated corpus (never corpus x corpus). The
@@ -1065,11 +1079,13 @@ object PipelineQueries {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_recall" -> qDedupRecall,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_split_leakage" -> qSplitLeakage,
     "q_dup_passages" -> qDupPassages,
+    "q_dup_substrings" -> qDupSubstrings,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_dedup_semantic_inc" -> qDedupSemanticInc,
@@ -1818,6 +1834,36 @@ object PipelineQueries {
     "q_dedup_minhash" ->
       s"""WITH $minhashPrCtes
          |$jaccardTail""".stripMargin,
+    // D10: the D2 capped truth chain (shd/shc/ncand/npr) and the D3
+    // LSH chain (minhashPrCtes' cand/pr) composed over the SAME
+    // shingle CTEs, then the integer Jaccard bucket + recall.
+    "q_dedup_recall" ->
+      s"""WITH $minhashPrCtes,
+         |lsh AS (SELECT p.doc_a, p.doc_b
+         |        FROM pr p JOIN sz sa ON p.doc_a = sa.doc_id
+         |        JOIN sz sb ON p.doc_b = sb.doc_id
+         |        WHERE 3 * p.shared >= sa.n + sb.n),
+         |shd AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh),
+         |shc AS (SELECT doc_id, sh FROM shd WHERE df <= $NgramMaxDf),
+         |ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |npr AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |        FROM ncand c
+         |        JOIN sh a ON a.doc_id = c.doc_a
+         |        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |        GROUP BY 1, 2),
+         |truthp AS (SELECT p.doc_a, p.doc_b, p.shared, sa.n AS n_a, sb.n AS n_b
+         |           FROM npr p JOIN sz sa ON p.doc_a = sa.doc_id
+         |           JOIN sz sb ON p.doc_b = sb.doc_id
+         |           WHERE 3 * p.shared >= sa.n + sb.n),
+         |lab AS (SELECT (10 * t.shared) // (t.n_a + t.n_b - t.shared) AS bucket,
+         |          CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+         |        FROM truthp t LEFT JOIN lsh l
+         |          ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_true,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(hit) AS BIGINT) / count(*), 4) AS recall
+         |FROM lab GROUP BY bucket ORDER BY bucket""".stripMargin,
     // C7: the D3 pair chain + the P2 split buckets, re-derived — the
     // same jaccard >= 1/2 integer tail, the same md5 split kernel.
     "q_split_leakage" -> {
@@ -1907,6 +1953,42 @@ object PipelineQueries {
          |  md5(coalesce(array_to_string(
          |    list_filter(t.toks, (x, i) -> NOT list_contains(a.cov, i)), ' '), '')) AS keep_hash
          |FROM agg a JOIN th t USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    // D7b: same covered-position derivation, then gaps-and-islands span
+    // ids, per-span content hash over the token slice, and the
+    // span-length distribution.
+    "q_dup_substrings" -> {
+      val combine5 = {
+        import graft.operators.Dedup.ShingleCoef
+        (0 until 5).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+      }
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |th AS (SELECT doc_id, toks, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |       FROM tok WHERE len(toks) >= 5),
+         |sh AS (SELECT doc_id, i AS pos, $combine5 AS sh
+         |       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 4)) AS i FROM th) x),
+         |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tp
+         |       FROM sh s JOIN dup USING (sh),
+         |            (SELECT unnest(generate_series(0, 4)) AS o) o),
+         |sp AS (SELECT doc_id, tp,
+         |         CASE WHEN lag(tp) OVER w IS NULL OR tp > lag(tp) OVER w + 1
+         |              THEN 1 ELSE 0 END AS new_span
+         |       FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY tp)),
+         |sid AS (SELECT doc_id, tp,
+         |          sum(new_span) OVER (PARTITION BY doc_id ORDER BY tp) AS span_id
+         |        FROM sp),
+         |spans AS (SELECT doc_id, span_id, min(tp) AS span_start,
+         |            count(*) AS span_len
+         |          FROM sid GROUP BY doc_id, span_id),
+         |sph AS (SELECT s.doc_id, s.span_len,
+         |          md5(array_to_string(
+         |            t.toks[s.span_start : s.span_start + s.span_len - 1], ' ')) AS span_hash
+         |        FROM spans s JOIN th t USING (doc_id))
+         |SELECT CAST(span_len AS BIGINT) AS span_len, count(*) AS n_spans,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  count(DISTINCT span_hash) AS n_substrings
+         |FROM sph GROUP BY span_len ORDER BY span_len""".stripMargin
     },
     "q_dedup_embed" ->
       s"""WITH $normCte

@@ -235,6 +235,126 @@ class DedupSpec extends SparkSuite {
     assert(out.size == 3)
   }
 
+  test("lsh recall gate: exact dups land in bucket 10 fully recalled; totals reconcile") {
+    val out = Dedup.lshRecall(docs, "doc_id", "text", 3, 1, 2).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("recall")))).toMap
+    // identical docs share every shingle -> every minhash -> every
+    // band: bucket 10 recall is deterministic 1.0
+    assert(out(10L) == ((1L, 1L, 1.0)))
+    // buckets start at the tau floor (j >= 1/2 -> floor(10j) >= 5)
+    assert(out.keys.forall(b => b >= 5L && b <= 10L))
+    // hits never exceed truth, and totals reconcile with the two chains
+    assert(out.values.forall { case (t, h, _) => h <= t })
+    val truthPairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 1, 2).count()
+    val lshPairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 1, 2).count()
+    assert(out.values.map(_._1).sum == truthPairs)
+    assert(out.values.map(_._2).sum == lshPairs,
+      "every verified LSH pair is also a truth pair (verification uses the same threshold)")
+  }
+
+  test("lsh recall gate: mid-jaccard pairs sit on the S-curve (partial recall)") {
+    // 60 disjoint pairs at EXACTLY j = 0.5: A = x1..x7 S1..S16,
+    // B = S1..S16 y1..y7 -> 21 shingles each, 14 shared,
+    // j = 14/28 = 0.5, bucket 5. Band-hit probability at j=0.5 is
+    // 1-(1-0.5^4)^4 ~ 0.23, so with 60 pairs the (deterministic,
+    // fixed-permutation) recall is strictly between 0 and 1 — the
+    // regime the gate exists to measure, unreachable from the
+    // high-jaccard dup corpus.
+    val corpus = (0 until 60).flatMap { i =>
+      val s = (1 to 16).map(k => s"s${i}_$k").mkString(" ")
+      Seq((i * 2L, (1 to 7).map(k => s"x${i}_$k").mkString(" ") + " " + s),
+        (i * 2L + 1, s + " " + (1 to 7).map(k => s"y${i}_$k").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val out = Dedup.lshRecall(corpus, "doc_id", "text", 3, 1, 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("bucket") == 5L)
+    assert(r.getAs[Long]("n_true") == 60L)
+    val hits = r.getAs[Long]("n_hit")
+    assert(hits > 0L && hits < 60L,
+      s"expected partial recall at j=0.5, got $hits/60")
+  }
+
+  test("lsh recall gate: capped truth path matches the uncapped on a cap-free corpus") {
+    // maxDf larger than any shingle's df -> identical truth set either way
+    val capped = Dedup.lshRecall(docs, "doc_id", "text", 3, 1, 2, maxDf = 100L)
+      .collect().map(_.toSeq).toSeq
+    val uncapped = Dedup.lshRecall(docs, "doc_id", "text", 3, 1, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(capped == uncapped)
+  }
+
+  test("dup substrings: one shared passage -> one distribution row, one identity") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"one two three four five six $passage seven eight nine"),
+      (2L, s"red green blue $passage yellow purple orange pink brown"),
+      (3L, "totally unrelated words with nothing repeated anywhere around here today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSubstrings(corpus, "doc_id", "text", 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // both docs carry ONE maximal 8-token span; same content -> one
+    // distinct substring identity
+    assert(r.getAs[Long]("span_len") == 8L)
+    assert(r.getAs[Long]("n_spans") == 2L)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_substrings") == 1L)
+  }
+
+  test("dup substrings: spans are MAXIMAL — a partial carrier gets the shorter span") {
+    val p = (1 to 10).map(i => s"p$i").mkString(" ") // 10-token passage
+    val prefix7 = (1 to 7).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"fillA1 fillA2 fillA3 $p tailA1 tailA2"),
+      (2L, s"fillB1 fillB2 $p tailB1 tailB2 tailB3"),
+      (3L, s"fillC1 fillC2 fillC3 fillC4 $prefix7 tailC1 tailC2"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dupSubstrings(corpus, "doc_id", "text", 5).collect()
+      .map(r => r.getAs[Long]("span_len") -> r).toMap
+    assert(rows.keySet == Set(7L, 10L))
+    // docs 1/2 hold the full 10-token passage as ONE maximal span (the
+    // overlapping 5-gram hits merge); doc 3 holds only its 7-token
+    // prefix, a distinct (shorter) substring identity
+    assert(rows(10L).getAs[Long]("n_spans") == 2L)
+    assert(rows(10L).getAs[Long]("n_docs") == 2L)
+    assert(rows(10L).getAs[Long]("n_substrings") == 1L)
+    assert(rows(7L).getAs[Long]("n_spans") == 1L)
+    assert(rows(7L).getAs[Long]("n_docs") == 1L)
+    assert(rows(7L).getAs[Long]("n_substrings") == 1L)
+  }
+
+  test("dup substrings: distribution totals reconcile with dupPassages per-doc aggregates") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"one two three four five $passage six seven eight"),
+      (2L, s"$passage red green blue yellow purple orange"),
+      (3L, "mirror copy of this exact sentence here and there"),
+      (4L, "mirror copy of this exact sentence here and there"))
+      .toDF("doc_id", "text")
+    val dist = Dedup.dupSubstrings(corpus, "doc_id", "text", 5).collect()
+    val perDoc = Dedup.dupPassages(corpus, "doc_id", "text", 5).collect()
+    val distTokens = dist.map(r =>
+      r.getAs[Long]("span_len") * r.getAs[Long]("n_spans")).sum
+    val distSpans = dist.map(_.getAs[Long]("n_spans")).sum
+    assert(distTokens == perDoc.map(_.getAs[Long]("dup_tokens")).sum)
+    assert(distSpans == perDoc.map(_.getAs[Long]("n_spans")).sum)
+  }
+
+  test("dup substrings: empty and no-overlap corpora yield no rows") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docs.schema)
+    assert(Dedup.dupSubstrings(empty, "doc_id", "text", 5).count() == 0)
+    val distinctCorpus = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "hh ii jj kk ll mm nn"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupSubstrings(distinctCorpus, "doc_id", "text", 5).count() == 0)
+  }
+
   test("dup passages: empty corpus and no-overlap corpus yield no rows") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
