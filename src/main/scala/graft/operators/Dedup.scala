@@ -480,6 +480,54 @@ object Dedup {
       .orderBy(col("span_len"))
   }
 
+  /** D7c: the ExactSubstr REMOVAL step — clean each doc by deleting
+    * only maximal repeated spans of at least `minSpanLen` tokens (Lee
+    * et al. 2022 use 50; [[dupSubstrings]]' distribution is how the
+    * threshold gets picked). [[dupPassages]] is the threshold-0
+    * special case of this; a threshold keeps short incidental
+    * overlaps (idioms, named entities) while deleting the
+    * boilerplate/quotation spans that actually hurt training.
+    *
+    * Per doc with >= 1 qualifying span: token counts before/after,
+    * span count, and `keep_hash` — the md5 of the doc with ONLY the
+    * qualifying spans removed. Same zero-pair-fanout shape and same
+    * doc-keyed single window as the rest of the family; the qualifying
+    * spans re-explode to covered positions (bounded by the doc's own
+    * length) and the kept tokens assemble via the array_except mask
+    * (O(n + dup) per doc — see [[dupPassages]]' rationale).
+    */
+  def dupCleanAtThreshold(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minSpanLen: Int, minDocs: Long = 2,
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    require(minSpanLen >= n,
+      s"minSpanLen=$minSpanLen < n=$n: no span can be shorter than one gram")
+    val (base, covered) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
+    val spans = covered
+      .withColumn("__new",
+        when(lag(col("tp"), 1).over(w).isNull ||
+          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__sid"))
+      .agg(min(col("tp")).as("__start"), count(lit(1)).as("__len"))
+      .filter(col("__len") >= minSpanLen)
+    val agg = spans
+      .select(col("doc_id"),
+        explode(sequence(col("__start"),
+          col("__start") + col("__len").cast("int") - 1)).as("tp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("removed_tokens"),
+        collect_list(col("tp")).as("__cov"))
+      .join(spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans_removed")), "doc_id")
+    agg.join(base, "doc_id")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("removed_tokens"), col("n_spans_removed"),
+        md5(concat_ws(" ", transform(
+          array_except(sequence(lit(1), size(col("toks"))), col("__cov")),
+          p => element_at(col("toks"), p)))).as("keep_hash"))
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** Universal-hash family h_i(x) = (a_i*x + b_i) mod P over 30-bit
@@ -701,8 +749,15 @@ object Dedup {
     * never reach this operator.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, maxBucket: Long = 0): DataFrame = {
-    val sims = simhashes(df, idCol, textCol)
+      maxHamming: Int, maxBucket: Long = 0): DataFrame =
+    simhashBandPairs(simhashes(df, idCol, textCol), maxHamming, maxBucket)
+
+  /** The production 3x10-bit band-join chain over a prebuilt simhash
+    * frame (see [[simhashNearDup]] for the semantics and the
+    * materialization rationale).
+    */
+  private def simhashBandPairs(sims: DataFrame, maxHamming: Int,
+      maxBucket: Long): DataFrame = {
     val bandStructs = (0 until 3).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), 10 * j).bitwiseAND(lit(1023L)).as("bv"))
@@ -716,7 +771,7 @@ object Dedup {
     // rows, so the shingle+simhash pipeline (and the bucket-width
     // window when capped) would run twice (measured 2.5 -> 1.4 s
     // median at sf0.1)
-    val bands = Materializer.of(df.sparkSession)(
+    val bands = Materializer.of(sims.sparkSession)(
       if (maxBucket <= 0) all
       else all
         .withColumn("__w",
@@ -729,6 +784,42 @@ object Dedup {
         expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** D4b: SimHash recall gate — the D10 measurement applied to the
+    * production simhash banding: how much of the EXACT Hamming-<=
+    * `maxHamming` pair set does the 3x10-bit band join (with its
+    * hot-bucket guard) recover, per Hamming distance?
+    *
+    * The truth arm is [[bandedHammingPairs]] at 5 bands of 6 bits —
+    * pigeonhole-EXACT for maxHamming <= 4 (5 bands > 4 errors leaves
+    * one band identical), so ground truth costs a band join, never an
+    * all-pairs scan. The production arm is [[simhashBandPairs]]'s 3
+    * bands: pigeonhole only guarantees Hamming <= 2 there, so by
+    * construction recall(0) = recall(1) = recall(2) = 1 modulo
+    * bucket-guard drops, and the Hamming-3 row measures the 1+1+1
+    * error split the 3-band config structurally misses plus the
+    * guard's cost — the number that decides whether a deployment
+    * needs the 4th band. Both arms read ONE materialized simhash
+    * frame.
+    */
+  def simhashRecall(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Long = 0): DataFrame = {
+    require(maxHamming <= 4,
+      s"maxHamming=$maxHamming: the 5x6-bit truth arm is exact only to 4")
+    val sims = Materializer.of(df.sparkSession)(
+      simhashes(df, idCol, textCol))
+    val truth = bandedHammingPairs(sims, "doc_id", "simhash",
+      totalBits = 30, nBands = 5, maxHamming = maxHamming)
+    val found = simhashBandPairs(sims, maxHamming, maxBucket)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
+    truth
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_true"), 4))
+      .orderBy(col("hamming"))
   }
 
   /** Banded Hamming near-dup over ANY precomputed integer fingerprint

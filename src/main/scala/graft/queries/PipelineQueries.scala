@@ -99,6 +99,13 @@ object PipelineQueries {
         maxBucket = SimhashMaxBucket)
       .orderBy("doc_a", "doc_b")
 
+  // D4b: simhash recall gate — the production 3x10-bit banding (with
+  // its hot-bucket guard) measured against the pigeonhole-exact 5x6
+  // truth arm, per Hamming distance.
+  def qSimhashRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashRecall(dupCorpus(s, dir), "doc_id", "text",
+      maxHamming = 3, maxBucket = SimhashMaxBucket)
+
   // D6: near-dup cluster resolution — connected components over the
   // MinHash+LSH pair graph; every doc labeled with its cluster's
   // minimum doc id (singletons label themselves).
@@ -124,6 +131,14 @@ object PipelineQueries {
   // substring counts.
   def qDupSubstrings(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSubstrings(t(s, dir, "documents"), "doc_id", "text", 5, 2, tokenHash)
+
+  // D7c: the ExactSubstr removal step at threshold 8 — delete only
+  // maximal repeated spans of >= 8 tokens (short incidental overlaps
+  // survive), report the cleaned-content hash per affected doc.
+  def qDupClean(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupCleanAtThreshold(t(s, dir, "documents"), "doc_id", "text", 5,
+        minSpanLen = 8, 2, tokenHash)
+      .orderBy("doc_id")
 
   // D8: incremental dedup — ingest-time classification of a new batch
   // against the already-curated corpus (never corpus x corpus). The
@@ -1083,6 +1098,8 @@ object PipelineQueries {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_simhash_recall" -> qSimhashRecall,
+    "q_dup_clean" -> qDupClean,
     "q_split_leakage" -> qSplitLeakage,
     "q_dup_passages" -> qDupPassages,
     "q_dup_substrings" -> qDupSubstrings,
@@ -1834,6 +1851,48 @@ object PipelineQueries {
     "q_dedup_minhash" ->
       s"""WITH $minhashPrCtes
          |$jaccardTail""".stripMargin,
+    // D4b: the D4 sims chain, a 5x6-bit pigeonhole-exact truth band
+    // join (no cap), the production 3x10 capped band join, and the
+    // per-Hamming recall.
+    "q_simhash_recall" -> {
+      val bitSums = (0 until 30).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+        .mkString(",\n       ")
+      val simExpr = (0 until 30).map(j =>
+        s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $shingleCtes,
+         |hb AS (SELECT doc_id, sh % 1073741824 AS h FROM sh),
+         |bits AS (SELECT doc_id,
+         |       $bitSums
+         |  FROM hb GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $simExpr AS simhash FROM bits),
+         |tb AS (SELECT doc_id, simhash, band,
+         |       (simhash >> (6 * band)) & 63 AS bv
+         |  FROM sims, (SELECT unnest(generate_series(0, 4)) AS band) b),
+         |tr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |  FROM tb x JOIN tb y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |  ,
+         |fb AS (SELECT doc_id, simhash, band,
+         |       (simhash >> (10 * band)) & 1023 AS bv
+         |  FROM sims, (SELECT unnest(generate_series(0, 2)) AS band) b),
+         |fbg AS (SELECT doc_id, band, bv FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bv) AS w FROM fb)
+         |  WHERE w <= $SimhashMaxBucket),
+         |fp AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM fbg x JOIN fbg y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |lab AS (SELECT t.hamming,
+         |          CASE WHEN f.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+         |        FROM tr t LEFT JOIN fp f
+         |          ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+         |        WHERE t.hamming <= 3)
+         |SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS n_true,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(hit) AS BIGINT) / count(*), 4) AS recall
+         |FROM lab GROUP BY hamming ORDER BY hamming""".stripMargin
+    },
     // D10: the D2 capped truth chain (shd/shc/ncand/npr) and the D3
     // LSH chain (minhashPrCtes' cand/pr) composed over the SAME
     // shingle CTEs, then the integer Jaccard bucket + recall.
@@ -1953,6 +2012,46 @@ object PipelineQueries {
          |  md5(coalesce(array_to_string(
          |    list_filter(t.toks, (x, i) -> NOT list_contains(a.cov, i)), ' '), '')) AS keep_hash
          |FROM agg a JOIN th t USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    // D7c: the D7 chain + span ids, qualifying spans >= 8 tokens only,
+    // their covered positions, and the cleaned-content hash.
+    "q_dup_clean" -> {
+      val combine5 = {
+        import graft.operators.Dedup.ShingleCoef
+        (0 until 5).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+      }
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |th AS (SELECT doc_id, toks, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |       FROM tok WHERE len(toks) >= 5),
+         |sh AS (SELECT doc_id, i AS pos, $combine5 AS sh
+         |       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 4)) AS i FROM th) x),
+         |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tp
+         |       FROM sh s JOIN dup USING (sh),
+         |            (SELECT unnest(generate_series(0, 4)) AS o) o),
+         |sp AS (SELECT doc_id, tp,
+         |         CASE WHEN lag(tp) OVER w IS NULL OR tp > lag(tp) OVER w + 1
+         |              THEN 1 ELSE 0 END AS new_span
+         |       FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY tp)),
+         |sid AS (SELECT doc_id, tp,
+         |          sum(new_span) OVER (PARTITION BY doc_id ORDER BY tp) AS span_id
+         |        FROM sp),
+         |spans AS (SELECT doc_id, span_id, min(tp) AS span_start,
+         |            count(*) AS span_len
+         |          FROM sid GROUP BY doc_id, span_id),
+         |qual AS (SELECT * FROM spans WHERE span_len >= 8),
+         |cov AS (SELECT doc_id,
+         |          unnest(generate_series(span_start, span_start + span_len - 1)) AS tp
+         |        FROM qual),
+         |agg AS (SELECT doc_id, count(*) AS removed_tokens, list(tp) AS cov
+         |        FROM cov GROUP BY doc_id),
+         |nsp AS (SELECT doc_id, count(*) AS n_spans_removed FROM qual GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  a.removed_tokens, n.n_spans_removed,
+         |  md5(coalesce(array_to_string(
+         |    list_filter(t.toks, (x, i) -> NOT list_contains(a.cov, i)), ' '), '')) AS keep_hash
+         |FROM agg a JOIN nsp n USING (doc_id) JOIN th t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     // D7b: same covered-position derivation, then gaps-and-islands span
     // ids, per-span content hash over the token slice, and the

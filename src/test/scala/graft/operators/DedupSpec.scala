@@ -286,6 +286,75 @@ class DedupSpec extends SparkSuite {
     assert(capped == uncapped)
   }
 
+  test("simhash recall gate: 3-band recall is total at Hamming <= 2 by pigeonhole") {
+    // near-identical docs (one token changed) produce low-Hamming
+    // simhash pairs; with 3 bands and <= 2 differing bits at least one
+    // 10-bit band is untouched, so those rows MUST read recall 1.0
+    val corpus = (0 until 30).flatMap { i =>
+      val base = (1 to 25).map(k => s"w${i}_$k")
+      Seq((i * 2L, base.mkString(" ")),
+        (i * 2L + 1, base.updated(12, s"CHANGED_$i").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val out = Dedup.simhashRecall(corpus, "doc_id", "text").collect()
+    out.filter(_.getAs[Long]("hamming") <= 2).foreach { r =>
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"hamming=${r.getAs[Long]("hamming")} must be fully recalled by 3 bands")
+    }
+    // identical-pair sanity: hamming 0 present with full recall
+    val h0 = out.find(_.getAs[Long]("hamming") == 0L)
+    assert(h0.isEmpty || h0.get.getAs[Double]("recall") == 1.0)
+    assert(out.forall(r => r.getAs[Long]("n_hit") <= r.getAs[Long]("n_true")))
+  }
+
+  test("simhash recall gate truth arm equals the exact pair set of the banded operator") {
+    // the 5x6 truth arm is pigeonhole-exact: its pair count per
+    // hamming must equal the unguarded 3-band operator's UNION with
+    // anything it misses — cross-check totals against
+    // bandedHammingPairs at 5 bands directly
+    val corpus = docs
+    val viaGate = Dedup.simhashRecall(corpus, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.sum("n_true")).head.getLong(0)
+    val sims = Dedup.simhashes(corpus, "doc_id", "text")
+    val direct = Dedup.bandedHammingPairs(sims, "doc_id", "simhash",
+      30, 5, 3).count()
+    assert(viaGate == direct)
+  }
+
+  test("dup clean at threshold: only spans >= L removed; threshold-n equals dupPassages") {
+    val longPassage = (1 to 10).map(i => s"L$i").mkString(" ") // 10 tokens
+    val shortPassage = "s1 s2 s3 s4 s5" // exactly one 5-gram
+    val corpus = Seq(
+      (1L, s"a1 a2 $longPassage a3 $shortPassage a4"),
+      (2L, s"b1 $longPassage b2 b3 $shortPassage b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16"))
+      .toDF("doc_id", "text")
+    // L=8: the 10-token passage goes, the 5-token one stays
+    val out = Dedup.dupCleanAtThreshold(corpus, "doc_id", "text", 5, 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).getAs[Long]("removed_tokens") == 10L)
+    assert(out(1L).getAs[Long]("n_spans_removed") == 1L)
+    val expected1 = corpus.sparkSession.range(1)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lit(
+          s"a1 a2 a3 $shortPassage a4")).as("h")).head.getString(0)
+    assert(out(1L).getAs[String]("keep_hash") == expected1)
+    // L=n (minimum legal threshold): every dup span qualifies, so the
+    // cleaned hashes must equal dupPassages' keep_hash exactly
+    val atN = Dedup.dupCleanAtThreshold(corpus, "doc_id", "text", 5, 5)
+      .select("doc_id", "keep_hash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val d7 = Dedup.dupPassages(corpus, "doc_id", "text", 5)
+      .select("doc_id", "keep_hash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(atN == d7)
+  }
+
+  test("dup clean: threshold below n is rejected") {
+    intercept[IllegalArgumentException](
+      Dedup.dupCleanAtThreshold(docs, "doc_id", "text", 5, 4))
+  }
+
   test("dup substrings: one shared passage -> one distribution row, one identity") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta"
     val corpus = Seq(

@@ -36,6 +36,12 @@ class PlanAuditSpec extends SparkSuite {
   private val smjAllowlist = Set(
     "q2_min_cost", "q_contamination", "q_dedup_incremental",
     "q_dedup_ngram", "q_mad_anomaly_rs", "q_snapshot_diff",
+    // the r13 recall gates COMPOSE the allowlisted corpus x corpus
+    // chains (D10 = the ngram posting self-join + the LSH band join;
+    // D4b = two simhash band self-joins) and add a truth x found pair
+    // join whose sides are both data-sized pair sets — same class,
+    // same rationale, documented in SURVEY §24 and PLANS_r13
+    "q_dedup_recall", "q_simhash_recall",
     // ER's left x right posting join on the shingle hash — the same
     // data-sized x data-sized class as q_dedup_ngram's self-join;
     // neither side is broadcastable at corpus scale by construction
