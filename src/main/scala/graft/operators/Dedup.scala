@@ -502,6 +502,16 @@ object Dedup {
     require(minSpanLen >= n,
       s"minSpanLen=$minSpanLen < n=$n: no span can be shorter than one gram")
     val (base, covered) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
+    cleanCoveredAtThreshold(base, covered, minSpanLen)
+  }
+
+  /** Shared removal tail of [[dupCleanAtThreshold]] /
+    * [[scrubContamination]]: merge covered positions into maximal
+    * spans, keep spans >= `minSpanLen`, and emit per affected doc
+    * (n_tokens, removed_tokens, n_spans_removed, keep_hash).
+    */
+  private def cleanCoveredAtThreshold(base: DataFrame, covered: DataFrame,
+      minSpanLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
     val spans = covered
       .withColumn("__new",
@@ -526,6 +536,52 @@ object Dedup {
         md5(concat_ws(" ", transform(
           array_except(sequence(lit(1), size(col("toks"))), col("__cov")),
           p => element_at(col("toks"), p)))).as("keep_hash"))
+  }
+
+  /** C8: decontamination SCRUBBING — the removal counterpart of the C1
+    * contamination AUDIT: delete from each training document every
+    * maximal span (>= `minSpanLen` tokens) whose `n`-grams appear
+    * anywhere in the evaluation corpus, instead of dropping or merely
+    * flagging the document. This is the "scrub eval overlaps out of
+    * the training set" pass run before every serious pretraining job
+    * (the GPT-3 appendix's 13-gram removal is this operator at n=13);
+    * span-level removal preserves the rest of a long document that a
+    * doc-level drop would waste.
+    *
+    * Shape: the [[dupPassages]] machinery with the df-count replaced
+    * by a semi-join against the eval corpus's DISTINCT gram set — the
+    * eval set is tiny next to the training corpus, so the semi-join
+    * shuffles on the gram hash with the eval side far below the
+    * training side (broadcastable when the eval corpus is small
+    * enough; Spark decides from stats). Still zero pair fanout, one
+    * doc-keyed window, array_except assembly.
+    */
+  def scrubContamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int, minSpanLen: Int,
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    require(minSpanLen >= n,
+      s"minSpanLen=$minSpanLen < n=$n: no span can be shorter than one gram")
+    require(n <= ShingleCoef.length, s"n=$n exceeds ${ShingleCoef.length}")
+    val combine = (0 until n)
+      .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
+      .mkString(" + ")
+    val mat = Materializer.of(train.sparkSession)
+    val base = mat(train
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .withColumn("th", transform(col("toks"), t => tokenHash(t))))
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(th) - $n), i -> $combine)"))
+          .as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
+    val evalSh = shingleSets(eval, idCol, textCol, n, tokenHash)
+      .select("sh").distinct()
+    val covered = grams.join(evalSh, Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    cleanCoveredAtThreshold(base, covered, minSpanLen)
   }
 
   // ------------------------------------------------------------ MinHash

@@ -140,6 +140,18 @@ object PipelineQueries {
         minSpanLen = 8, 2, tokenHash)
       .orderBy("doc_id")
 
+  // C8: decontamination scrubbing — remove spans (>= 8 tokens at
+  // 5-grams) overlapping the eval split from every training doc; the
+  // split is synthesized deterministically (doc_id % 10 == 7 -> eval).
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.scrubContamination(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", 5, minSpanLen = 8, tokenHash)
+      .orderBy("doc_id")
+  }
+
   // D8: incremental dedup — ingest-time classification of a new batch
   // against the already-curated corpus (never corpus x corpus). The
   // incoming batch is synthesized from the corpus: exact copies
@@ -1100,6 +1112,7 @@ object PipelineQueries {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_recall" -> qSimhashRecall,
     "q_dup_clean" -> qDupClean,
+    "q_decontaminate" -> qDecontaminate,
     "q_split_leakage" -> qSplitLeakage,
     "q_dup_passages" -> qDupPassages,
     "q_dup_substrings" -> qDupSubstrings,
@@ -2028,6 +2041,49 @@ object PipelineQueries {
          |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
          |dp AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tp
          |       FROM sh s JOIN dup USING (sh),
+         |            (SELECT unnest(generate_series(0, 4)) AS o) o),
+         |sp AS (SELECT doc_id, tp,
+         |         CASE WHEN lag(tp) OVER w IS NULL OR tp > lag(tp) OVER w + 1
+         |              THEN 1 ELSE 0 END AS new_span
+         |       FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY tp)),
+         |sid AS (SELECT doc_id, tp,
+         |          sum(new_span) OVER (PARTITION BY doc_id ORDER BY tp) AS span_id
+         |        FROM sp),
+         |spans AS (SELECT doc_id, span_id, min(tp) AS span_start,
+         |            count(*) AS span_len
+         |          FROM sid GROUP BY doc_id, span_id),
+         |qual AS (SELECT * FROM spans WHERE span_len >= 8),
+         |cov AS (SELECT doc_id,
+         |          unnest(generate_series(span_start, span_start + span_len - 1)) AS tp
+         |        FROM qual),
+         |agg AS (SELECT doc_id, count(*) AS removed_tokens, list(tp) AS cov
+         |        FROM cov GROUP BY doc_id),
+         |nsp AS (SELECT doc_id, count(*) AS n_spans_removed FROM qual GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  a.removed_tokens, n.n_spans_removed,
+         |  md5(coalesce(array_to_string(
+         |    list_filter(t.toks, (x, i) -> NOT list_contains(a.cov, i)), ' '), '')) AS keep_hash
+         |FROM agg a JOIN nsp n USING (doc_id) JOIN th t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // C8: train grams semi-joined against the eval split's distinct
+    // gram set, then the same qualifying-span removal tail as D7c.
+    "q_decontaminate" -> {
+      val combine5 = {
+        import graft.operators.Dedup.ShingleCoef
+        (0 until 5).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+      }
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |th AS (SELECT doc_id, toks, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |       FROM tok WHERE len(toks) >= 5),
+         |sh AS (SELECT doc_id, i AS pos, $combine5 AS sh
+         |       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 4)) AS i
+         |             FROM th WHERE doc_id % 10 <> 7) x),
+         |esh AS (SELECT DISTINCT $combine5 AS sh
+         |        FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 4)) AS i
+         |              FROM th WHERE doc_id % 10 = 7) x),
+         |dp AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tp
+         |       FROM sh s JOIN esh USING (sh),
          |            (SELECT unnest(generate_series(0, 4)) AS o) o),
          |sp AS (SELECT doc_id, tp,
          |         CASE WHEN lag(tp) OVER w IS NULL OR tp > lag(tp) OVER w + 1

@@ -350,6 +350,42 @@ class DedupSpec extends SparkSuite {
     assert(atN == d7)
   }
 
+  test("decontamination scrub: eval-overlapping long spans go, short overlaps and clean docs stay") {
+    val evalPassage = (1 to 10).map(i => s"E$i").mkString(" ")
+    val shortShared = "F1 F2 F3 F4 F5"
+    val train = Seq(
+      (1L, s"t1 t2 $evalPassage t3 $shortShared t4"), // long span scrubbed, short kept
+      (2L, "clean document with entirely original content never seen in eval data"),
+      (3L, s"u1 u2 u3 $shortShared u4 u5 u6 u7 u8")) // only the short overlap -> untouched
+      .toDF("doc_id", "text")
+    val evalc = Seq(
+      (100L, s"e1 $evalPassage e2 e3 e4"),
+      (101L, s"e5 e6 $shortShared e7 e8 e9"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubContamination(train, evalc, "doc_id", "text", 5, 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // only doc 1 carries a qualifying (>= 8 token) eval span
+    assert(out.keySet == Set(1L))
+    assert(out(1L).getAs[Long]("removed_tokens") == 10L)
+    assert(out(1L).getAs[Long]("n_spans_removed") == 1L)
+    val expected = train.sparkSession.range(1)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lit(
+          s"t1 t2 t3 $shortShared t4")).as("h")).head.getString(0)
+    assert(out(1L).getAs[String]("keep_hash") == expected)
+  }
+
+  test("decontamination scrub: repeats WITHIN train never trigger removal") {
+    // two train docs share a long passage absent from eval — the
+    // dedup operators' concern, not decontamination's; output empty
+    val p = (1 to 12).map(i => s"P$i").mkString(" ")
+    val train = Seq((1L, s"a1 $p a2"), (2L, s"b1 b2 $p b3")).toDF("doc_id", "text")
+    val evalc = Seq((100L, "entirely unrelated evaluation content here right now today"))
+      .toDF("doc_id", "text")
+    assert(Dedup.scrubContamination(train, evalc, "doc_id", "text", 5, 8)
+      .count() == 0)
+  }
+
   test("dup clean: threshold below n is rejected") {
     intercept[IllegalArgumentException](
       Dedup.dupCleanAtThreshold(docs, "doc_id", "text", 5, 4))
