@@ -342,6 +342,42 @@ object Dedup {
       s"clusters requires an integral id column, got $idCol: $idType")
   }
 
+  /** D11: canonical-survivor selection — the keep/drop decision a
+    * curation pipeline makes AFTER cluster resolution: within each
+    * near-dup cluster keep exactly one member and mark the rest for
+    * removal. The keep rule is quality-greedy: highest `qualityCol`
+    * wins (character length is the standard proxy when no learned
+    * score exists — longer near-dups usually carry the superset
+    * content), ties broken to the SMALLEST doc id so reruns are
+    * deterministic and the survivor set is stable under re-ingest of
+    * the same corpus.
+    *
+    * Emits one row per doc: (doc_id, cluster_id, cluster_size,
+    * keep_id, is_kept) — the full audit trail, not just the survivor
+    * list, so downstream joins can explain every drop.
+    *
+    * Scale shape: [[clusters]]' star contraction plus ONE extra
+    * cluster-keyed aggregation. The argmax is `max_by` over a
+    * (quality, -id) struct — a map-side-combinable agg, no window
+    * sort; the size+winner come out of the same shuffle, and the
+    * audit join back to members is on the cluster key the agg just
+    * produced. Nothing here is pairwise.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, qualityCol: Column,
+      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val labels = clusters(df, idCol, pairs, maxIters)
+    val members = labels.join(
+      df.select(col(idCol).as("doc_id"), qualityCol.cast("long").as("__q")),
+      "doc_id")
+    val winners = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        expr("max_by(doc_id, struct(__q, -doc_id))").as("keep_id"))
+    members.join(winners, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("keep_id"),
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("is_kept"))
+  }
+
   /** D7: duplicated-passage detection — the token-span analogue of
     * suffix-array substring dedup (the "dedup repeated passages, not
     * whole documents" pass large-scale training pipelines run after

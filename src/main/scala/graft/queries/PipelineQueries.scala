@@ -116,6 +116,18 @@ object PipelineQueries {
     Dedup.clusters(corpus, "doc_id", pairs).orderBy("doc_id")
   }
 
+  // D11: canonical-survivor selection — D6's clusters resolved to a
+  // keep/drop decision per doc: longest text wins its cluster, ties to
+  // the smallest doc_id (the dup corpus makes every cluster an exact
+  // tie, so the rule's deterministic arm is what gets verified).
+  def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 1, 2, tokenHash)
+      .select("doc_a", "doc_b")
+    Dedup.keepCanonical(corpus, "doc_id", length(col("text")), pairs)
+      .orderBy("doc_id")
+  }
+
   // D7: duplicated-passage detection over the raw corpus — 5-gram
   // spans occurring in >= 2 docs, merged and reported per doc with the
   // cleaned-content hash. Runs on the UN-duplicated corpus: the
@@ -1108,6 +1120,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_recall" -> qDedupRecall,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_keep" -> qDedupKeep,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_recall" -> qSimhashRecall,
@@ -1972,6 +1985,34 @@ object PipelineQueries {
          |  SELECT e.v, r.m FROM edges e JOIN reach r ON r.v = e.u)
          |SELECT v AS doc_id, min(m) AS cluster_id
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // D11: the D6 recursive-CTE cluster labels joined with the length
+    // quality proxy; winner per cluster = (q DESC, doc_id ASC) first.
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $minhashPrCtes,
+         |jp AS (SELECT p.doc_a, p.doc_b
+         |       FROM pr p JOIN sz sa ON p.doc_a = sa.doc_id
+         |       JOIN sz sb ON p.doc_b = sb.doc_id
+         |       WHERE 3 * p.shared >= sa.n + sb.n),
+         |edges AS (SELECT doc_a AS v, doc_b AS u FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(v, m) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.v, r.m FROM edges e JOIN reach r ON r.v = e.u),
+         |lab AS (SELECT v AS doc_id, min(m) AS cluster_id
+         |        FROM reach GROUP BY v),
+         |mem AS (SELECT l.doc_id, l.cluster_id, length(c.text) AS q
+         |        FROM lab l JOIN corpus c USING (doc_id)),
+         |r AS (SELECT doc_id, cluster_id, q,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY q DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |      FROM mem),
+         |k AS (SELECT cluster_id, doc_id AS keep_id FROM r WHERE rn = 1)
+         |SELECT r.doc_id, r.cluster_id, r.cluster_size, k.keep_id,
+         |  CAST(CASE WHEN r.doc_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_kept
+         |FROM r JOIN k USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> {
       val bitSums = (0 until 30).map(j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")

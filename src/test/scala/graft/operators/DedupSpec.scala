@@ -386,6 +386,32 @@ class DedupSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("keepCanonical: longest wins its cluster, exact ties to smallest id, singletons keep themselves") {
+    val corpus = Seq(
+      (1L, "short doc"), (2L, "the longer document wins"), // cluster {1,2,3}
+      (3L, "middling length"),
+      (10L, "same text"), (11L, "same text"), // cluster {10,11}: tie -> 10
+      (20L, "a singleton"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepCanonical(corpus, "doc_id",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")), pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Long]("keep_id"), r.getAs[Long]("is_kept"))).toMap
+    assert(out.size == 6)
+    assert(out(1L) == (1L, 3L, 2L, 0L))
+    assert(out(2L) == (1L, 3L, 2L, 1L))
+    assert(out(3L) == (1L, 3L, 2L, 0L))
+    assert(out(10L) == (10L, 2L, 10L, 1L))
+    assert(out(11L) == (10L, 2L, 10L, 0L))
+    assert(out(20L) == (20L, 1L, 20L, 1L))
+    // exactly one survivor per cluster
+    assert(out.values.groupBy(_._1).values
+      .forall(c => c.count(_._4 == 1L) == 1))
+  }
+
   test("dup clean: threshold below n is rejected") {
     intercept[IllegalArgumentException](
       Dedup.dupCleanAtThreshold(docs, "doc_id", "text", 5, 4))
