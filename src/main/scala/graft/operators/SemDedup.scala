@@ -96,4 +96,53 @@ object SemDedup {
         coalesce(col("n_sim"), lit(0L)).as("n_sim"),
         round(col("__mx"), 6).as("max_cos"))
   }
+
+  /** C9: SEMANTIC decontamination — the [[Dedup.scrubContamination]]
+    * question asked in embedding space: flag every TRAINING vector
+    * whose cosine to ANY evaluation vector reaches `tau` (the
+    * paraphrased / lightly-reworded eval item an n-gram scrub cannot
+    * see). One row per train vector: status contaminated | clean,
+    * match_id = smallest similar eval id, n_sim, max_cos.
+    *
+    * Shape: the blocking structure is built on the EVAL side — the
+    * small side by construction (eval suites are thousands of rows
+    * against a 100 TB train corpus), so its deterministic IVF cells
+    * and centroid array are config-sized and the cell table is
+    * BROADCAST. Train vectors route onto those cells with
+    * `nprobe`-cell probing (a zero-shuffle row-local map over the
+    * centroid literals; nprobe > 1 buys back the boundary recall a
+    * single-cell assignment loses), so the whole operator is one
+    * broadcast join + one train-keyed aggregation — never
+    * train x train, and no shuffle of the train corpus at all.
+    * Each eval vector lives in exactly one cell, so a (train, eval)
+    * pair appears at most once even under multi-probe.
+    */
+  def scrubSemantic(train: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, tau: Double, nprobe: Int = 2): DataFrame = {
+    val mat = Materializer.of(train.sparkSession)
+    val index = IvfIndex.buildDeterministic(eval, idCol, vecCol, nlist)
+    val np = math.min(nprobe, index.centroids.length)
+    val evalCells = mat(index.cells)
+    val tr = Similarity.withNorm(train, idCol, vecCol)
+      .withColumn("cell",
+        explode(IvfIndex.probeCells(col("v"), col("nrm2"),
+          index.centroids, np)))
+    val cos = Similarity.cosine(Similarity.dotD(col("a.v"), col("b.v")),
+      col("a.nrm2"), col("b.nrm2"))
+    val sims = tr.as("a")
+      .join(broadcast(evalCells.as("b")), col("a.cell") === col("b.cell"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= tau)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("match_id"),
+        count(lit(1)).as("n_sim"), max(col("cos")).as("__mx"))
+    train.select(col(idCol).as("vec_id"))
+      .join(sims, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("match_id").isNull, lit("clean"))
+          .otherwise(lit("contaminated")).as("status"),
+        col("match_id"),
+        coalesce(col("n_sim"), lit(0L)).as("n_sim"),
+        round(col("__mx"), 6).as("max_cos"))
+  }
 }

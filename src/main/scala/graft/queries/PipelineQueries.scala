@@ -219,6 +219,18 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  // C9: semantic decontamination — train vectors (vec_id % 10 != 7)
+  // flagged when any eval vector (vec_id % 10 == 7) is within
+  // cosine >= 0.3; eval-side IVF cells (nlist=8) + 2-probe routing.
+  def qDecontaminateSem(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SemDedup.scrubSemantic(
+        e.filter(col("vec_id") % 10 =!= 7),
+        e.filter(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", nlist = 8, tau = 0.3, nprobe = 2)
+      .orderBy("vec_id")
+  }
+
   // P14: DSIR-style importance selection — hashed unigram+bigram
   // log-likelihood ratio of a 4-source target slice against the raw
   // corpus, 256 buckets, top 25% selected. The integer-micro ladder
@@ -1132,6 +1144,7 @@ object PipelineQueries {
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_dedup_semantic_inc" -> qDedupSemanticInc,
+    "q_decontaminate_sem" -> qDecontaminateSem,
     "q_dsir_select" -> qDsirSelect,
     "q_kmeans" -> qKmeans,
     "q_ann_rrf" -> qAnnRrf,
@@ -2243,6 +2256,45 @@ object PipelineQueries {
          |  match_id, CAST(coalesce(n_sim, 0) AS BIGINT) AS n_sim,
          |  round(mx, 6) AS max_cos
          |FROM icells i LEFT JOIN agg USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+    // C9: eval-side IVF cells (lowest-id seeds over the eval subset),
+    // train routed to its 2 nearest cells, train x eval cell-mate
+    // cosine — the whole scrubSemantic chain re-derived in SQL.
+    "q_decontaminate_sem" ->
+      s"""WITH $normCte,
+         |ev AS (SELECT vec_id, v, nrm2 FROM n WHERE vec_id % 10 = 7),
+         |tr AS (SELECT vec_id, v, nrm2 FROM n WHERE vec_id % 10 <> 7),
+         |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         v AS cv, nrm2 AS cn
+         |       FROM (SELECT vec_id, v, nrm2 FROM ev ORDER BY vec_id LIMIT 8)),
+         |ead AS (SELECT ev.vec_id, cc.cell,
+         |          ev.nrm2 - 2.0 * list_dot_product(ev.v, cc.cv) + cc.cn AS d
+         |        FROM ev, cc),
+         |easg AS (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d, cell) AS rn FROM ead)
+         |  WHERE rn = 1),
+         |ecells AS (SELECT ev.vec_id, a.cell, ev.v, ev.nrm2
+         |           FROM ev JOIN easg a USING (vec_id)),
+         |tp AS (SELECT vec_id, v, nrm2, cell FROM (
+         |    SELECT tr.vec_id, tr.v, tr.nrm2, cc.cell,
+         |      row_number() OVER (PARTITION BY tr.vec_id
+         |        ORDER BY tr.nrm2 - 2.0 * list_dot_product(tr.v, cc.cv) + cc.cn,
+         |          cc.cell) AS pr
+         |    FROM tr, cc)
+         |  WHERE pr <= 2),
+         |pr AS (SELECT a.vec_id, b.vec_id AS eid,
+         |         list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2) AS cos
+         |       FROM tp a JOIN ecells b USING (cell)),
+         |agg AS (SELECT vec_id, min(eid) AS match_id, count(*) AS n_sim,
+         |          max(cos) AS mx
+         |        FROM pr WHERE cos >= 0.3 GROUP BY 1)
+         |SELECT t.vec_id,
+         |  CASE WHEN match_id IS NULL THEN 'clean' ELSE 'contaminated' END
+         |    AS status,
+         |  match_id, CAST(coalesce(n_sim, 0) AS BIGINT) AS n_sim,
+         |  round(mx, 6) AS max_cos
+         |FROM tr t LEFT JOIN agg USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
     // E4: the whole fixed-point Lloyd fit unrolled (see
     // kmeansOracleSql) — quantization, seeding, 3 assign/update

@@ -86,6 +86,58 @@ class SemDedupSpec extends SparkSuite {
     assert(out(101L).getAs[Long]("n_sim") == 0L)
   }
 
+  test("scrubSemantic: eval-similar train vectors flag, clean ones don't, eval never pairs itself") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // copy of eval 100
+      (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),  // near eval 100
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))   // orthogonal to all eval
+      .toDF("vec_id", "embedding")
+    val evalc = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), // near eval 100? no — but near NOTHING in train
+      (102L, Seq(0.0f, 0.98f, 0.05f, 0.0f))) // near eval 101, NOT near train
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.scrubSemantic(train, evalc, "vec_id", "embedding",
+        nlist = 2, tau = 0.9, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size == 3, "one verdict row per TRAIN vector only")
+    assert(out(1L).getAs[String]("status") == "contaminated")
+    assert(out(1L).getAs[Long]("match_id") == 100L)
+    assert(out(1L).getAs[Double]("max_cos") == 1.0)
+    assert(out(2L).getAs[String]("status") == "contaminated")
+    assert(out(2L).getAs[Long]("match_id") == 100L)
+    // eval 101~102 are mutually similar but that must NOT surface:
+    // only train x eval pairs exist, so doc 3 stays clean
+    assert(out(3L).getAs[String]("status") == "clean")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("match_id")))
+    assert(out(3L).getAs[Long]("n_sim") == 0L)
+  }
+
+  test("scrubSemantic: nprobe=2 catches a boundary vector its single cell would miss") {
+    // eval seeds at e1/e2 define two cells; the contaminating eval
+    // vector 102 sits in cell 0 (nearer e1), while the train probe 1
+    // is nearer e2's centroid — single-cell routing would pair it
+    // only with cell-1 members and miss 102.
+    val evalc = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (102L, Seq(0.8f, 0.6f, 0.0f, 0.0f))) // cell 0 (cos .8 to e1 > .6 to e2)
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(0.65f, 0.76f, 0.0f, 0.0f))) // nearest cell 1, cos to 102=.976
+      .toDF("vec_id", "embedding")
+    val two = SemDedup.scrubSemantic(train, evalc, "vec_id", "embedding",
+        nlist = 2, tau = 0.95, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(two(1L).getAs[String]("status") == "contaminated")
+    assert(two(1L).getAs[Long]("match_id") == 102L)
+    val one = SemDedup.scrubSemantic(train, evalc, "vec_id", "embedding",
+        nlist = 2, tau = 0.95, nprobe = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(one(1L).getAs[String]("status") == "clean",
+      "single-cell routing misses the cross-boundary eval match")
+  }
+
   test("verdict is invariant under input partitioning") {
     val base = (1L to 40L).map(i =>
       (i, Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat, 1.0f)))
