@@ -443,14 +443,16 @@ object Dedup {
     * df-cap is needed for safety — `minDocs` only tunes sensitivity.
     */
   private def coveredPositions(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Long, tokenHash: Column => Column): (DataFrame, DataFrame) = {
+      n: Int, minDocs: Long, tokenHash: Column => Column,
+      extraCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     require(n <= ShingleCoef.length, s"n=$n exceeds ${ShingleCoef.length}")
     val combine = (0 until n)
       .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
       .mkString(" + ")
     val mat = Materializer.of(df.sparkSession)
     val base = mat(df
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("doc_id") +: tokens(col(textCol)).as("toks") +:
+        extraCols.map(col): _*)
       .filter(size(col("toks")) >= n)
       .withColumn("th", transform(col("toks"), t => tokenHash(t))))
     // positions are 1-based (pos p covers tokens [p, p+n-1]); grams
@@ -514,6 +516,45 @@ object Dedup {
         countDistinct(col("doc_id")).as("n_docs"),
         countDistinct(col("__sh")).as("n_substrings"))
       .orderBy(col("span_len"))
+  }
+
+  /** D7d: the [[dupSubstrings]] distribution faceted by a per-doc
+    * attribute (`byCol` — source, language, shard...): which slice of
+    * the corpus carries the boilerplate decides WHERE to aim the
+    * removal threshold, and a global distribution hides exactly that
+    * (one crawl source full of templated pages looks identical to
+    * mild corpus-wide duplication). Note the repeated-gram test stays
+    * CORPUS-GLOBAL — a span shared across two sources counts for
+    * both; only the reporting facets.
+    *
+    * Same zero-pair-fanout chain; the facet column rides the base
+    * frame (no extra join), and the distribution gains one grouping
+    * key. Output: (`byCol`, span_len, n_spans, n_docs, n_substrings).
+    */
+  def dupSubstringsBy(df: DataFrame, idCol: String, textCol: String,
+      byCol: String, n: Int, minDocs: Long = 2,
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    val (base, covered) = coveredPositions(df, idCol, textCol, n, minDocs,
+      tokenHash, extraCols = Seq(byCol))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
+    val spans = covered
+      .withColumn("__new",
+        when(lag(col("tp"), 1).over(w).isNull ||
+          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__sid"))
+      .agg(min(col("tp")).cast("int").as("__start"),
+        count(lit(1)).as("span_len"))
+    spans.join(base, "doc_id")
+      .select(col(byCol), col("doc_id"), col("span_len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("__start"), col("span_len").cast("int"))))
+          .as("__sh"))
+      .groupBy(col(byCol), col("span_len"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("__sh")).as("n_substrings"))
+      .orderBy(col(byCol), col("span_len"))
   }
 
   /** D7c: the ExactSubstr REMOVAL step — clean each doc by deleting

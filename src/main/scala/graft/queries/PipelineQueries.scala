@@ -144,6 +144,12 @@ object PipelineQueries {
   def qDupSubstrings(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSubstrings(t(s, dir, "documents"), "doc_id", "text", 5, 2, tokenHash)
 
+  // D7d: the D7b distribution faceted by crawl source — which slice
+  // carries the boilerplate; the repeated-gram test stays global.
+  def qDupSubstringsBy(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSubstringsBy(t(s, dir, "documents"), "doc_id", "text",
+      "source", 5, 2, tokenHash)
+
   // D7c: the ExactSubstr removal step at threshold 8 — delete only
   // maximal repeated spans of >= 8 tokens (short incidental overlaps
   // survive), report the cleaned-content hash per affected doc.
@@ -163,6 +169,23 @@ object PipelineQueries {
         "doc_id", "text", 5, minSpanLen = 8, tokenHash)
       .orderBy("doc_id")
   }
+
+  // V1: data-contract audit — a 6-check expectation suite over orders
+  // plus the customer referential, all in one scan + one broadcast
+  // join; the totalprice cap is deliberately tight so the suite
+  // exercises a FAILING expectation, not just green ones.
+  def qExpectations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Expectations.audit(t(s, dir, "orders"),
+      Seq(
+        "orderkey_not_null" -> col("o_orderkey").isNotNull,
+        "totalprice_positive" -> (col("o_totalprice") > 0),
+        "totalprice_under_cap" -> (col("o_totalprice") <= 300000.0),
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format" -> col("o_orderpriority").rlike("^[1-5]-"),
+        "orderdate_in_range" ->
+          col("o_orderdate").between("1992-01-01", "1998-12-31")),
+      Seq(("custkey_referential", "o_custkey",
+        t(s, dir, "customer"), "c_custkey")))
 
   // D8: incremental dedup — ingest-time classification of a new batch
   // against the already-curated corpus (never corpus x corpus). The
@@ -1133,6 +1156,7 @@ object PipelineQueries {
     "q_dedup_recall" -> qDedupRecall,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_keep" -> qDedupKeep,
+    "q_expectations" -> qExpectations,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_recall" -> qSimhashRecall,
@@ -1141,6 +1165,7 @@ object PipelineQueries {
     "q_split_leakage" -> qSplitLeakage,
     "q_dup_passages" -> qDupPassages,
     "q_dup_substrings" -> qDupSubstrings,
+    "q_dup_substrings_by" -> qDupSubstringsBy,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_dedup_semantic_inc" -> qDedupSemanticInc,
@@ -2199,6 +2224,41 @@ object PipelineQueries {
          |  count(DISTINCT span_hash) AS n_substrings
          |FROM sph GROUP BY span_len ORDER BY span_len""".stripMargin
     },
+    // D7d: identical chain with the doc's source carried through to a
+    // (source, span_len) facet; the dup-gram test stays corpus-global.
+    "q_dup_substrings_by" -> {
+      val combine5 = {
+        import graft.operators.Dedup.ShingleCoef
+        (0 until 5).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+      }
+      s"""WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |th AS (SELECT doc_id, source, toks, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |       FROM tok WHERE len(toks) >= 5),
+         |sh AS (SELECT doc_id, i AS pos, $combine5 AS sh
+         |       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 4)) AS i FROM th) x),
+         |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tp
+         |       FROM sh s JOIN dup USING (sh),
+         |            (SELECT unnest(generate_series(0, 4)) AS o) o),
+         |sp AS (SELECT doc_id, tp,
+         |         CASE WHEN lag(tp) OVER w IS NULL OR tp > lag(tp) OVER w + 1
+         |              THEN 1 ELSE 0 END AS new_span
+         |       FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY tp)),
+         |sid AS (SELECT doc_id, tp,
+         |          sum(new_span) OVER (PARTITION BY doc_id ORDER BY tp) AS span_id
+         |        FROM sp),
+         |spans AS (SELECT doc_id, span_id, min(tp) AS span_start,
+         |            count(*) AS span_len
+         |          FROM sid GROUP BY doc_id, span_id),
+         |sph AS (SELECT t.source, s.doc_id, s.span_len,
+         |          md5(array_to_string(
+         |            t.toks[s.span_start : s.span_start + s.span_len - 1], ' ')) AS span_hash
+         |        FROM spans s JOIN th t USING (doc_id))
+         |SELECT source, CAST(span_len AS BIGINT) AS span_len,
+         |  count(*) AS n_spans, count(DISTINCT doc_id) AS n_docs,
+         |  count(DISTINCT span_hash) AS n_substrings
+         |FROM sph GROUP BY source, span_len ORDER BY source, span_len""".stripMargin
+    },
     "q_dedup_embed" ->
       s"""WITH $normCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
@@ -2257,6 +2317,34 @@ object PipelineQueries {
          |  round(mx, 6) AS max_cos
          |FROM icells i LEFT JOIN agg USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+    // V1: the same violated = NOT coalesce(pred, FALSE) semantics per
+    // check, the referential as a left join vs distinct customer keys.
+    "q_expectations" ->
+      """WITH rc AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN NOT coalesce(o_orderkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS f0,
+        |    sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS f1,
+        |    sum(CASE WHEN NOT coalesce(o_totalprice <= 300000.0, FALSE) THEN 1 ELSE 0 END) AS f2,
+        |    sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS f3,
+        |    sum(CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 1 ELSE 0 END) AS f4,
+        |    sum(CASE WHEN NOT coalesce(o_orderdate BETWEEN TIMESTAMP '1992-01-01'
+        |          AND TIMESTAMP '1998-12-31', FALSE) THEN 1 ELSE 0 END) AS f5
+        |  FROM orders),
+        |ref AS (SELECT count(*) AS n,
+        |          sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS f
+        |        FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |          ON o.o_custkey = c.c_custkey),
+        |u AS (
+        |  SELECT 'orderkey_not_null' AS expectation, n AS n_checked, f0 AS n_failed FROM rc
+        |  UNION ALL SELECT 'totalprice_positive', n, f1 FROM rc
+        |  UNION ALL SELECT 'totalprice_under_cap', n, f2 FROM rc
+        |  UNION ALL SELECT 'status_in_domain', n, f3 FROM rc
+        |  UNION ALL SELECT 'priority_format', n, f4 FROM rc
+        |  UNION ALL SELECT 'orderdate_in_range', n, f5 FROM rc
+        |  UNION ALL SELECT 'custkey_referential', n, f FROM ref)
+        |SELECT expectation, n_checked, CAST(n_failed AS BIGINT) AS n_failed,
+        |  round(CAST(n_failed AS DOUBLE) / n_checked, 6) AS fail_rate,
+        |  CAST(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM u ORDER BY expectation""".stripMargin,
     // C9: eval-side IVF cells (lowest-id seeds over the eval subset),
     // train routed to its 2 nearest cells, train x eval cell-mate
     // cosine — the whole scrubSemantic chain re-derived in SQL.

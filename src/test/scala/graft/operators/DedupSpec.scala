@@ -474,6 +474,30 @@ class DedupSpec extends SparkSuite {
     assert(distSpans == perDoc.map(_.getAs[Long]("n_spans")).sum)
   }
 
+  test("dup substrings by: facet splits the report, gram test stays corpus-global") {
+    val p = (1 to 8).map(i => s"s$i").mkString(" ")
+    // the shared passage occurs once per SOURCE — within either source
+    // alone it would not repeat, so a per-facet gram test would find
+    // nothing; the corpus-global test credits both facets
+    val corpus = Seq(
+      (1L, s"a1 a2 a3 $p a4 a5", "crawl"),
+      (2L, s"b1 b2 $p b3 b4 b5", "books"))
+      .toDF("doc_id", "text", "source")
+    val by = Dedup.dupSubstringsBy(corpus, "doc_id", "text", "source", 5)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(by.keySet == Set("crawl", "books"))
+    for (src <- Seq("crawl", "books")) {
+      assert(by(src).getAs[Long]("span_len") == 8L)
+      assert(by(src).getAs[Long]("n_spans") == 1L)
+      assert(by(src).getAs[Long]("n_docs") == 1L)
+      assert(by(src).getAs[Long]("n_substrings") == 1L)
+    }
+    // facet totals reconcile with the global distribution
+    val global = Dedup.dupSubstrings(corpus, "doc_id", "text", 5).collect()
+    assert(global.map(_.getAs[Long]("n_spans")).sum ==
+      by.values.map(_.getAs[Long]("n_spans")).sum)
+  }
+
   test("dup substrings: empty and no-overlap corpora yield no rows") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
