@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** E5: Johnson–Lindenstrauss random projection (SURVEY.md §2.3) — the
+  * dimensionality-reduction pass an embedding pipeline runs before
+  * expensive pairwise work (ANN candidate generation, dedup blocking,
+  * drift checks) when the native dimension is wasteful: project every
+  * vector onto `k` fixed random directions; JL guarantees pairwise
+  * geometry survives within (1 ± eps) for k = O(log n / eps^2).
+  *
+  * The planes come from the same deterministic md5-derived generator
+  * as the LSH family (distinct salt), so an external engine can
+  * re-derive the projection bit-for-bit — the [[Similarity]] oracle
+  * discipline. Projection is a pure row-local map (k codegen dot
+  * products per row, no shuffle, no state); at 100 TB it pipelines
+  * inside whatever scan already reads the vectors.
+  */
+object Projection {
+
+  /** Plane-generator salt — public so the oracle SQL builder derives
+    * the identical literals.
+    */
+  val Salt = "jl"
+
+  /** (vec_id, proj: array<double>[k]) with the standard 1/sqrt(k)
+    * scaling, so expected squared norm matches the input's.
+    */
+  def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int): DataFrame = {
+    val planes = Similarity.hyperplanes(k, dim, Salt)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val proj = array(planes.toIndexedSeq.map { p =>
+      Similarity.dotD(col("v"),
+        array(p.toIndexedSeq.map(lit): _*)) * lit(scale)
+    }: _*)
+    Similarity.withNorm(vecs, idCol, vecCol)
+      .select(col("vec_id"), proj.as("proj"))
+  }
+
+  /** Distortion audit over consecutive-id pairs: per pair, the cosine
+    * in the original space vs the projected space and their absolute
+    * gap — the measured evidence for choosing `k` (the 1/sqrt(k)
+    * scale cancels inside cosine, so the audit reads the raw dot
+    * ladder). Consecutive ids make the pair set deterministic and
+    * linear in the corpus — an audit, not an all-pairs sweep.
+    */
+  def jlDistortion(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int): DataFrame = {
+    val planes = Similarity.hyperplanes(k, dim, Salt)
+    val proj = array(planes.toIndexedSeq.map(p =>
+      Similarity.dotD(col("v"), array(p.toIndexedSeq.map(lit): _*))): _*)
+    val n = Similarity.withNorm(vecs, idCol, vecCol)
+      .withColumn("proj", proj)
+      .withColumn("pn2", Similarity.dotD(col("proj"), col("proj")))
+    val cosOrig = Similarity.cosine(
+      Similarity.dotD(col("a.v"), col("b.v")), col("a.nrm2"), col("b.nrm2"))
+    val cosProj = Similarity.cosine(
+      Similarity.dotD(col("a.proj"), col("b.proj")), col("a.pn2"), col("b.pn2"))
+    n.as("a")
+      .join(n.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosOrig, 6).as("cos_orig"), round(cosProj, 6).as("cos_proj"),
+        round(abs(cosOrig - cosProj), 6).as("abs_err"))
+      .orderBy("id_a")
+  }
+}

@@ -112,8 +112,13 @@ object SemDedup {
     * `nprobe`-cell probing (a zero-shuffle row-local map over the
     * centroid literals; nprobe > 1 buys back the boundary recall a
     * single-cell assignment loses), so the whole operator is one
-    * broadcast join + one train-keyed aggregation — never
-    * train x train, and no shuffle of the train corpus at all.
+    * broadcast LEFT join + ONE train-keyed conditional aggregation —
+    * never train x train; the only train-sized exchange is that
+    * aggregation's compact (id, partials) shuffle after map-side
+    * combine. The left join + explode_outer keep no-partner and
+    * null-vector train rows flowing to a 'clean' verdict without a
+    * second train-sized join (which would plan the large x large
+    * SortMergeJoin the plan audit forbids).
     * Each eval vector lives in exactly one cell, so a (train, eval)
     * pair appears at most once even under multi-probe.
     */
@@ -123,26 +128,33 @@ object SemDedup {
     val index = IvfIndex.buildDeterministic(eval, idCol, vecCol, nlist)
     val np = math.min(nprobe, index.centroids.length)
     val evalCells = mat(index.cells)
+    // explode_outer + left join: a train row with no probed-cell
+    // partner (or a null vector, whose probe list is null) still
+    // reaches the aggregation and verdicts 'clean' — so the per-train
+    // verdict needs NO second train-sized join: one scan, one
+    // broadcast hash join, ONE groupBy shuffle on vec_id (the r13
+    // plan-audit fix: the previous train x sims left join planned a
+    // large x large SortMergeJoin that this conditional agg deletes)
     val tr = Similarity.withNorm(train, idCol, vecCol)
       .withColumn("cell",
-        explode(IvfIndex.probeCells(col("v"), col("nrm2"),
+        explode_outer(IvfIndex.probeCells(col("v"), col("nrm2"),
           index.centroids, np)))
     val cos = Similarity.cosine(Similarity.dotD(col("a.v"), col("b.v")),
       col("a.nrm2"), col("b.nrm2"))
-    val sims = tr.as("a")
-      .join(broadcast(evalCells.as("b")), col("a.cell") === col("b.cell"))
+    val hit = when(col("cos") >= tau, lit(1))
+    tr.as("a")
+      .join(broadcast(evalCells.as("b")),
+        col("a.cell") === col("b.cell"), "left")
       .withColumn("cos", cos)
-      .filter(col("cos") >= tau)
       .groupBy(col("a.vec_id").as("vec_id"))
-      .agg(min(col("b.vec_id")).as("match_id"),
-        count(lit(1)).as("n_sim"), max(col("cos")).as("__mx"))
-    train.select(col(idCol).as("vec_id"))
-      .join(sims, Seq("vec_id"), "left")
+      .agg(min(when(col("cos") >= tau, col("b.vec_id"))).as("match_id"),
+        count(hit).as("n_sim"),
+        max(when(col("cos") >= tau, col("cos"))).as("__mx"))
       .select(col("vec_id"),
         when(col("match_id").isNull, lit("clean"))
           .otherwise(lit("contaminated")).as("status"),
         col("match_id"),
-        coalesce(col("n_sim"), lit(0L)).as("n_sim"),
+        col("n_sim"),
         round(col("__mx"), 6).as("max_cos"))
   }
 }

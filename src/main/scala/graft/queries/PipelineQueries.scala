@@ -170,6 +170,12 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // E5: JL projection distortion audit — original vs projected cosine
+  // over consecutive-id pairs at k=16 on the 64-dim embeddings.
+  def qJlDistortion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Projection.jlDistortion(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 16, dim = 64)
+
   // V1: data-contract audit — a 6-check expectation suite over orders
   // plus the customer referential, all in one scan + one broadcast
   // join; the totalprice cap is deliberately tight so the suite
@@ -1157,6 +1163,7 @@ object PipelineQueries {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_keep" -> qDedupKeep,
     "q_expectations" -> qExpectations,
+    "q_jl_distortion" -> qJlDistortion,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_recall" -> qSimhashRecall,
@@ -2317,6 +2324,28 @@ object PipelineQueries {
          |  round(mx, 6) AS max_cos
          |FROM icells i LEFT JOIN agg USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+    // E5: the identical md5-derived plane literals (Projection.Salt),
+    // the projected dot ladder, and the paired cosines re-derived.
+    "q_jl_distortion" -> {
+      val planes = graft.operators.Similarity
+        .hyperplanes(16, 64, graft.operators.Projection.Salt)
+      val projSql = planes.map { p =>
+        val arr = p.map(_.toString).mkString("[", ", ", "]")
+        s"list_dot_product(v, $arr)"
+      }.mkString("[", ",\n         ", "]")
+      s"""WITH $normCte,
+         |p AS (SELECT vec_id, v, nrm2,
+         |        $projSql AS proj FROM n),
+         |pp AS (SELECT vec_id, v, nrm2, proj,
+         |         list_dot_product(proj, proj) AS pn2 FROM p)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2), 6) AS cos_orig,
+         |  round(list_dot_product(a.proj, b.proj) / sqrt(a.pn2 * b.pn2), 6) AS cos_proj,
+         |  round(abs(list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2)
+         |    - list_dot_product(a.proj, b.proj) / sqrt(a.pn2 * b.pn2)), 6) AS abs_err
+         |FROM pp a JOIN pp b ON b.vec_id = a.vec_id + 1
+         |ORDER BY id_a""".stripMargin
+    },
     // V1: the same violated = NOT coalesce(pred, FALSE) semantics per
     // check, the referential as a left join vs distinct customer keys.
     "q_expectations" ->

@@ -85,7 +85,15 @@ class PlanAuditSpec extends SparkSuite {
     // the series key; a broadcast would materialize the whole series
     "q_acf",
     // cross-correlation: the identical join with two series tables
-    "q_ccf") ++
+    "q_ccf",
+    // canonical-survivor selection: labels x corpus (quality column
+    // join-back) and members x winners (cluster-keyed) — labels and
+    // winners are corpus-/cluster-sized (data x data at any corpus
+    // size; a pathological corpus is one giant cluster), both joins
+    // shuffle on the id/cluster key the D6 propagation already
+    // partitioned on; AQE demotes to broadcast when winners measure
+    // small at runtime
+    "q_dedup_keep") ++
     // SMJ only under THIS audit's lazy materializer: at runtime these
     // materialize their shared truth/index/frontier subplans, the
     // consumers read small materialized tables, and the SMJs are gone
