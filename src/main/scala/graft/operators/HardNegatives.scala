@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G1: hard-negative mining (SURVEY.md §2.3) — the contrastive-
+  * training data op: for each labeled query vector, the top-k most
+  * cosine-similar corpus vectors whose label DIFFERS (near-misses the
+  * model must learn to separate; same-label neighbors are positives,
+  * not negatives, and are filtered before ranking so they never eat a
+  * top-k slot).
+  *
+  * Scale shape is the S3 IVF search verbatim: queries probe their
+  * `nprobe` nearest cells (centroid array is config-sized, probing is
+  * a zero-shuffle row-local sort of a literal array), candidates come
+  * from ONE cell-keyed join (Σ over probed cells, never corpus²), and
+  * the label rides the index frame from the start ([[Similarity
+  * .withNorm]] extra-column passthrough) — no corpus-sized label
+  * join-back. The label filter lands BEFORE the rank window, so the
+  * per-query frame the window sorts is already the negative set.
+  */
+object HardNegatives {
+
+  /** (query_id, rnk, neighbor_id, neighbor_label, cos) — top-k
+    * different-label neighbors per query among the `nprobe` probed
+    * IVF cells; ties (cos, then id) deterministic. `queries` must
+    * carry the same id/vec/label columns as `corpus`.
+    */
+  def mine(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, nlist: Int,
+      nprobe: Int): DataFrame = {
+    // deterministic IVF bootstrap (the S3/D9 device): centroids = the
+    // nlist smallest-id corpus vectors; cells carry the label through
+    val n = Similarity.withNorm(corpus, idCol, vecCol, Seq(labelCol))
+    val centroids = n.orderBy(col("vec_id")).limit(nlist)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // cell assignment with the label inlined (nearest cell = the
+    // 1-element probe — same (d, cell) tie order as IvfIndex.assign)
+    val cells = n
+      .withColumn("cell", element_at(
+        IvfIndex.probeCells(col("v"), col("nrm2"), centroids, 1), 1))
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm2"),
+        col(labelCol).as("__lbl"))
+    val q = Similarity.withNorm(queries, idCol, vecCol, Seq(labelCol))
+      .select(col("vec_id").as("query_id"), col(labelCol).as("__qlbl"),
+        col("v").as("qv"), col("nrm2").as("qn"))
+      .withColumn("cell", explode(
+        IvfIndex.probeCells(col("qv"), col("qn"), centroids,
+          math.min(nprobe, centroids.length))))
+    val cos = Similarity.cosine(
+      Similarity.dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(cells, Seq("cell"))
+      .filter(col("__qlbl") =!= col("__lbl"))
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"),
+        col("__lbl").as("neighbor_label"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -176,6 +176,21 @@ object PipelineQueries {
     graft.operators.Projection.jlDistortion(t(s, dir, "embeddings"),
       "vec_id", "embedding", k = 16, dim = 64)
 
+  // F1: quality filter cascade over documents — per-rule attrition
+  // with first-failing-rule attribution (the datasheet table).
+  def qFilterCascade(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityCascade.attrition(t(s, dir, "documents"),
+      "doc_id", graft.operators.QualityCascade.documentRules(col("text")))
+
+  // G1: hard-negative mining — top-5 different-label neighbors per
+  // query (vec_id < 10) through the deterministic IVF cells.
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.operators.HardNegatives.mine(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", "label", k = 5, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
   // V1: data-contract audit — a 6-check expectation suite over orders
   // plus the customer referential, all in one scan + one broadcast
   // join; the totalprice cap is deliberately tight so the suite
@@ -1164,6 +1179,8 @@ object PipelineQueries {
     "q_dedup_keep" -> qDedupKeep,
     "q_expectations" -> qExpectations,
     "q_jl_distortion" -> qJlDistortion,
+    "q_filter_cascade" -> qFilterCascade,
+    "q_hard_negatives" -> qHardNegatives,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_recall" -> qSimhashRecall,
@@ -2346,6 +2363,67 @@ object PipelineQueries {
          |FROM pp a JOIN pp b ON b.vec_id = a.vec_id + 1
          |ORDER BY id_a""".stripMargin
     },
+    // F1: the identical integer-comparison rule chain, first-fail
+    // CASE attribution, and the reached/rate assembly re-derived.
+    "q_filter_cascade" ->
+      """WITH d AS (SELECT doc_id, text,
+        |       regexp_split_to_array(trim(text), '\s+') AS toks,
+        |       length(text) AS n_chars,
+        |       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+        |     FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tot_len,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stop,
+        |  n_punct, n_upper, n_chars FROM d),
+        |v AS (SELECT doc_id, CAST(CASE
+        |    WHEN NOT coalesce(n_tokens >= 20, FALSE) THEN 0
+        |    WHEN NOT coalesce(n_tokens <= 80, FALSE) THEN 1
+        |    WHEN NOT coalesce(tot_len >= n_tokens * 2 AND tot_len * 10 <= n_tokens * 45, FALSE) THEN 2
+        |    WHEN NOT coalesce(n_stop >= 1, FALSE) THEN 3
+        |    WHEN NOT coalesce(n_punct * 5 <= n_chars, FALSE) THEN 4
+        |    WHEN NOT coalesce(n_upper * 2 <= n_chars, FALSE) THEN 5
+        |    ELSE 6 END AS BIGINT) AS verdict FROM s),
+        |c AS (SELECT verdict, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+        |rules(rule_no, rule) AS (VALUES (CAST(0 AS BIGINT), 'min_tokens'),
+        |  (1, 'max_tokens'), (2, 'avg_token_len'), (3, 'has_stopword'),
+        |  (4, 'punct_ratio'), (5, 'upper_ratio'), (6, 'kept')),
+        |j AS (SELECT r.rule_no, r.rule, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |      FROM rules r LEFT JOIN c ON c.verdict = r.rule_no),
+        |w AS (SELECT *, CAST(sum(c) OVER () AS BIGINT) AS total,
+        |        CAST(coalesce(sum(c) OVER (ORDER BY rule_no
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+        |      FROM j)
+        |SELECT rule_no, rule, total - bef AS n_reached,
+        |  CASE WHEN rule_no < 6 THEN c ELSE CAST(0 AS BIGINT) END AS n_dropped,
+        |  CASE WHEN total - bef > 0
+        |    THEN round((CASE WHEN rule_no < 6 THEN c ELSE 0 END) / (total - bef), 6)
+        |  END AS drop_rate
+        |FROM w ORDER BY rule_no""".stripMargin,
+    // G1: the proven IVF chain (same cells, same probe order) with
+    // the label riding the cell table and filtered before the rank.
+    "q_hard_negatives" ->
+      s"""WITH $normCte,
+         |$ivfCellsCte,
+         |cl AS (SELECT c.vec_id, c.cell, c.v, c.nrm2, n.label
+         |       FROM cells c JOIN n ON n.vec_id = c.vec_id),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm2 AS qn
+         |      FROM n WHERE vec_id < 10),
+         |qp AS (SELECT query_id, qlabel, qv, qn, cell FROM (
+         |    SELECT q.query_id, q.qlabel, q.qv, q.qn, cc.cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY q.qn - 2.0 * list_dot_product(q.qv, cc.cv) + cc.cn,
+         |          cc.cell) AS pr
+         |    FROM q, cc)
+         |  WHERE pr <= 4),
+         |s AS (SELECT qp.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         |        list_dot_product(qp.qv, c.v) / sqrt(qp.qn * c.nrm2) AS cos
+         |      FROM qp JOIN cl c USING (cell) WHERE qp.qlabel <> c.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, rnk, neighbor_id, neighbor_label, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // V1: the same violated = NOT coalesce(pred, FALSE) semantics per
     // check, the referential as a left join vs distinct customer keys.
     "q_expectations" ->
