@@ -79,6 +79,36 @@ object QualityCascade {
       .orderBy("rule_no")
   }
 
+  /** F2: independent per-rule marginals — the cascade's complement:
+    * how many documents fail EACH rule regardless of position (a rule
+    * late in the cascade can look cheap only because earlier rules
+    * already ate its failures; the marginal view is what decides
+    * whether a rule earns its slot at all). ONE map-side-combinable
+    * aggregation over the corpus (nRules conditional sums + a count
+    * in a single pass — the R8 wide-agg device), then a config-sized
+    * explode of the one result row into the per-rule table. Same
+    * NULL-fails-closed predicate discipline as the cascade.
+    */
+  def marginals(df: DataFrame, idCol: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(!coalesce(pred, lit(false)), lit(1L)).otherwise(lit(0L)))
+        .as(s"__f$i")
+    } :+ count(lit(1)).as("__n")
+    val entries = array(rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i.toLong).as("rule_no"), lit(name).as("rule"),
+        col(s"__f$i").as("n_failed"))
+    }.toIndexedSeq: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(entries).as("e"), col("__n"))
+      .select(col("e.rule_no").as("rule_no"), col("e.rule").as("rule"),
+        col("e.n_failed").as("n_failed"), col("__n").as("n_docs"),
+        when(col("__n") > 0,
+          round(col("e.n_failed") / col("__n"), 6)).as("fail_rate"))
+      .orderBy("rule_no")
+  }
+
   /** The gate's rule stack over the documents table — every predicate
     * an INTEGER comparison (ratio thresholds cross-multiplied, e.g.
     * punct/chars <= 1/5 as 5*punct <= chars; the avg-token-length cap

@@ -182,6 +182,11 @@ object PipelineQueries {
     graft.operators.QualityCascade.attrition(t(s, dir, "documents"),
       "doc_id", graft.operators.QualityCascade.documentRules(col("text")))
 
+  // F2: the independent per-rule marginal view of the same stack.
+  def qFilterMarginals(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityCascade.marginals(t(s, dir, "documents"),
+      "doc_id", graft.operators.QualityCascade.documentRules(col("text")))
+
   // G1: hard-negative mining — top-5 different-label neighbors per
   // query (vec_id < 10) through the deterministic IVF cells.
   def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
@@ -1180,6 +1185,7 @@ object PipelineQueries {
     "q_expectations" -> qExpectations,
     "q_jl_distortion" -> qJlDistortion,
     "q_filter_cascade" -> qFilterCascade,
+    "q_filter_marginals" -> qFilterMarginals,
     "q_hard_negatives" -> qHardNegatives,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -2401,6 +2407,39 @@ object PipelineQueries {
         |    THEN round((CASE WHEN rule_no < 6 THEN c ELSE 0 END) / (total - bef), 6)
         |  END AS drop_rate
         |FROM w ORDER BY rule_no""".stripMargin,
+    // F2: the same six predicates summed independently in one pass,
+    // then pivoted to the per-rule table.
+    "q_filter_marginals" ->
+      """WITH d AS (SELECT doc_id, text,
+        |       regexp_split_to_array(trim(text), '\s+') AS toks,
+        |       length(text) AS n_chars,
+        |       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+        |     FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tot_len,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stop,
+        |  n_punct, n_upper, n_chars FROM d),
+        |f AS (SELECT
+        |  CAST(sum(CASE WHEN NOT coalesce(n_tokens >= 20, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        |  CAST(sum(CASE WHEN NOT coalesce(n_tokens <= 80, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(sum(CASE WHEN NOT coalesce(tot_len >= n_tokens * 2 AND tot_len * 10 <= n_tokens * 45, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  CAST(sum(CASE WHEN NOT coalesce(n_stop >= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+        |  CAST(sum(CASE WHEN NOT coalesce(n_punct * 5 <= n_chars, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+        |  CAST(sum(CASE WHEN NOT coalesce(n_upper * 2 <= n_chars, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+        |  CAST(count(*) AS BIGINT) AS n FROM s),
+        |e(rule_no, rule) AS (VALUES (CAST(0 AS BIGINT), 'min_tokens'),
+        |  (1, 'max_tokens'), (2, 'avg_token_len'), (3, 'has_stopword'),
+        |  (4, 'punct_ratio'), (5, 'upper_ratio'))
+        |SELECT e.rule_no, e.rule,
+        |  CASE e.rule_no WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2
+        |    WHEN 3 THEN f3 WHEN 4 THEN f4 ELSE f5 END AS n_failed,
+        |  n AS n_docs,
+        |  CASE WHEN n > 0 THEN round((CASE e.rule_no WHEN 0 THEN f0
+        |    WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3 WHEN 4 THEN f4
+        |    ELSE f5 END) / n, 6) END AS fail_rate
+        |FROM e, f ORDER BY rule_no""".stripMargin,
     // G1: the proven IVF chain (same cells, same probe order) with
     // the label riding the cell table and filtered before the rank.
     "q_hard_negatives" ->

@@ -72,6 +72,22 @@ class QualityCascadeSpec extends SparkSuite {
       5L -> 4L, 6L -> 5L))
   }
 
+  test("marginals count each rule independently, not first-fail") {
+    val rules = Seq(
+      "ge10" -> (col("x") >= 10),
+      "even" -> (col("x") % 2 === 0),
+      "lt90" -> (col("x") < 90))
+    val df = Seq(5L, 15L, 94L, 20L, 44L, 3L).toDF("x")
+    val got = QualityCascade.marginals(df, "x", rules)
+      .as[(Long, String, Long, Long, Option[Double])].collect().toSeq
+    // cascade attributed even's failures as 1 (15 only — 5 and 3 died
+    // at ge10); the marginal view sees all 3 odd docs
+    assert(got == Seq(
+      (0L, "ge10", 2L, 6L, Some(0.333333)),
+      (1L, "even", 3L, 6L, Some(0.5)),
+      (2L, "lt90", 1L, 6L, Some(0.166667))))
+  }
+
   test("verdicts + attrition stay consistent (sum of drops = total)") {
     val docs = Seq.tabulate(50)(i => (i.toLong, s"doc $i " + ("w " * (i % 9))))
       .toDF("doc_id", "text")
