@@ -39,6 +39,49 @@ object Projection {
       .select(col("vec_id"), proj.as("proj"))
   }
 
+  /** E6: matryoshka-truncation distortion audit — the modern MRL
+    * question ("can I serve the first k dims of these embeddings?")
+    * answered the E5 way, but as the PER-K SUMMARY a capacity
+    * decision reads, not a per-pair dump: for each prefix length k,
+    * the absolute gap between full-dim cosine and prefix-k cosine
+    * over the linear consecutive-id pair set, reported as
+    * (n_pairs, sum/max/avg of the round-6 micro-integer error).
+    * Per-pair errors ride the integer micro ladder (round-6 x 1e6 —
+    * the T13 device), so the sums are ORDER-FREE exact longs under
+    * any partitioning and only the final avg divides. Row-local
+    * slices + dots (no shuffle before the k-keyed agg, |ks| rows
+    * out). A zero prefix vector RAISES (ANSI divide-by-zero — the
+    * loud-failure discipline): pick ks against embeddings with mass
+    * in every prefix, as any MRL-trained model has.
+    */
+  def mrlDistortion(vecs: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int]): DataFrame = {
+    val n = Similarity.withNorm(vecs, idCol, vecCol)
+    val cf = Similarity.cosine(
+      Similarity.dotD(col("a.v"), col("b.v")), col("a.nrm2"), col("b.nrm2"))
+    val pairs = n.as("a")
+      .join(n.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.v").as("va"), col("b.v").as("vb"), cf.as("cf"))
+    val perK = explode(array(ks.map { k =>
+      val pa = slice(col("va"), 1, k)
+      val pb = slice(col("vb"), 1, k)
+      val ck = Similarity.cosine(Similarity.dotD(pa, pb),
+        Similarity.dotD(pa, pa), Similarity.dotD(pb, pb))
+      struct(lit(k.toLong).as("k"),
+        round(round(abs(col("cf") - ck), 6) * 1e6).cast("long")
+          .as("err_micro"))
+    }.toIndexedSeq: _*))
+    pairs.select(perK.as("e"))
+      .select(col("e.k").as("k"), col("e.err_micro").as("err_micro"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("err_micro")).as("sum_err_micro"),
+        max(col("err_micro")).as("max_err_micro"))
+      .withColumn("avg_err_micro",
+        round(col("sum_err_micro") / col("n_pairs"), 4))
+      .orderBy("k")
+  }
+
   /** Distortion audit over consecutive-id pairs: per pair, the cosine
     * in the original space vs the projected space and their absolute
     * gap — the measured evidence for choosing `k` (the 1/sqrt(k)

@@ -176,6 +176,12 @@ object PipelineQueries {
     graft.operators.Projection.jlDistortion(t(s, dir, "embeddings"),
       "vec_id", "embedding", k = 16, dim = 64)
 
+  // E6: matryoshka-truncation distortion summary at k = 8/16/32 on
+  // the 64-dim embeddings.
+  def qMrlDistortion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Projection.mrlDistortion(t(s, dir, "embeddings"),
+      "vec_id", "embedding", ks = Seq(8, 16, 32))
+
   // F1: quality filter cascade over documents — per-rule attrition
   // with first-failing-rule attribution (the datasheet table).
   def qFilterCascade(s: SparkSession, dir: String): DataFrame =
@@ -1184,6 +1190,7 @@ object PipelineQueries {
     "q_dedup_keep" -> qDedupKeep,
     "q_expectations" -> qExpectations,
     "q_jl_distortion" -> qJlDistortion,
+    "q_mrl_distortion" -> qMrlDistortion,
     "q_filter_cascade" -> qFilterCascade,
     "q_filter_marginals" -> qFilterMarginals,
     "q_hard_negatives" -> qHardNegatives,
@@ -2369,6 +2376,25 @@ object PipelineQueries {
          |FROM pp a JOIN pp b ON b.vec_id = a.vec_id + 1
          |ORDER BY id_a""".stripMargin
     },
+    // E6: the same consecutive pairs, prefix slices (array_slice is
+    // 1-based inclusive = Spark slice(v, 1, k)), micro-integer errors.
+    "q_mrl_distortion" ->
+      s"""WITH $normCte,
+         |p AS (SELECT a.vec_id AS id_a, a.v AS va, b.v AS vb,
+         |        list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2) AS cf
+         |      FROM n a JOIN n b ON b.vec_id = a.vec_id + 1),
+         |e AS (SELECT ks.k,
+         |        CAST(round(round(abs(cf -
+         |          list_dot_product(array_slice(va, 1, ks.k), array_slice(vb, 1, ks.k)) /
+         |          sqrt(list_dot_product(array_slice(va, 1, ks.k), array_slice(va, 1, ks.k))
+         |            * list_dot_product(array_slice(vb, 1, ks.k), array_slice(vb, 1, ks.k)))
+         |        ), 6) * 1000000) AS BIGINT) AS err_micro
+         |      FROM p, (VALUES (CAST(8 AS BIGINT)), (16), (32)) AS ks(k))
+         |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(err_micro) AS BIGINT) AS sum_err_micro,
+         |  max(err_micro) AS max_err_micro,
+         |  round(sum(err_micro) / count(*), 4) AS avg_err_micro
+         |FROM e GROUP BY k ORDER BY k""".stripMargin,
     // F1: the identical integer-comparison rule chain, first-fail
     // CASE attribution, and the reached/rate assembly re-derived.
     "q_filter_cascade" ->

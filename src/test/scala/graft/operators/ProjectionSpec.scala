@@ -52,6 +52,33 @@ class ProjectionSpec extends SparkSuite {
     assert(e64 < e8, s"expected distortion to shrink: k=8 -> $e8, k=64 -> $e64")
   }
 
+  test("mrlDistortion: hand-checked prefix error and the k = dim zero row") {
+    // pair (1,0,0,0) x (0.6,0.8,0,0): full cosine 0.6; prefix k=1
+    // cosine 1.0 -> err 0.4 exactly; k=4 (full dim) -> err 0
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.6f, 0.8f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Projection.mrlDistortion(df, "vec_id", "embedding", Seq(1, 4))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 400000L, 400000L, 400000.0),
+      (4L, 1L, 0L, 0L, 0.0)))
+  }
+
+  test("mrlDistortion: error sums are exact integers under any partitioning") {
+    // first component strictly positive so no prefix is the zero
+    // vector (which raises, by contract)
+    val vecs = (1L to 40L).map(i => (i,
+      Seq((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat - 1f, 1.0f)))
+    def run(parts: Int) =
+      Projection.mrlDistortion(
+          vecs.toDF("vec_id", "embedding").repartition(parts),
+          "vec_id", "embedding", Seq(2, 3))
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(run(1) == run(7))
+  }
+
   test("jlDistortion: only consecutive-id pairs appear, ordered") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
