@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object HardNegatives {
 
+  /** Brute-force different-label top-k — the TRUTH arm for the
+    * recall sweep (the S1/S4 convention: brute exists to measure the
+    * bucketed arm, never to run at corpus scale). Same cosine, same
+    * (cos DESC, id) tie order as [[mine]].
+    */
+  def brute(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val n = Similarity.withNorm(corpus, idCol, vecCol, Seq(labelCol))
+    val q = Similarity.withNorm(queries, idCol, vecCol, Seq(labelCol))
+      .select(col("vec_id").as("query_id"), col(labelCol).as("__qlbl"),
+        col("v").as("qv"), col("nrm2").as("qn"))
+    val cos = Similarity.cosine(
+      Similarity.dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(n, col("__qlbl") =!= col(labelCol))
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"),
+        col(labelCol).as("neighbor_label"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** (query_id, rnk, neighbor_id, neighbor_label, cos) — top-k
     * different-label neighbors per query among the `nprobe` probed
     * IVF cells; ties (cos, then id) deterministic. `queries` must
@@ -30,6 +55,8 @@ object HardNegatives {
   def mine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int, nlist: Int,
       nprobe: Int): DataFrame = {
+    require(k > 0 && nlist > 0 && nprobe > 0,
+      s"k=$k nlist=$nlist nprobe=$nprobe must all be positive")
     // deterministic IVF bootstrap (the S3/D9 device): centroids = the
     // nlist smallest-id corpus vectors; cells carry the label through
     val n = Similarity.withNorm(corpus, idCol, vecCol, Seq(labelCol))

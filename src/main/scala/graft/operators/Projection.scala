@@ -29,6 +29,7 @@ object Projection {
     */
   def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int): DataFrame = {
+    require(k > 0 && dim > 0, s"k=$k dim=$dim must be positive")
     val planes = Similarity.hyperplanes(k, dim, Salt)
     val scale = 1.0 / math.sqrt(k.toDouble)
     val proj = array(planes.toIndexedSeq.map { p =>
@@ -56,6 +57,11 @@ object Projection {
     */
   def mrlDistortion(vecs: DataFrame, idCol: String, vecCol: String,
       ks: Seq[Int]): DataFrame = {
+    // k > dim silently degenerates to the full vector on both engines
+    // (slice caps at length) — err 0, same as k = dim; harmless but
+    // pick ks <= dim for a meaningful curve
+    require(ks.nonEmpty && ks.forall(_ > 0),
+      s"ks=$ks must be non-empty and positive")
     val n = Similarity.withNorm(vecs, idCol, vecCol)
     val cf = Similarity.cosine(
       Similarity.dotD(col("a.v"), col("b.v")), col("a.nrm2"), col("b.nrm2"))
@@ -91,6 +97,7 @@ object Projection {
     */
   def jlDistortion(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int): DataFrame = {
+    require(k > 0 && dim > 0, s"k=$k dim=$dim must be positive")
     val planes = Similarity.hyperplanes(k, dim, Salt)
     val proj = array(planes.toIndexedSeq.map(p =>
       Similarity.dotD(col("v"), array(p.toIndexedSeq.map(lit): _*))): _*)

@@ -182,6 +182,33 @@ object PipelineQueries {
     graft.operators.Projection.mrlDistortion(t(s, dir, "embeddings"),
       "vec_id", "embedding", ks = Seq(8, 16, 32))
 
+  // G2: hard-negative recall sweep — recall@5 of the IVF-routed arm
+  // vs the brute different-label truth at nprobe 1/2/4 (the S6
+  // measured-knob discipline applied to G1).
+  def qHardNegSweep(s: SparkSession, dir: String): DataFrame = {
+    val mat = Materializer.of(s)
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = mat(graft.operators.HardNegatives
+      .brute(e, q, "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("neighbor_id")))
+    val probes = Seq(1, 2, 4)
+    val hits = probes.map { np =>
+      graft.operators.HardNegatives.mine(e, q, "vec_id", "embedding",
+          "label", k = 5, nlist = 16, nprobe = np)
+        .select(lit(np.toLong).as("nprobe"), col("query_id"),
+          col("neighbor_id"), lit(1L).as("__hit"))
+    }.reduce(_ union _)
+    val truth = probes.map(np => brute.withColumn("nprobe", lit(np.toLong)))
+      .reduce(_ union _)
+    truth.join(hits, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit") / col("n_true"))
+      .orderBy("nprobe", "query_id")
+  }
+
   // F1: quality filter cascade over documents — per-rule attrition
   // with first-failing-rule attribution (the datasheet table).
   def qFilterCascade(s: SparkSession, dir: String): DataFrame =
@@ -1194,6 +1221,7 @@ object PipelineQueries {
     "q_filter_cascade" -> qFilterCascade,
     "q_filter_marginals" -> qFilterMarginals,
     "q_hard_negatives" -> qHardNegatives,
+    "q_hard_neg_sweep" -> qHardNegSweep,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_recall" -> qSimhashRecall,
@@ -2466,6 +2494,48 @@ object PipelineQueries {
         |    WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3 WHEN 4 THEN f4
         |    ELSE f5 END) / n, 6) END AS fail_rate
         |FROM e, f ORDER BY rule_no""".stripMargin,
+    // G2: the G1 chain with the probe rank kept unfiltered and joined
+    // to the nprobe value table, against the brute different-label
+    // truth — the S6 recall-sweep tail verbatim.
+    "q_hard_neg_sweep" ->
+      s"""WITH $normCte,
+         |$ivfCellsCte,
+         |cl AS (SELECT c.vec_id, c.cell, c.v, c.nrm2, n.label
+         |       FROM cells c JOIN n ON n.vec_id = c.vec_id),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm2 AS qn
+         |      FROM n WHERE vec_id < 10),
+         |qp AS (SELECT q.query_id, q.qlabel, q.qv, q.qn, cc.cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY q.qn - 2.0 * list_dot_product(q.qv, cc.cv) + cc.cn,
+         |          cc.cell) AS pr
+         |    FROM q, cc),
+         |sall AS (SELECT np.np AS nprobe, qp.query_id,
+         |        c.vec_id AS neighbor_id,
+         |        list_dot_product(qp.qv, c.v) / sqrt(qp.qn * c.nrm2) AS cos
+         |      FROM (VALUES (CAST(1 AS BIGINT)), (2), (4)) AS np(np)
+         |      JOIN qp ON qp.pr <= np.np
+         |      JOIN cl c ON c.cell = qp.cell
+         |      WHERE qp.qlabel <> c.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM sall),
+         |hits AS (SELECT nprobe, query_id, neighbor_id FROM r WHERE rnk <= 5),
+         |bs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(q.qv, c.v) / sqrt(q.qn * c.nrm2) AS cos
+         |      FROM q JOIN n c ON q.qlabel <> c.label),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM bs),
+         |truth AS (SELECT np.np AS nprobe, query_id, neighbor_id
+         |      FROM br, (VALUES (CAST(1 AS BIGINT)), (2), (4)) AS np(np)
+         |      WHERE rnk <= 5)
+         |SELECT t.nprobe, t.query_id, count(*) AS n_true,
+         |  CAST(coalesce(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 END), 0)
+         |    AS BIGINT) AS n_hit,
+         |  coalesce(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 END), 0)
+         |    / count(*) AS recall
+         |FROM truth t LEFT JOIN hits h
+         |  ON t.nprobe = h.nprobe AND t.query_id = h.query_id
+         |  AND t.neighbor_id = h.neighbor_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // G1: the proven IVF chain (same cells, same probe order) with
     // the label riding the cell table and filtered before the rank.
     "q_hard_negatives" ->

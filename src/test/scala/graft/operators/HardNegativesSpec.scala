@@ -33,6 +33,32 @@ class HardNegativesSpec extends SparkSuite {
     assert(got.map(_._5) == Seq(0.970143, 0.0, -0.995037))
   }
 
+  test("recall vs brute truth: 1.0 at nprobe = nlist, non-decreasing below") {
+    val corpus = spark.range(40).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 4), j -> " +
+        "CAST((abs(xxhash64(concat(id, '_', j))) % 1000 - 500) AS DOUBLE) / 100.0)")
+        .as("embedding"),
+      (col("id") % 3).cast("int").as("label"))
+      .localCheckpoint(eager = true)
+    val q = corpus.filter(col("vec_id") < 4)
+    val truth = HardNegatives.brute(corpus, q, "vec_id", "embedding", "label", 4)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    def recalls(np: Int): Map[Long, Double] =
+      HardNegatives.mine(corpus, q, "vec_id", "embedding", "label",
+          k = 4, nlist = 5, nprobe = np)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (qid, v) =>
+          qid -> v.map(_._2).count(truth(qid)).toDouble / truth(qid).size }
+    val byNp = Seq(1, 2, 3, 5).map(np => np -> recalls(np))
+    assert(byNp.last._2.values.forall(_ == 1.0))
+    byNp.sliding(2).foreach { case Seq((_, lo), (_, hi)) =>
+      lo.keys.foreach(qid => assert(hi(qid) >= lo(qid)))
+    }
+  }
+
   test("probing every cell equals the brute-force different-label top-k") {
     // deterministic pseudo-random 4-dim corpus, 3 labels
     val corpus = spark.range(40).select(col("id").as("vec_id"),
