@@ -201,7 +201,11 @@ object PipelineQueries {
     }.reduce(_ union _)
     val truth = probes.map(np => brute.withColumn("nprobe", lit(np.toLong)))
       .reduce(_ union _)
-    truth.join(hits, Seq("nprobe", "query_id", "neighbor_id"), "left")
+    // hits is arms x queries x k rows — bounded by construction at any
+    // corpus size, so broadcast explicitly (left-outer can't broadcast
+    // the truth side, and the un-executed union's stats read large
+    // enough to plan a pointless SMJ otherwise)
+    truth.join(broadcast(hits), Seq("nprobe", "query_id", "neighbor_id"), "left")
       .groupBy(col("nprobe"), col("query_id"))
       .agg(count(lit(1)).as("n_true"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))

@@ -101,12 +101,6 @@ class PlanAuditSpec extends SparkSuite {
     // lazy audit keeps the full un-truncated lineage, so the planner
     // sees the pre-materialization join shape.
     Set("q_ann_recall", "q_ann_ivf_sweep", "q_dedup_clusters",
-      // hard-negative recall sweep: same truth-x-arms shape as
-      // q_ann_recall/q_ann_ivf_sweep — at runtime the brute truth and
-      // the cell table are materialized once (config-sized results)
-      // and AQE broadcasts them; only the lazy audit sees the full
-      // un-truncated brute lineage as join input
-      "q_hard_neg_sweep",
       // pagerank's per-iteration edges x ranks join: both sides are
       // node/edge-scale (data x data at any graph size — a web graph's
       // rank table is billions of rows), and consecutive iterations
