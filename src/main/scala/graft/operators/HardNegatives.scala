@@ -63,11 +63,12 @@ object HardNegatives {
     val centroids = n.orderBy(col("vec_id")).limit(nlist)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
-    // cell assignment with the label inlined (nearest cell = the
-    // 1-element probe — same (d, cell) tie order as IvfIndex.assign)
+    // cell assignment with the label inlined — the O(nlist) argmin
+    // (IvfIndex.nearestCell), not a per-row sort: this is the
+    // corpus-side hot path
     val cells = n
-      .withColumn("cell", element_at(
-        IvfIndex.probeCells(col("v"), col("nrm2"), centroids, 1), 1))
+      .withColumn("cell",
+        IvfIndex.nearestCell(col("v"), col("nrm2"), centroids))
       .select(col("vec_id"), col("cell"), col("v"), col("nrm2"),
         col(labelCol).as("__lbl"))
     val q = Similarity.withNorm(queries, idCol, vecCol, Seq(labelCol))

@@ -114,14 +114,16 @@ object PqIndex {
   private def encodeExpr(v: Column, cb: Codebook): Column =
     array((0 until cb.m).map { s =>
       val sub = slice(v, s * cb.dsub + 1, cb.dsub)
-      val dists = array((0 until cb.ksub).map { j =>
-        struct(
-          (lit(cb.norms(s)(j)) -
-            lit(2.0) * Similarity.dotD(sub, litArray(cb.words(s)(j))))
-            .as("d"),
-          lit(j).as("j"))
+      val ds = array((0 until cb.ksub).map { j =>
+        lit(cb.norms(s)(j)) -
+          lit(2.0) * Similarity.dotD(sub, litArray(cb.words(s)(j)))
       }: _*)
-      element_at(array_sort(dists), 1).getField("j")
+      // argmin over a PRIMITIVE double array — first index of the min
+      // = lower j on ties, same order as the (d, j) struct sort head;
+      // measured 3x the struct sort and 14x the struct array_min
+      // (ProbeArgmin — struct ordering knocks the projection off
+      // codegen); encode is the corpus-side hot path
+      (array_position(ds, array_min(ds)) - 1).cast("int")
     }: _*)
 
   private def litArray(xs: Array[Double]): Column =
