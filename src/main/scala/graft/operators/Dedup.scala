@@ -358,20 +358,37 @@ object Dedup {
     *
     * Scale shape: [[clusters]]' star contraction plus ONE extra
     * cluster-keyed aggregation. The argmax is `max_by` over a
-    * (quality, -id) struct — a map-side-combinable agg, no window
-    * sort; the size+winner come out of the same shuffle, and the
-    * audit join back to members is on the cluster key the agg just
-    * produced. Nothing here is pairwise.
+    * (quality, ~id) struct — a map-side-combinable agg, no window
+    * sort (`~id` orders descending-by-id without the `-id` negation
+    * that overflows on Long.MinValue: bitwise NOT is a monotone-
+    * decreasing bijection on Long, ADVICE_r13); the size+winner come
+    * out of the same shuffle, and the audit join back to members is
+    * on the cluster key the agg just produced. Nothing here is
+    * pairwise.
+    *
+    * `qualityCol` must be INTEGRAL (the reproducibility contract of
+    * the whole exactness ladder: float scores tie-break on float
+    * accidents). A learned score in [0, 1] must be scaled to micros
+    * first — the previous silent `cast("long")` collapsed such
+    * scores to all-ties, making the id the de-facto keep rule.
     */
   def keepCanonical(df: DataFrame, idCol: String, qualityCol: Column,
       pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val qType = df.select(qualityCol.as("__q")).schema.head.dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(qType),
+      s"keepCanonical requires an integral quality column, got $qType" +
+        " — scale fractional scores to integer micros first (a" +
+        " silent cast would collapse a [0,1] score to all-ties)")
     val labels = clusters(df, idCol, pairs, maxIters)
     val members = labels.join(
       df.select(col(idCol).as("doc_id"), qualityCol.cast("long").as("__q")),
       "doc_id")
     val winners = members.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"),
-        expr("max_by(doc_id, struct(__q, -doc_id))").as("keep_id"))
+        expr("max_by(doc_id, struct(__q, ~doc_id))").as("keep_id"))
     members.join(winners, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("keep_id"),
@@ -935,15 +952,30 @@ object Dedup {
     * guard's cost — the number that decides whether a deployment
     * needs the 4th band. Both arms read ONE materialized simhash
     * frame.
+    *
+    * Truth-arm cost contract: with `truthMaxBucket = 0` (the
+    * gate-default) the 5x6-bit truth join is UNCAPPED — a degenerate
+    * hot 6-bit band bucket (a near-constant simhash slice over a huge
+    * corpus sample) can still emit O(width²) pairs, so the uncapped
+    * gate is a SAMPLE-SCALE tool: run it on the corpus sample you
+    * tune banding with, not the full corpus (ADVICE_r13 — the gate
+    * must not become the straggler it measures). Set
+    * `truthMaxBucket > 0` to cap the truth arm's buckets too; that
+    * trades a documented recall-OF-TRUTH loss (true pairs whose every
+    * shared band is hot never enter the denominator) for a bounded
+    * worst case, the same trade [[bandedHammingPairs]]' own scaladoc
+    * spells out.
     */
   def simhashRecall(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Long = 0): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Long = 0,
+      truthMaxBucket: Long = 0): DataFrame = {
     require(maxHamming <= 4,
       s"maxHamming=$maxHamming: the 5x6-bit truth arm is exact only to 4")
     val sims = Materializer.of(df.sparkSession)(
       simhashes(df, idCol, textCol))
     val truth = bandedHammingPairs(sims, "doc_id", "simhash",
-      totalBits = 30, nBands = 5, maxHamming = maxHamming)
+      totalBits = 30, nBands = 5, maxHamming = maxHamming,
+      maxBucket = truthMaxBucket)
     val found = simhashBandPairs(sims, maxHamming, maxBucket)
       .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
     truth

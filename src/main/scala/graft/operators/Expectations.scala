@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * NOT satisfied — NULL predicate results count as violations (an
   * unknown is not a pass), which makes `x > 0` catch null x without a
   * separate not-null clause. Referential: a NULL foreign key fails
-  * (it references nothing).
+  * (it references nothing). An EMPTY table is NOT a pass: with
+  * n_checked = 0 both `pass` and `fail_rate` are NULL (a gate keying
+  * on `pass = 1` must therefore not promote an empty snapshot —
+  * vacuous truth is reported as unknown, ADVICE_r13).
   */
 object Expectations {
 
@@ -59,14 +62,26 @@ object Expectations {
           sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_failed"))
         .select(lit(nm).as("expectation"), col("n_checked"), col("n_failed"))
     }
-    (rowPart.toSeq ++ refParts).reduce(_.unionAll(_))
+    assembleAudit((rowPart.toSeq ++ refParts).reduce(_.unionAll(_)))
+  }
+
+  /** The config-sized audit tail: an (expectation, n_checked,
+    * n_failed) frame — from the batch parts above, or from the
+    * streaming twin's compacted per-key state snapshot (V1s) —
+    * finished into the report columns. Shared verbatim between both
+    * paths (the QualityCascade.assemble convention) so the
+    * fail_rate/pass semantics, including the vacuous-pass-is-NULL
+    * rule, cannot drift between batch and stream.
+    */
+  def assembleAudit(perExpectation: DataFrame): DataFrame =
+    perExpectation
       .select(col("expectation"), col("n_checked"),
         coalesce(col("n_failed"), lit(0L)).as("n_failed"))
       .withColumn("fail_rate",
         when(col("n_checked") === 0L, lit(null).cast("double"))
           .otherwise(round(col("n_failed").cast("double") / col("n_checked"), 6)))
       .withColumn("pass",
-        when(col("n_failed") === 0L, 1L).otherwise(0L))
+        when(col("n_checked") === 0L, lit(null).cast("long"))
+          .when(col("n_failed") === 0L, 1L).otherwise(0L))
       .orderBy("expectation")
-  }
 }

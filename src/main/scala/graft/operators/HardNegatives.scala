@@ -64,11 +64,10 @@ object HardNegatives {
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     // cell assignment with the label inlined — the O(nlist) argmin
-    // (IvfIndex.nearestCell), not a per-row sort: this is the
-    // corpus-side hot path
-    val cells = n
-      .withColumn("cell",
-        IvfIndex.nearestCell(col("v"), col("nrm2"), centroids))
+    // over a NAMED distance column (IvfIndex.withCell), not a per-row
+    // sort and not the inline-Column form that computed the distance
+    // array twice: this is the corpus-side hot path
+    val cells = IvfIndex.withCell(n, centroids)
       .select(col("vec_id"), col("cell"), col("v"), col("nrm2"),
         col(labelCol).as("__lbl"))
     val q = Similarity.withNorm(queries, idCol, vecCol, Seq(labelCol))

@@ -72,31 +72,47 @@ object IvfIndex {
     * Returns (vec_id, cell, v, nrm2).
     */
   def assign(centroids: Array[Array[Double]], vecs: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val n = Similarity.withNorm(vecs, idCol, vecCol)
-    n.withColumn("cell", nearestCell(col("v"), col("nrm2"), centroids))
+      idCol: String, vecCol: String): DataFrame =
+    withCell(Similarity.withNorm(vecs, idCol, vecCol), centroids)
       .select(col("vec_id"), col("cell"), col("v"), col("nrm2"))
-  }
 
-  /** The argmin cell over a PRIMITIVE double array:
-    * `array_position(ds, array_min(ds)) - 1` — first index of the
-    * minimum, so ties go to the lower cell, EXACTLY the head of the
-    * (d, cell) struct sort the probe path uses. This is the
-    * corpus-side hot path (every vector of a 100 TB corpus pays it
-    * once per build/route) and the idiom choice is measured, not
-    * guessed (ProbeArgmin, 400k rows x nlist=128): doubles
-    * position-of-min 0.63 s, struct array_sort head 1.8-2.1 s,
-    * struct array_min 9.1 s (struct ordering knocks the whole
-    * projection off codegen). The struct sort stays only on the
-    * QUERY side ([[probeCells]]), where np > 1 needs a real partial
-    * order and rows are query-scale.
+  /** Adds `cell` — the L2-argmin centroid index of the frame's
+    * (`v`, `nrm2`) pair, ties to the lower cell — to a frame that
+    * already carries the norm. The argmin runs over a PRIMITIVE
+    * double array (`array_position(__ds, array_min(__ds)) - 1`,
+    * first index of the minimum = EXACTLY the head of the (d, cell)
+    * struct sort the query path uses; ProbeArgmin measured the
+    * primitive idiom 3x the struct sort and 14x the struct
+    * array_min). It takes a DataFrame, not a Column, ON PURPOSE:
+    * the O(nlist x dim) distance array must be a NAMED intermediate
+    * column so CollapseProject keeps it materialized ONCE — the r13
+    * Column-returning form inlined the array into both argmin
+    * operands and the corpus paid the distance computation twice
+    * (q_ann_ivf 0.86 -> 1.79 s committed r12 -> r13; adjudicated
+    * real by ProbeNoiseR14, reverted by this shape). This is the
+    * corpus-side hot path: every vector of a 100 TB corpus pays it
+    * once per build/route. The struct sort stays only on the QUERY
+    * side ([[probeCells]]), where np > 1 needs a real partial order
+    * and rows are query-scale.
+    *
+    * A null/degenerate vector (null `v`, or all-NaN distances) has
+    * no nearest cell; it fails LOUDLY via raise_error instead of
+    * silently vanishing from downstream cell equi-joins (the r13
+    * form returned a NULL cell and such rows just disappeared —
+    * ADVICE_r13). Scrub or impute upstream if the corpus can carry
+    * them.
     */
-  def nearestCell(v: Column, nrm2: Column,
-      centroids: Array[Array[Double]]): Column = {
-    val ds = array(centroids.map(c =>
-      distToCentroid(v, nrm2, c)).toIndexedSeq: _*)
-    (array_position(ds, array_min(ds)) - 1).cast("int")
-  }
+  def withCell(n: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    n.withColumn("__ds", array(centroids.map(c =>
+        distToCentroid(col("v"), col("nrm2"), c)).toIndexedSeq: _*))
+      .withColumn("__pos", array_position(col("__ds"), array_min(col("__ds"))))
+      .withColumn("cell",
+        when(col("__pos").isNull || col("__pos") === 0,
+          raise_error(lit("IvfIndex: null/degenerate vector has no " +
+            "nearest cell — scrub or impute before assignment"))
+            .cast("int"))
+          .otherwise((col("__pos") - 1).cast("int")))
+      .drop("__ds", "__pos")
 
   /** Persist an index: cells as parquet bucketed by cell id (searches
     * shuffle on cell, so reads are co-located), centroids as a small

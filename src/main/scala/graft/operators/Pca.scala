@@ -93,13 +93,33 @@ object Pca {
     * runs (measured 8.1 → 2.1 s at sf0.1); [[moments]] stays as the
     * independently-derived twin the parity spec pins it against.
     */
+  /** The matrix aggregate's map side is CPU-heavy — d(d+1)/2 exact
+    * decimal conversions per row (each a shortest-decimal
+    * BigDecimal.valueOf, the exactness contract's price) — so its
+    * wall-clock is bounded by the SLOWEST partition, not the shuffle.
+    * A small corpus arrives as ONE parquet split (sf0.1's 2,000 x
+    * d=64 rows = 4.3M conversions serialized on one core while 31
+    * idle — the whole 2.1 s isolated floor of q_pca_moments, r14
+    * probe). When the scan yields fewer splits than cores,
+    * round-robin repartition to defaultParallelism first: in that
+    * regime the corpus is by definition tiny, so the extra exchange
+    * ships almost nothing; at 100 TB splits >> cores and this branch
+    * adds NO exchange. Values are unaffected either way — the
+    * accumulator is integer adds, order-independent by construction
+    * (PcaSpec pins repartition-invariance).
+    */
+  private def parallelizeInput(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   def momentsViaAgg(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val idx = (for (i <- 0 until dim; j <- i until dim)
       yield (i * (2 * dim - i + 1) / 2 + (j - i), i, j))
       .toDF("t", "i", "j")
-    df.select(graft.functions.Moments.matrix(
+    parallelizeInput(df).select(graft.functions.Moments.matrix(
         col(vecCol).cast("array<double>"), dim).as("m"))
       .select(col("m.n").as("n"), col("m.sx").as("sxv"),
         posexplode(col("m.sxy")).as(Seq("t", "sxy")))
@@ -123,7 +143,7 @@ object Pca {
     val idx = (for (i <- 0 until dim; j <- i until dim)
       yield (i * (2 * dim - i + 1) / 2 + (j - i), i, j))
       .toDF("t", "i", "j")
-    df.groupBy(col(groupCol))
+    parallelizeInput(df).groupBy(col(groupCol))
       .agg(graft.functions.Moments.matrix(
         col(vecCol).cast("array<double>"), dim).as("m"))
       .select(col(groupCol), col("m.n").as("n"), col("m.sx").as("sxv"),
@@ -144,7 +164,7 @@ object Pca {
   def topComponentFast(df: DataFrame, vecCol: String, dim: Int,
       iters: Int = 30): (Vector[Double], Vector[Double], Double) = {
     require(iters >= 1, s"iters=$iters (want >= 1)")
-    val r = df.select(graft.functions.Moments.matrix(
+    val r = parallelizeInput(df).select(graft.functions.Moments.matrix(
       col(vecCol).cast("array<double>"), dim).as("m"))
       .select(col("m.n"), col("m.sx"), col("m.sxy")).head()
     val n = r.getLong(0).toDouble

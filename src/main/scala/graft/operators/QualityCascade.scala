@@ -96,16 +96,45 @@ object QualityCascade {
       sum(when(!coalesce(pred, lit(false)), lit(1L)).otherwise(lit(0L)))
         .as(s"__f$i")
     } :+ count(lit(1)).as("__n")
-    val entries = array(rules.zipWithIndex.map { case ((name, _), i) =>
-      struct(lit(i.toLong).as("rule_no"), lit(name).as("rule"),
-        col(s"__f$i").as("n_failed"))
-    }.toIndexedSeq: _*)
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(entries).as("e"), col("__n"))
-      .select(col("e.rule_no").as("rule_no"), col("e.rule").as("rule"),
-        col("e.n_failed").as("n_failed"), col("__n").as("n_docs"),
-        when(col("__n") > 0,
-          round(col("e.n_failed") / col("__n"), 6)).as("fail_rate"))
+    // one agg row -> the (rule_no, c) counts frame (fail counters on
+    // keys 0..nRules-1, the doc count on key nRules) — the same shape
+    // the streaming twin's state snapshot compacts to, so the
+    // assembleMarginals tail below is SHARED code in both paths
+    val entries = array((rules.zipWithIndex.map { case (_, i) =>
+      struct(lit(i.toLong).as("rule_no"),
+        coalesce(col(s"__f$i"), lit(0L)).as("c"))
+    } :+ struct(lit(rules.length.toLong).as("rule_no"),
+      col("__n").as("c"))).toIndexedSeq: _*)
+    assembleMarginals(
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(entries).as("e"))
+        .select(col("e.rule_no").as("rule_no"), col("e.c").as("c")),
+      rules.map(_._1))
+  }
+
+  /** The config-sized marginals tail: a (rule_no, c) counts frame —
+    * from the batch wide-agg above, or from the streaming twin's
+    * compacted per-key state snapshot (F2s) — assembled into the
+    * per-rule marginals table. Key nRules carries n_docs. Shared
+    * verbatim between both paths, the [[assemble]] convention.
+    */
+  def assembleMarginals(counts: DataFrame,
+      ruleNames: Seq[String]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val ruleRows = ruleNames.zipWithIndex.map { case (name, i) =>
+      (i.toLong, name)
+    }.toDF("rule_no", "rule")
+    val nDocs = counts.filter(col("rule_no") === ruleNames.length.toLong)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_docs"))
+    ruleRows
+      .join(counts.filter(col("rule_no") < ruleNames.length.toLong),
+        Seq("rule_no"), "left")
+      .withColumn("n_failed", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(nDocs))
+      .select(col("rule_no"), col("rule"), col("n_failed"), col("n_docs"),
+        when(col("n_docs") > 0,
+          round(col("n_failed") / col("n_docs"), 6)).as("fail_rate"))
       .orderBy("rule_no")
   }
 

@@ -24,7 +24,6 @@ object TextAnalysis {
     * results differ across engines).
     */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
     df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -32,7 +31,8 @@ object TextAnalysis {
       .withColumn("avg_token_len",
         round(expr("aggregate(toks, 0L, (a, t) -> a + length(t))") / col("n_tokens"), 4))
       .withColumn("stop_ratio",
-        expr(s"size(filter(toks, t -> t IN ($stopList)))") / col("n_tokens"))
+        size(filter(col("toks"), t => t.isInCollection(Stopwords)))
+          / col("n_tokens"))
       .withColumn("punct_ratio",
         length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")) / length(col("text")))
       .withColumn("upper_ratio",
@@ -76,10 +76,12 @@ object TextAnalysis {
   }
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punct.
-    * Doubled backslash: the SQL string parser consumes one level, the
-    * regex engine sees `\s`.
+    * Plain regex (the engine sees `\s` directly) — passed through
+    * `lit`, never spliced into a SQL string, so no quoting level to
+    * keep track of and no column-name splice hazard (ADVICE_r12/_r13:
+    * `expr(s"...$col...")` breaks on names needing backticks).
     */
-  val BpeRegexSqlLit: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+  val BpeRegex: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** T3: token counting per source — whitespace tokens vs BPE-ish
     * subword units.
@@ -87,7 +89,7 @@ object TextAnalysis {
   def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     df.select(col(groupCol).as("source"),
         size(tokens(col(textCol))).cast("long").as("ws"),
-        size(expr(s"regexp_extract_all($textCol, '$BpeRegexSqlLit', 0)"))
+        size(regexp_extract_all(col(textCol), lit(BpeRegex), lit(0)))
           .cast("long").as("bpe"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -2589,7 +2589,8 @@ object PipelineQueries {
         |  UNION ALL SELECT 'custkey_referential', n, f FROM ref)
         |SELECT expectation, n_checked, CAST(n_failed AS BIGINT) AS n_failed,
         |  round(CAST(n_failed AS DOUBLE) / n_checked, 6) AS fail_rate,
-        |  CAST(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |  CAST(CASE WHEN n_checked = 0 THEN NULL
+        |    WHEN n_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM u ORDER BY expectation""".stripMargin,
     // C9: eval-side IVF cells (lowest-id seeds over the eval subset),
     // train routed to its 2 nearest cells, train x eval cell-mate

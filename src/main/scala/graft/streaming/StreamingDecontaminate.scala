@@ -17,19 +17,34 @@ import graft.operators.Dedup
   *
   * Shape: positional gram hashes are computed IN-ROW (the batch
   * operator's exact combine ladder), then one stream-static equi-join
-  * against the eval gram set — the small side by contract, so the
-  * planner broadcasts it and exploded gram rows pipeline through the
-  * join without a shuffle; only HIT rows (rare: contamination is the
-  * exception) reach the per-doc regroup, each carrying the doc's
-  * token array once per hit. The span merge runs in
-  * `flatMapGroupsWithState` with NoTimeout and NO retained state —
-  * a doc's gram rows never span micro-batches (explode preserves
-  * batch locality), so the group function is a pure per-doc fold and
-  * the state store stays empty. Append mode, unbounded-history safe.
+  * against the eval gram set — the small side by contract, broadcast
+  * STRUCTURALLY (not left to stats), so exploded gram rows pipeline
+  * through the join without a shuffle and stay contiguous per doc.
+  * Hit rows then fold per-partition into ONE row per doc (positions
+  * list + a single toks copy) BEFORE the per-doc regroup — the r13
+  * shape carried the doc's full token array on EVERY hit row into the
+  * shuffle and materialized them all at once in the group fold, so a
+  * boilerplate-heavy doc cost O(hits x doc_len) shuffle/memory in one
+  * task (ADVICE_r13); the combine makes the shuffle O(affected docs x
+  * doc_len) and the fold streaming. Correctness never depends on the
+  * contiguity: the combine emits one row per contiguous RUN, and the
+  * group fold merges runs if a plan change ever splits one.
+  *
+  * The span merge runs in `flatMapGroupsWithState` with NoTimeout and
+  * NO retained state — a doc's gram rows never span micro-batches
+  * (explode preserves batch locality), so the group function is a
+  * pure per-doc fold and the state store stays empty. Append mode,
+  * unbounded-history safe.
   */
 object StreamingDecontaminate {
 
   final case class Hit(doc_id: Long, pos: Int, toks: Seq[String])
+
+  /** One contiguous per-partition run of a doc's hits: every hit
+    * position, the token array exactly once.
+    */
+  final case class HitRun(doc_id: Long, positions: Seq[Int],
+      toks: Seq[String])
 
   final case class Scrubbed(doc_id: Long, n_tokens: Long,
       removed_tokens: Long, n_spans_removed: Long, keep_hash: String)
@@ -67,24 +82,49 @@ object StreamingDecontaminate {
         col("toks"), col("sh"))
     // evalSh is distinct on sh and each gram row carries one sh, so
     // this inner join is exactly a left-semi: at most one hit per
-    // (doc, pos) — no in-row dedup needed downstream.
-    val hits = grams.join(evalSh, Seq("sh"))
+    // (doc, pos) — no in-row dedup needed downstream. broadcast() is
+    // structural: an SMJ here would shuffle toks-carrying gram rows
+    // AND break the per-doc contiguity the combine below exploits.
+    val hits = grams.join(broadcast(evalSh), Seq("sh"))
       .select(col("doc_id"), col("pos"), col("toks"))
+
+    // per-partition combine: fold each contiguous same-doc run into
+    // one HitRun — one row at a time (never rows.toSeq over toks
+    // copies), one toks copy per doc reaches the shuffle
+    val runs = hits.as[Hit].mapPartitions { it =>
+      new Iterator[HitRun] {
+        private var pending: Option[Hit] = None
+        def hasNext: Boolean = pending.nonEmpty || it.hasNext
+        def next(): HitRun = {
+          val first = pending.getOrElse(it.next())
+          pending = None
+          val positions = scala.collection.mutable.ArrayBuffer(first.pos)
+          var done = false
+          while (!done && it.hasNext) {
+            val h = it.next()
+            if (h.doc_id == first.doc_id) positions += h.pos
+            else { pending = Some(h); done = true }
+          }
+          HitRun(first.doc_id, positions.toSeq, first.toks)
+        }
+      }
+    }
 
     // the group function must close over plain locals only (ints), not
     // over this object or the method's DataFrame params — Spark
     // serializes the closure to executors
     val nGram = n
     val minLen = minSpanLen
-    def emit(docId: Long, rows: Iterator[Hit],
+    def emit(docId: Long, rows: Iterator[HitRun],
         state: GroupState[Boolean]): Iterator[Scrubbed] = {
       def md5Hex(s: String): String =
         java.security.MessageDigest.getInstance("MD5")
           .digest(s.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
-      val hs = rows.toSeq
+      val hs = rows.toSeq // one element per run — ~1 per doc, tiny
       val toks = hs.head.toks
-      val covered = hs.flatMap(h => h.pos until h.pos + nGram).distinct.sorted
+      val covered = hs.flatMap(_.positions)
+        .flatMap(p => p until p + nGram).distinct.sorted
       val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       for (tp <- covered) {
         if (spans.nonEmpty && tp == spans.last._1 + spans.last._2)
@@ -103,7 +143,7 @@ object StreamingDecontaminate {
       }
     }
 
-    hits.as[Hit].groupByKey(_.doc_id)
+    runs.groupByKey(_.doc_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(emit)
   }
