@@ -727,10 +727,24 @@ object Dedup {
   /** D3: MinHash+LSH near-dup. Candidates = pairs sharing any band
     * bucket (shuffle on (band, bh)); exact Jaccard verification runs
     * only over candidates — the 100 TB scale path.
+    *
+    * `maxBucket` (0 = uncapped, the gate default) guards the skewed-
+    * shingle regime ProbeScaleLshSkew measured: a popular contiguous
+    * stop-phrase block pins each perm's minimum to the SAME shingle
+    * for every doc carrying the block, so docs whose whole band is
+    * block-dominated land in ONE bucket — bucket width grows with the
+    * corpus and the band join's pair volume quadratically (the exact
+    * failure simhashBandPairs already capped). Dropping buckets wider
+    * than `maxBucket` restores the linear slope at a bounded recall
+    * cost: a true near-dup pair agrees on (almost) every band, so it
+    * still meets in a non-degenerate one — the probe's planted pairs
+    * survive a 200-cap at 100% while the skewed corpus's wall returns
+    * to the uniform arm's.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int, num: Long, den: Long,
-      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+      tokenHash: Column => Column = Hashing.h30,
+      maxBucket: Long = 0): DataFrame = {
     // materialize the shingle index once ([[Materializer]], same
     // device as the capped ngram path): its four consumers — the
     // signature aggregation, both exact-verify probes, and the size
@@ -741,16 +755,24 @@ object Dedup {
     // pass).
     val sets = Materializer.of(df.sparkSession)(
       shingleSets(df, idCol, textCol, n, tokenHash))
-    lshPairsFromSets(sets, num, den)
+    lshPairsFromSets(sets, num, den, maxBucket)
   }
 
   /** The MinHash+LSH pair chain over a prebuilt (ideally materialized)
     * shingle-set frame: band-bucket candidates, exact-verified at
-    * `num/den`.
+    * `num/den`. `maxBucket > 0` drops band buckets wider than the cap
+    * before they emit O(width²) pairs (see [[minhashLsh]]).
     */
   private def lshPairsFromSets(sets: DataFrame, num: Long,
-      den: Long): DataFrame = {
-    val bands = bandHashes(minhashSignatures(sets))
+      den: Long, maxBucket: Long = 0): DataFrame = {
+    val all = bandHashes(minhashSignatures(sets))
+    val bands =
+      if (maxBucket <= 0) all
+      else all
+        .withColumn("__w",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+        .filter(col("__w") <= maxBucket)
+        .drop("__w")
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
