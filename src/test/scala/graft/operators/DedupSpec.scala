@@ -412,6 +412,48 @@ class DedupSpec extends SparkSuite {
       .forall(c => c.count(_._4 == 1L) == 1))
   }
 
+  test("keepCanonical: tie-break survives extreme negative ids (bitwise-NOT, not negation)") {
+    // -id overflows on Long.MinValue (-MinValue == MinValue) and
+    // would invert the tie order; ~id is a monotone-decreasing
+    // bijection, so the smallest id still wins an exact-quality tie
+    val corpus = Seq(
+      (Long.MinValue, "same text"), (Long.MinValue + 1, "same text"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((Long.MinValue, Long.MinValue + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepCanonical(corpus, "doc_id",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")), pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Long]("is_kept"))).toMap
+    assert(out(Long.MinValue) == (Long.MinValue, 1L))
+    assert(out(Long.MinValue + 1) == (Long.MinValue, 0L))
+  }
+
+  test("keepCanonical: fractional quality is rejected loudly, not silently truncated") {
+    // a learned [0,1] score cast to long collapses to all-ties and the
+    // id becomes the de-facto keep rule — refuse instead and tell the
+    // caller to scale to integer micros
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException](
+      Dedup.keepCanonical(corpus, "doc_id",
+        org.apache.spark.sql.functions.rand(7), pairs))
+    assert(e.getMessage.contains("integral quality"))
+  }
+
+  test("simhashRecall: truthMaxBucket caps the truth arm (documented recall-of-truth loss)") {
+    // five byte-identical docs: every band bucket has width 5, so a
+    // truth cap of 2 drops them all — the gate's worst case is now
+    // bounded at the cost of losing hot-bucket truth pairs
+    val corpus = (1L to 5L).map(i =>
+      (i, "the exact same document text repeated verbatim here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashRecall(corpus, "doc_id", "text", maxHamming = 2)
+      .agg(org.apache.spark.sql.functions.sum("n_true")).head.getLong(0) == 10L)
+    assert(Dedup.simhashRecall(corpus, "doc_id", "text", maxHamming = 2,
+      truthMaxBucket = 2).count() == 0L)
+  }
+
   test("dup clean: threshold below n is rejected") {
     intercept[IllegalArgumentException](
       Dedup.dupCleanAtThreshold(docs, "doc_id", "text", 5, 4))

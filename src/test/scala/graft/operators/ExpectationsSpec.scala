@@ -44,6 +44,16 @@ class ExpectationsSpec extends SparkSuite {
     assert(out.getAs[Double]("fail_rate") == 0.0)
   }
 
+  test("empty table: vacuous truth reports pass = NULL, never 1 (gate cannot promote an empty snapshot)") {
+    val df = Seq.empty[(Long, Double)].toDF("id", "v")
+    val out = Expectations.audit(df, Seq("v_pos" -> (col("v") > 0)))
+      .collect().head
+    assert(out.getAs[Long]("n_checked") == 0L)
+    assert(out.getAs[Long]("n_failed") == 0L)
+    assert(out.isNullAt(out.fieldIndex("fail_rate")))
+    assert(out.isNullAt(out.fieldIndex("pass")))
+  }
+
   test("duplicate names and empty suites are rejected") {
     val df = Seq((1L, 5.0)).toDF("id", "v")
     intercept[IllegalArgumentException](

@@ -50,6 +50,26 @@ class IvfIndexSpec extends SparkSuite {
     // cells probed recall should still be well above chance
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("null vector fails assignment LOUDLY instead of vanishing from cell joins") {
+    val sq = spark
+    import sq.implicits._
+    val good = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val bad = good.unionAll(
+      Seq((3L, null.asInstanceOf[Array[Double]])).toDF("vec_id", "embedding"))
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // clean corpus assigns fine
+    assert(IvfIndex.assign(cents, good, "vec_id", "embedding").count() == 2)
+    // a null vector has no nearest cell: raise, never a silent NULL
+    // cell that drops the row from downstream equi-joins
+    val e = intercept[Exception](
+      IvfIndex.assign(cents, bad, "vec_id", "embedding").collect())
+    assert(e.getMessage != null && (e.getMessage.contains("no nearest cell")
+      || (e.getCause != null &&
+        e.getCause.getMessage.contains("no nearest cell"))),
+      s"unexpected failure: ${e.getMessage}")
+  }
 }
 
 class IvfPersistenceSpec extends SparkSuite {
