@@ -29,7 +29,7 @@ object Attribution {
       channelTypes: Seq[String], lookbackSeconds: Long): DataFrame = {
     require(lookbackSeconds > 0, s"invalid lookback=$lookbackSeconds")
     val base = events.select(col(userCol).as("user_id"),
-      expr(s"unix_micros($tsCol)").as("us"),
+      unix_micros(col(tsCol)).as("us"),
       col(typeCol).as("ty"), col(idCol).as("event_id"))
     val conv = base.filter(col("ty") === convType)
       .select(col("user_id"), col("us").as("conv_us"),

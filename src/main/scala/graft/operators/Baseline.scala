@@ -176,8 +176,8 @@ object Baseline {
     val hourUs = 3600L * 1000000L
     val maxTs = df.agg(max(unix_micros(col(tsCol))).as("__end"))
     val counted = df.crossJoin(broadcast(maxTs))
-      .withColumn("__ago",
-        expr(s"(__end - unix_micros($tsCol)) div $hourUs"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__ago", expr(s"(__end - __us) div $hourUs"))
       .filter(col("__ago") < windowHours)
       .withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
       .withColumn("network",
@@ -215,7 +215,8 @@ object Baseline {
     df.withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
       .withColumn("network",
         IpFunctions.numToIp4(IpFunctions.networkOf(col("__ip_num"), prefix)))
-      .withColumn("h", expr(s"unix_micros($tsCol) div $hourUs"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("h", expr(s"__us div $hourUs"))
       .groupBy(col("network"), col("h"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("network"))
@@ -269,8 +270,8 @@ object Baseline {
     val hourUs = 3600L * 1000000L
     val maxTs = df.agg(max(unix_micros(col(tsCol))).as("__end"))
     val counted = df.crossJoin(broadcast(maxTs))
-      .withColumn("__ago",
-        expr(s"(__end - unix_micros($tsCol)) div $hourUs"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__ago", expr(s"(__end - __us) div $hourUs"))
       .filter(col("__ago") < windowHours)
       .withColumn("__ip_num", IpFunctions.ip4ToNum(col(hostCol)))
       .withColumn("network",

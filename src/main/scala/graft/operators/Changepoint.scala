@@ -60,7 +60,8 @@ object Changepoint {
       bucketSeconds: Long, allowance: Long, threshold: Long): DataFrame = {
     val bucketUs = bucketSeconds * 1000000L
     val counts = events
-      .withColumn("bucket", expr(s"unix_micros($tsCol) div $bucketUs"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("bucket", expr(s"__us div $bucketUs"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("x"))
     cusumSeries(counts, keyCol, "bucket", "x", allowance, threshold)
@@ -83,7 +84,8 @@ object Changepoint {
       bucketSeconds: Long, threshold: Long): DataFrame = {
     val bucketUs = bucketSeconds * 1000000L
     val above = events
-      .withColumn("bucket", expr(s"unix_micros($tsCol) div $bucketUs"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("bucket", expr(s"__us div $bucketUs"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("x"))
       .filter(col("x") >= threshold)
@@ -149,7 +151,8 @@ object Changepoint {
       bucketSeconds: Long): DataFrame = {
     val bucketUs = bucketSeconds * 1000000L
     val counts = events
-      .withColumn("bucket", expr(s"unix_micros($tsCol) div $bucketUs"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("bucket", expr(s"__us div $bucketUs"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("y"))
     val rel = counts

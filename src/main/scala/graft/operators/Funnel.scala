@@ -74,7 +74,7 @@ object Funnel {
     val gapUs = gapSeconds * 1000000L
     val w = Window.partitionBy(col("__uid")).orderBy(col("__us"), col("__eid"))
     df.select(col(idCol).as("__uid"),
-        expr(s"unix_micros($tsCol)").as("__us"),
+        unix_micros(col(tsCol)).as("__us"),
         col(typeCol).as("__ty"), col(eventIdCol).as("__eid"))
       .withColumn("__new",
         when(lag(col("__us"), 1).over(w).isNull ||

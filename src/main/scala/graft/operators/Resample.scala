@@ -39,8 +39,8 @@ object Resample {
     val stepUs = stepSeconds * 1000000L
     val obs = df
       .select(col(keyCol).as("key"),
-        expr(s"unix_micros($tsCol)").as("us"),
-        expr(s"cast(round($valueCol * 1000000) as bigint)").as("__vm"))
+        unix_micros(col(tsCol)).as("us"),
+        round(col(valueCol) * lit(1000000)).cast("bigint").as("__vm"))
       .groupBy("key", "us")
       // same-instant duplicates resolve to the minimum (deterministic)
       .agg(min(col("__vm")).as("__vm"))

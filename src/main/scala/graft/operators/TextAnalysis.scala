@@ -875,7 +875,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("__toks"),
         size(col("__toks")).cast("long").as("dl"))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      expr(s"cast(size(filter(__toks, x -> x = '$t')) as bigint)")
+      size(filter(col("__toks"), x => x === lit(t))).cast("bigint")
         .as(s"__tf$i")
     }
     base.select(col("doc_id") +: col("dl") +: tfCols: _*)

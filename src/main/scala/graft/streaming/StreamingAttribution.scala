@@ -42,7 +42,7 @@ object StreamingAttribution {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(userCol).as("user_id"),
-        expr(s"unix_micros($tsCol)").as("us"),
+        unix_micros(col(tsCol)).as("us"),
         col(typeCol).as("ty"), col(idCol).as("event_id"))
       .as[Ev]
   }

@@ -46,8 +46,9 @@ object StreamingCusum {
     events
       .withColumn("key", IpFunctions.numToIp4(IpFunctions.networkOf(
         IpFunctions.ip4ToNum(col(hostCol)), prefix)))
+      .withColumn("__us", unix_micros(col(tsCol)))
       .withColumn("bucket",
-        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}"))
+        expr(s"__us div ${bucketSeconds * 1000000L}"))
       .select(col("key"), col("bucket"))
       .as[Tick]
   }

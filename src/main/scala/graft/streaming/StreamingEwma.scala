@@ -52,8 +52,9 @@ object StreamingEwma {
     events
       .withColumn("network", IpFunctions.numToIp4(IpFunctions.networkOf(
         IpFunctions.ip4ToNum(col(hostCol)), prefix)))
+      .withColumn("__us", unix_micros(col(tsCol)))
       .withColumn("hourIdx",
-        expr(s"unix_micros($tsCol) div ${3600L * 1000000L}"))
+        expr(s"__us div ${3600L * 1000000L}"))
       .select(col("network"), col("hourIdx"))
       .as[Tick]
   }

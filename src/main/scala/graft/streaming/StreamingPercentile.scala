@@ -52,7 +52,7 @@ object StreamingPercentile {
         col("network"))
       .agg(
         count(lit(1)).as("n_events"),
-        expr(s"approx_percentile($valueCol, $fraction, $accuracy)")
+        percentile_approx(col(valueCol), lit(fraction), lit(accuracy))
           .as("p_value"))
   }
 }
