@@ -19,6 +19,90 @@ object Dedup {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Sentinel for the band-join `maxBucket` params: decide the cap
+    * automatically from a one-pass hottest-bucket count (the
+    * `rankKernel=auto` pattern applied to the D3/D4/M7 hot-bucket
+    * guard). See [[chooseBucketCap]].
+    */
+  val AutoBucket: Long = -1L
+
+  /** Hottest-band-bucket width at which `maxBucket = AutoBucket`
+    * engages the cap. Default sits between ProbeScaleLshSkew's two
+    * measured regimes (local[32], stop-phrase skew): at hot width
+    * ~2,100 (400k docs) the cap's window cost ≈ its savings; at
+    * ~4,200 (800k docs) it decisively pays (24.4 s vs 33.0 s) and the
+    * quadratic term only grows from there (~3.5B excess pairs at 8M
+    * docs). Cluster deployments with per-task memory caps tune this
+    * down.
+    */
+  val BucketCapAutoThresholdKey = "graft.bucketCap.autoThreshold"
+  private val BucketCapThresholdDefault = 4000L
+
+  /** The cap applied when auto engages: ProbeScaleLshSkew's measured
+    * arm (200 kept every planted near-dup at 100% recall while
+    * returning the skewed corpus's wall to the uniform arm's slope).
+    */
+  val BucketCapAutoValueKey = "graft.bucketCap.autoValue"
+  private val BucketCapValueDefault = 200L
+
+  /** The `AutoBucket` decision: ONE count-per-bucket aggregate over
+    * the band rows (map-side combinable — output is one row per
+    * distinct bucket, reduced to a scalar) compared against
+    * [[BucketCapAutoThresholdKey]]; returns the configured cap when
+    * the hottest bucket crosses it, else 0 (uncapped). Driver-side by
+    * necessity — whether the O(width²) guard is worth its
+    * bucket-width shuffle is a plan choice that cannot stay lazy —
+    * and it is exactly the skew audit a 100 TB operator would run
+    * before an LSH join, wired into the knob. Callers pass a
+    * MATERIALIZED band frame so the decision never re-runs the
+    * signature pipeline.
+    */
+  private[graft] def chooseBucketCap(bands: DataFrame,
+      keys: Seq[String]): Long = {
+    val conf = bands.sparkSession.conf
+    val threshold = conf
+      .get(BucketCapAutoThresholdKey, BucketCapThresholdDefault.toString).toLong
+    val capValue = conf
+      .get(BucketCapAutoValueKey, BucketCapValueDefault.toString).toLong
+    val row = bands.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__w"))
+      .agg(max(col("__w"))).head()
+    val hottest = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (hottest >= threshold) capValue else 0L
+  }
+
+  /** Drops band buckets wider than `cap` before they emit O(width²)
+    * pairs: one count window keyed by the bucket columns.
+    */
+  private def widthFiltered(src: DataFrame, keys: Seq[String],
+      cap: Long): DataFrame = src
+    .withColumn("__w",
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    .filter(col("__w") <= cap)
+    .drop("__w")
+
+  /** Band-frame cap plumbing for the MATERIALIZING band joins
+    * (simhash, bandedHamming): explicit `maxBucket` keeps the
+    * existing single-materialization shape (the width window folded
+    * under one checkpoint); `AutoBucket` first materializes the
+    * uncapped bands (both the decision and any subsequent filter read
+    * them — the signature pipeline runs once), decides, and only pays
+    * the width window when the cap engages.
+    */
+  private def cappedBands(bands0: DataFrame, keys: Seq[String],
+      maxBucket: Long): DataFrame = {
+    require(maxBucket >= AutoBucket,
+      s"maxBucket=$maxBucket: 0 = uncapped, > 0 = explicit cap, " +
+        s"$AutoBucket = auto")
+    val mat = Materializer.of(bands0.sparkSession)
+    if (maxBucket == 0) mat(bands0)
+    else if (maxBucket > 0) mat(widthFiltered(bands0, keys, maxBucket))
+    else {
+      val all = mat(bands0)
+      val cap = chooseBucketCap(all, keys)
+      if (cap <= 0) all else mat(widthFiltered(all, keys, cap))
+    }
+  }
+
   /** D1: exact dedup — one hash-partial-aggregated groupBy on a 128-bit
     * content hash; the canonical first pass of any training pipeline.
     */
@@ -740,6 +824,14 @@ object Dedup {
     * still meets in a non-degenerate one — the probe's planted pairs
     * survive a 200-cap at 100% while the skewed corpus's wall returns
     * to the uniform arm's.
+    *
+    * `maxBucket = AutoBucket` (-1) makes the cap an automatic
+    * decision: ONE map-side-combinable hottest-bucket count over the
+    * (checkpointed-once) band rows, capped at
+    * `graft.bucketCap.autoValue` iff the hottest bucket reaches
+    * `graft.bucketCap.autoThreshold` (see [[chooseBucketCap]]) — the
+    * probe's crossover wired into the knob, so a deployment need not
+    * know its corpus's stop-phrase skew in advance.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int, num: Long, den: Long,
@@ -765,14 +857,23 @@ object Dedup {
     */
   private def lshPairsFromSets(sets: DataFrame, num: Long,
       den: Long, maxBucket: Long = 0): DataFrame = {
+    require(maxBucket >= AutoBucket,
+      s"maxBucket=$maxBucket: 0 = uncapped, > 0 = explicit cap, " +
+        s"$AutoBucket = auto")
+    val lshKeys = Seq("band", "bh")
     val all = bandHashes(minhashSignatures(sets))
     val bands =
-      if (maxBucket <= 0) all
-      else all
-        .withColumn("__w",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-        .filter(col("__w") <= maxBucket)
-        .drop("__w")
+      if (maxBucket == 0) all
+      else if (maxBucket > 0) widthFiltered(all, lshKeys, maxBucket)
+      else {
+        // AutoBucket: checkpoint the bands once (measured neutral for
+        // the uncapped join — the signature agg is one pass — and here
+        // it keeps the decision scalar AND both join sides from
+        // re-running that agg), decide, filter only when engaged
+        val mat = Materializer.of(sets.sparkSession)(all)
+        val cap = chooseBucketCap(mat, lshKeys)
+        if (cap <= 0) mat else widthFiltered(mat, lshKeys, cap)
+      }
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -916,9 +1017,10 @@ object Dedup {
     * `maxBucket > 0` drops band buckets wider than maxBucket from
     * candidate generation — a popular band value (boilerplate-heavy
     * corpora collapse many docs into one bucket) would otherwise emit
-    * O(width²) pairs in a single task. Run exact dedup FIRST: a bucket
-    * that is wide because of true byte-identical duplicates should
-    * never reach this operator.
+    * O(width²) pairs in a single task; `AutoBucket` (-1) decides from
+    * a one-pass hottest-bucket count (see [[chooseBucketCap]]). Run
+    * exact dedup FIRST: a bucket that is wide because of true
+    * byte-identical duplicates should never reach this operator.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxBucket: Long = 0): DataFrame =
@@ -942,14 +1044,8 @@ object Dedup {
     // materialized once: BOTH sides of the self-join read the band
     // rows, so the shingle+simhash pipeline (and the bucket-width
     // window when capped) would run twice (measured 2.5 -> 1.4 s
-    // median at sf0.1)
-    val bands = Materializer.of(sims.sparkSession)(
-      if (maxBucket <= 0) all
-      else all
-        .withColumn("__w",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
-        .filter(col("__w") <= maxBucket)
-        .drop("__w"))
+    // median at sf0.1); AutoBucket decides off the materialized frame
+    val bands = cappedBands(all, Seq("band", "bv"), maxBucket)
     bands.as("x").join(bands.as("y"), Seq("band", "bv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -1026,8 +1122,10 @@ object Dedup {
     * Scale shape: the only shuffle keys on (band, band-value) — pair
     * volume is proportional to true bucket collisions, never |corpus|².
     * `maxBucket` drops degenerate buckets (a flat fingerprint shared
-    * by a huge corpus slice) before they emit O(width²) pairs; run
-    * exact dedup first so byte-identical media never reaches here.
+    * by a huge corpus slice) before they emit O(width²) pairs
+    * (`AutoBucket` decides from a one-pass hottest-bucket count, see
+    * [[chooseBucketCap]]); run exact dedup first so byte-identical
+    * media never reaches here.
     */
   def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       totalBits: Int, nBands: Int, maxHamming: Int,
@@ -1052,14 +1150,9 @@ object Dedup {
       .select(col("doc_id"), col("h"),
         col("b.band").as("band"), col("b.bv").as("bv"))
     // materialized once — both sides of the self-join read the band
-    // rows (same device as simhashNearDup)
-    val bands = Materializer.of(hashes.sparkSession)(
-      if (maxBucket <= 0) all
-      else all
-        .withColumn("__w",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
-        .filter(col("__w") <= maxBucket)
-        .drop("__w"))
+    // rows (same device as simhashNearDup); AutoBucket decides off
+    // the materialized frame
+    val bands = cappedBands(all, Seq("band", "bv"), maxBucket)
     bands.as("x").join(bands.as("y"), Seq("band", "bv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

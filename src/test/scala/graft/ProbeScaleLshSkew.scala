@@ -31,7 +31,16 @@ import org.apache.spark.sql.functions._
   * blocks of earlier reps pile into the fixed heap and later arms
   * measure GC thrash, not the band join (the first cut of this probe
   * did exactly that: arm order, not skew, dominated the 800k tier).
-  * Run: sbt -batch "Test/runMain graft.ProbeScaleLshSkew"
+  *
+  * r14: a fourth arm runs `maxBucket = AutoBucket` on BOTH corpora —
+  * the decision must stay uncapped on the uniform corpus (hottest
+  * bucket << threshold), engage on the skewed one past the threshold,
+  * and cost no more than one map-side-combinable count over the band
+  * rows on top of whichever arm it picks. Also r14: `--big` runs the
+  * 2M/4M tiers with the skewed-uncapped arm at ONE rep past 2M (its
+  * quadratic term is the regime being escaped; 3 reps of a known
+  * catastrophe teach nothing) while capped/auto keep 3.
+  * Run: sbt -batch "Test/runMain graft.ProbeScaleLshSkew [--big]"
   */
 object ProbeScaleLshSkew {
   def main(args: Array[String]): Unit = {
@@ -64,9 +73,10 @@ object ProbeScaleLshSkew {
       System.gc()
     }
 
-    def run(name: String, n: Long, skewed: Boolean, maxBucket: Long): Unit = {
+    def run(name: String, n: Long, skewed: Boolean, maxBucket: Long,
+        reps: Int = 3): Unit = {
       val planted = n / 1000
-      val rs = (1 to 3).map { _ =>
+      val rs = (1 to reps).map { _ =>
         val df = corpus(n, skewed)
         val t0 = System.nanoTime()
         val got = graft.operators.Dedup
@@ -81,14 +91,28 @@ object ProbeScaleLshSkew {
       val got = rs.head._2
       assert(got >= (planted * 99) / 100,
         s"$name: planted recall ${got}/$planted below 99%")
-      println(f"[probe] $name median ${rs.map(_._1).sorted.apply(1)}%6.2f s " +
+      val med = rs.map(_._1).sorted.apply(rs.size / 2)
+      println(f"[probe] $name median $med%6.2f s " +
         f"(${rs.map(t => f"${t._1}%.2f").mkString(", ")}) planted=$got/$planted")
     }
 
-    for (n <- Seq(100000L, 200000L, 400000L, 800000L)) {
-      run(s"uniform   n=$n", n, skewed = false, 0L)
-      run(s"skewed    n=$n", n, skewed = true, 0L)
-      run(s"capped200 n=$n", n, skewed = true, 200L)
+    val big = args.contains("--big")
+    val auto = graft.operators.Dedup.AutoBucket
+    if (!big) {
+      for (n <- Seq(100000L, 200000L, 400000L, 800000L)) {
+        run(s"uniform   n=$n", n, skewed = false, 0L)
+        run(s"skewed    n=$n", n, skewed = true, 0L)
+        run(s"capped200 n=$n", n, skewed = true, 200L)
+        run(s"autoUnif  n=$n", n, skewed = false, auto)
+        run(s"autoSkew  n=$n", n, skewed = true, auto)
+      }
+    } else {
+      for (n <- Seq(2000000L, 4000000L)) {
+        run(s"uniform   n=$n", n, skewed = false, 0L)
+        run(s"skewed    n=$n", n, skewed = true, 0L, reps = 1)
+        run(s"capped200 n=$n", n, skewed = true, 200L)
+        run(s"autoSkew  n=$n", n, skewed = true, auto)
+      }
     }
     spark.stop()
   }

@@ -563,4 +563,93 @@ class DedupSpec extends SparkSuite {
       .toDF("doc_id", "text")
     assert(Dedup.dupPassages(distinctCorpus, "doc_id", "text", 5).count() == 0)
   }
+
+  // a stop-phrase-skewed corpus: 40 docs dominated by the same
+  // 20-token block (each perm's min pins to the block -> whole-band
+  // bucket domination), plus one planted near-dup pair of unrelated
+  // content whose band buckets stay width 2
+  private def skewedCorpus = {
+    val block = (0 until 20).map(i => s"stop$i").mkString(" ")
+    val carriers = (0 until 40).map(i => (10L + i, s"$block unique$i"))
+    val planted = Seq(
+      (900L, "zebra yak xenon walrus violet umber topaz sienna russet"),
+      (901L, "zebra yak xenon walrus violet umber topaz sienna ochre"))
+    (carriers ++ planted).toDF("doc_id", "text")
+  }
+
+  test("lsh AutoBucket engages on a degenerate bucket, equals the " +
+      "explicit cap, and keeps the planted near-dup") {
+    val corpus = skewedCorpus
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val uncapped = pairSet(
+      Dedup.minhashLsh(corpus, "doc_id", "text", 3, 1, 2))
+    val explicit = pairSet(
+      Dedup.minhashLsh(corpus, "doc_id", "text", 3, 1, 2, maxBucket = 10))
+    spark.conf.set(Dedup.BucketCapAutoThresholdKey, "5")
+    spark.conf.set(Dedup.BucketCapAutoValueKey, "10")
+    try {
+      val auto = pairSet(Dedup.minhashLsh(corpus, "doc_id", "text", 3, 1, 2,
+        maxBucket = Dedup.AutoBucket))
+      assert(auto == explicit)
+      assert(auto.contains((900L, 901L)))
+      // the cap really engaged: the block-dominated pairs are gone
+      assert(auto.subsetOf(uncapped) && auto.size < uncapped.size)
+    } finally {
+      spark.conf.unset(Dedup.BucketCapAutoThresholdKey)
+      spark.conf.unset(Dedup.BucketCapAutoValueKey)
+    }
+  }
+
+  test("lsh AutoBucket stays uncapped below the threshold") {
+    // default threshold (4000) - nothing in the 4-doc corpus is hot
+    val uncapped = Dedup.minhashLsh(docs, "doc_id", "text", 3, 1, 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val auto = Dedup.minhashLsh(docs, "doc_id", "text", 3, 1, 2,
+        maxBucket = Dedup.AutoBucket)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(auto == uncapped && auto.contains((1L, 2L)))
+  }
+
+  test("AutoBucket on an empty corpus returns empty (decision sees " +
+      "a NULL max)") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docs.schema)
+    assert(Dedup.minhashLsh(empty, "doc_id", "text", 3, 1, 2,
+      maxBucket = Dedup.AutoBucket).count() == 0)
+  }
+
+  test("maxBucket below the AutoBucket sentinel is rejected loudly") {
+    intercept[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "doc_id", "text", 3, 1, 2, maxBucket = -2L))
+    intercept[IllegalArgumentException](
+      Dedup.bandedHammingPairs(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "doc_id", "h", 30, 5, 1, maxBucket = -2L))
+  }
+
+  test("bandedHamming AutoBucket drops the degenerate fingerprint " +
+      "bucket and keeps the width-2 pair") {
+    // 30 docs share one flat fingerprint (every band bucket width 30);
+    // two docs one bit apart share 4-of-5 bands at width 2
+    val flat = (0 until 30).map(i => (100L + i, 12345L))
+    val planted = Seq((1L, 1L << 20), (2L, (1L << 20) | 1L))
+    val hashes = (flat ++ planted).toDF("doc_id", "h")
+    spark.conf.set(Dedup.BucketCapAutoThresholdKey, "5")
+    spark.conf.set(Dedup.BucketCapAutoValueKey, "4")
+    try {
+      val auto = Dedup.bandedHammingPairs(hashes, "doc_id", "h",
+          totalBits = 30, nBands = 5, maxHamming = 1,
+          maxBucket = Dedup.AutoBucket)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(auto == Set((1L, 2L)))
+      val explicit = Dedup.bandedHammingPairs(hashes, "doc_id", "h",
+          totalBits = 30, nBands = 5, maxHamming = 1, maxBucket = 4)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(auto == explicit)
+    } finally {
+      spark.conf.unset(Dedup.BucketCapAutoThresholdKey)
+      spark.conf.unset(Dedup.BucketCapAutoValueKey)
+    }
+  }
 }
