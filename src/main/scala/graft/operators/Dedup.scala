@@ -53,9 +53,12 @@ object Dedup {
     * necessity — whether the O(width²) guard is worth its
     * bucket-width shuffle is a plan choice that cannot stay lazy —
     * and it is exactly the skew audit a 100 TB operator would run
-    * before an LSH join, wired into the knob. Callers pass a
-    * MATERIALIZED band frame so the decision never re-runs the
-    * signature pipeline.
+    * before an LSH join, wired into the knob. Materialization of the
+    * band frame is the CALLER's choice: simhash/bandedHamming pass
+    * their (always-materialized — raw-text upstream) frames; the LSH
+    * caller passes the plain frame and eats one extra signature agg
+    * over its materialized shingle sets instead (ProbeLshBandsMat:
+    * cheaper than a band checkpoint).
     */
   private[graft] def chooseBucketCap(bands: DataFrame,
       keys: Seq[String]): Long = {
@@ -70,36 +73,55 @@ object Dedup {
     if (hottest >= threshold) capValue else 0L
   }
 
+  /** The buckets wider than `cap`: one map-side-combinable count per
+    * bucket filtered to the hot set — AT MOST bandRows/cap rows by
+    * construction (0.5% of band rows at cap 200), so it checkpoints
+    * cheaply and the checkpoint hands AQE exact tiny-table stats.
+    */
+  private def hotBuckets(src: DataFrame, keys: Seq[String],
+      cap: Long): DataFrame =
+    Materializer.of(src.sparkSession)(
+      src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__w"))
+        .filter(col("__w") > cap)
+        .select(keys.map(col): _*))
+
   /** Drops band buckets wider than `cap` before they emit O(width²)
-    * pairs: one count window keyed by the bucket columns.
+    * pairs: LEFT ANTI join against the materialized [[hotBuckets]]
+    * set. With the hot set small (its structural common case) AQE
+    * plans a broadcast anti join, so the band frame is NEVER shuffled
+    * for the guard; in the adversarial worst case (all buckets just
+    * over cap) the anti join degrades to the same (band, hash)-keyed
+    * shuffle the guard always needed. This replaced an r13-r14 count
+    * window over (band, hash): the window shuffled AND sorted the
+    * ENTIRE band frame once per join side — at 4M docs on a 48g
+    * local JVM exactly the execution-memory profile that OOMed the
+    * ProbeScaleLshSkew --big auto arm, and at 100 TB a full extra
+    * corpus shuffle for a guard that structurally needs only a
+    * bucket-count table.
     */
   private def widthFiltered(src: DataFrame, keys: Seq[String],
-      cap: Long): DataFrame = src
-    .withColumn("__w",
-      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-    .filter(col("__w") <= cap)
-    .drop("__w")
+      cap: Long): DataFrame =
+    src.join(hotBuckets(src, keys, cap), keys, "left_anti")
 
   /** Band-frame cap plumbing for the MATERIALIZING band joins
-    * (simhash, bandedHamming): explicit `maxBucket` keeps the
-    * existing single-materialization shape (the width window folded
-    * under one checkpoint); `AutoBucket` first materializes the
-    * uncapped bands (both the decision and any subsequent filter read
-    * them — the signature pipeline runs once), decides, and only pays
-    * the width window when the cap engages.
+    * (simhash, bandedHamming): the bands are always checkpointed once
+    * (their upstream is the full raw-text pipeline — measured
+    * 2.5 -> 1.4 s); explicit caps and the engaged `AutoBucket` then
+    * apply the [[widthFiltered]] anti join over that checkpoint (the
+    * filtered frame itself is NOT re-checkpointed: each self-join
+    * side re-runs only a broadcast anti probe over local blocks).
     */
   private def cappedBands(bands0: DataFrame, keys: Seq[String],
       maxBucket: Long): DataFrame = {
     require(maxBucket >= AutoBucket,
       s"maxBucket=$maxBucket: 0 = uncapped, > 0 = explicit cap, " +
         s"$AutoBucket = auto")
-    val mat = Materializer.of(bands0.sparkSession)
-    if (maxBucket == 0) mat(bands0)
-    else if (maxBucket > 0) mat(widthFiltered(bands0, keys, maxBucket))
+    val all = Materializer.of(bands0.sparkSession)(bands0)
+    if (maxBucket == 0) all
+    else if (maxBucket > 0) widthFiltered(all, keys, maxBucket)
     else {
-      val all = mat(bands0)
       val cap = chooseBucketCap(all, keys)
-      if (cap <= 0) all else mat(widthFiltered(all, keys, cap))
+      if (cap <= 0) all else widthFiltered(all, keys, cap)
     }
   }
 
@@ -844,7 +866,10 @@ object Dedup {
     // Measured 1.8 -> 1.4 s median at sf0.1; the cluster query
     // consuming this pair set dropped 2.1 -> 1.4 s. Checkpointing the
     // BANDS as well measured no further win (the signature agg is one
-    // pass).
+    // pass) — re-confirmed at 400k/800k docs by ProbeLshBandsMat's
+    // interleaved arms: the checkpointed band join reads 15-18%
+    // SLOWER (the write costs more than re-running the one-pass agg
+    // on each join side saves).
     val sets = Materializer.of(df.sparkSession)(
       shingleSets(df, idCol, textCol, n, tokenHash))
     lshPairsFromSets(sets, num, den, maxBucket)
@@ -866,13 +891,14 @@ object Dedup {
       if (maxBucket == 0) all
       else if (maxBucket > 0) widthFiltered(all, lshKeys, maxBucket)
       else {
-        // AutoBucket: checkpoint the bands once (measured neutral for
-        // the uncapped join — the signature agg is one pass — and here
-        // it keeps the decision scalar AND both join sides from
-        // re-running that agg), decide, filter only when engaged
-        val mat = Materializer.of(sets.sparkSession)(all)
-        val cap = chooseBucketCap(mat, lshKeys)
-        if (cap <= 0) mat else widthFiltered(mat, lshKeys, cap)
+        // AutoBucket: the decision re-runs the signature agg once over
+        // the MATERIALIZED sets — deliberately NOT checkpointing the
+        // band frame: ProbeLshBandsMat (interleaved arms) measured the
+        // checkpointed band join 15-18% SLOWER than recomputing the
+        // one-pass agg on each join side (the write costs more than
+        // the agg saves when the shingle index is already local)
+        val cap = chooseBucketCap(all, lshKeys)
+        if (cap <= 0) all else widthFiltered(all, lshKeys, cap)
       }
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bh"))

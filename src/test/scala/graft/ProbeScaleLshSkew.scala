@@ -39,13 +39,19 @@ import org.apache.spark.sql.functions._
   * rows on top of whichever arm it picks. Also r14: `--big` runs the
   * 2M/4M tiers with the skewed-uncapped arm at ONE rep past 2M (its
   * quadratic term is the regime being escaped; 3 reps of a known
-  * catastrophe teach nothing) while capped/auto keep 3.
+  * catastrophe teach nothing) while capped/auto keep 3. The big tiers
+  * run at 128 shuffle partitions: per SCALING.md's own sizing rule
+  * partitions scale with data, and holding the sf0.1 constant (32) at
+  * 4M docs put per-task join/agg state past a 48g JVM's execution
+  * memory (UNABLE_TO_ACQUIRE_MEMORY in the verify agg) — the probe
+  * measures the operator, not an undersized-partition config.
   * Run: sbt -batch "Test/runMain graft.ProbeScaleLshSkew [--big]"
   */
 object ProbeScaleLshSkew {
   def main(args: Array[String]): Unit = {
+    val bigMode = args.contains("--big")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", if (bigMode) "128" else "32")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -96,7 +102,7 @@ object ProbeScaleLshSkew {
         f"(${rs.map(t => f"${t._1}%.2f").mkString(", ")}) planted=$got/$planted")
     }
 
-    val big = args.contains("--big")
+    val big = bigMode
     val auto = graft.operators.Dedup.AutoBucket
     if (!big) {
       for (n <- Seq(100000L, 200000L, 400000L, 800000L)) {
