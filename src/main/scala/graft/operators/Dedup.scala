@@ -85,6 +85,18 @@ object Dedup {
         .filter(col("__w") > cap)
         .select(keys.map(col): _*))
 
+  /** The shingles with df > `maxDf` — [[hotBuckets]]' structural
+    * bound applied to posting lists: at most shingleRows/maxDf rows,
+    * checkpointed so the rare/hot split's semi/anti joins get exact
+    * tiny-table stats (AQE broadcasts them; the shingle index is
+    * never shuffled for the split).
+    */
+  private[operators] def hotShingles(sets: DataFrame, maxDf: Long): DataFrame =
+    Materializer.of(sets.sparkSession)(
+      sets.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf)
+        .select(col("sh")))
+
   /** Drops band buckets wider than `cap` before they emit O(width²)
     * pairs: LEFT ANTI join against the materialized [[hotBuckets]]
     * set. With the hot set small (its structural common case) AQE
@@ -215,12 +227,13 @@ object Dedup {
     * construction those are far below any useful Jaccard threshold.
     */
   def shingleCandidates(sets: DataFrame, maxDf: Long): DataFrame = {
+    // hot-postings split via the tiny aggregated hot table (same
+    // device as the band joins' hotBuckets anti join): the previous
+    // df count-window shuffled AND sorted the full shingle index —
+    // and, un-materialized here, ran once per self-join side
     val idx =
       if (maxDf <= 0) sets
-      else sets
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-        .filter(col("__df") <= maxDf)
-        .drop("__df")
+      else sets.join(hotShingles(sets, maxDf), Seq("sh"), "left_anti")
     idx.select(col("doc_id").as("doc_a"), col("sh"))
       .join(idx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -263,24 +276,32 @@ object Dedup {
   }
 
   /** The capped (production) n-gram Jaccard path over a prebuilt
-    * shingle-set frame. MATERIALIZES the df-annotated index once
-    * (strategy from [[Materializer]]; default executor-local): its
-    * six consumers — both sides of the rare self-join, both hot
-    * add-back probes, and the two size lookups — would each re-run
-    * the whole scan+shingle pipeline otherwise (the executed
-    * plan showed 16 file scans / 6 window sorts; measured
-    * 4.1 -> 2.9 s median at sf0.1). An index build IS a
-    * materialization — at cluster scale this stores (doc, sh, df)
-    * rows once instead of re-reading the corpus per consumer; a
+    * shingle-set frame. MATERIALIZES the shingle index once (strategy
+    * from [[Materializer]]; default executor-local): its six
+    * consumers — both sides of the rare self-join, both hot add-back
+    * probes, the size lookup, and the hot-shingle aggregation — would
+    * each re-run the whole scan+shingle pipeline otherwise (measured
+    * 4.1 -> 2.9 s median at sf0.1 when this landed in r12, then with
+    * a df-annotation window under the checkpoint; r14 replaced that
+    * window with the [[hotShingles]] semi/anti-join split — no sort,
+    * no df column carried on every row). An index build IS a
+    * materialization — at cluster scale this stores (doc, sh) rows
+    * once instead of re-reading the corpus per consumer; a
     * fault-tolerant run sets graft.materializer=reliable.
     */
   private def cappedJaccardPairs(sets: DataFrame, num: Long, den: Long,
       maxDf: Long): DataFrame = {
     val mat = Materializer.of(sets.sparkSession)
-    val withDf = mat(sets.withColumn("__df",
-      count(lit(1)).over(Window.partitionBy(col("sh")))))
-    val rare = withDf.filter(col("__df") <= maxDf).drop("__df")
-    val hot = withDf.filter(col("__df") > maxDf).drop("__df")
+    // r14: the rare/hot split rides the tiny aggregated hot-shingle
+    // table (semi/anti joins AQE broadcasts) instead of a per-row df
+    // count-window annotation — the split never needed the df VALUE,
+    // only the threshold side, and the window shuffled AND sorted the
+    // whole index under the checkpoint (the band joins' hotBuckets
+    // finding, applied to the flagship path)
+    val idx = mat(sets)
+    val hotSh = hotShingles(idx, maxDf)
+    val rare = idx.join(hotSh, Seq("sh"), "left_anti")
+    val hot = idx.join(hotSh, Seq("sh"), "left_semi")
     val rareShared = sharedCounts(rare)
     val hotShared = rareShared.select("doc_a", "doc_b")
       .join(hot.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -290,11 +311,11 @@ object Dedup {
     val shared = rareShared.join(hotShared, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
         (col("shared") + coalesce(col("__hot"), lit(0L))).as("shared"))
-    // sizes from the SAME materialized rows (the window annotation
-    // kept every (doc, sh) row, so the per-doc counts are identical
-    // to the raw shingle sets')
+    // sizes from the SAME materialized rows (rare and hot partition
+    // the index, so the per-doc counts are identical to the raw
+    // shingle sets')
     jaccardFilterSizes(shared,
-      withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), num, den)
+      idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), num, den)
   }
 
   /** D6: near-dup cluster resolution — connected components over the

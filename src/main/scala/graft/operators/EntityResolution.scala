@@ -54,24 +54,29 @@ object EntityResolution {
         ls.groupBy("left_id").agg(count(lit(1)).as("n_l")),
         rs.groupBy("right_id").agg(count(lit(1)).as("n_r")), num, den)
     } else {
-      // one materialization feeds six consumers (rare join both sides,
-      // hot add-back both sides, both size lookups) — the same device
-      // as the capped ngram path; the df window annotation keeps every
-      // posting row, so the per-id sizes are identical to the raw sets'
+      // one materialization feeds seven consumers (rare join both
+      // sides, hot add-back both sides, both size lookups, and the
+      // hot-shingle aggregation) — the same device as the capped
+      // ngram path. r14: the rare/hot split rides Dedup.hotShingles'
+      // tiny aggregated table (semi/anti joins AQE broadcasts, df
+      // counted across BOTH sides via the union frame) instead of a
+      // per-row df count-window — the split never needed the df
+      // value, and the window shuffled AND sorted the whole index.
+      // rare + hot partition the index, so the per-id sizes are
+      // identical to the raw sets'
       val mat = Materializer.of(left.sparkSession)
-      val all = ls.select(col("left_id").as("id"), col("sh"))
+      val all = mat(ls.select(col("left_id").as("id"), col("sh"))
         .withColumn("__side", lit(0))
         .union(rs.select(col("right_id").as("id"), col("sh"))
-          .withColumn("__side", lit(1)))
-      val withDf = mat(all.withColumn("__df",
-        count(lit(1)).over(Window.partitionBy(col("sh")))))
+          .withColumn("__side", lit(1))))
+      val hotSh = Dedup.hotShingles(all, maxDf)
       def side(s: Int, idName: String) =
-        withDf.filter(col("__side") === s)
-          .select(col("id").as(idName), col("sh"), col("__df"))
-      val rareL = side(0, "left_id").filter(col("__df") <= maxDf).drop("__df")
-      val rareR = side(1, "right_id").filter(col("__df") <= maxDf).drop("__df")
-      val hotL = side(0, "left_id").filter(col("__df") > maxDf).drop("__df")
-      val hotR = side(1, "right_id").filter(col("__df") > maxDf).drop("__df")
+        all.filter(col("__side") === s)
+          .select(col("id").as(idName), col("sh"))
+      val rareL = side(0, "left_id").join(hotSh, Seq("sh"), "left_anti")
+      val rareR = side(1, "right_id").join(hotSh, Seq("sh"), "left_anti")
+      val hotL = side(0, "left_id").join(hotSh, Seq("sh"), "left_semi")
+      val hotR = side(1, "right_id").join(hotSh, Seq("sh"), "left_semi")
       val rareShared = rareL.join(rareR, "sh")
         .groupBy("left_id", "right_id").agg(count(lit(1)).as("shared"))
       val hotShared = rareShared.select("left_id", "right_id")
