@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,7 +22,7 @@ object Dedup {
   /** Sentinel for the band-join `maxBucket` params: decide the cap
     * automatically from a one-pass hottest-bucket count (the
     * `rankKernel=auto` pattern applied to the D3/D4/M7 hot-bucket
-    * guard). See [[chooseBucketCap]].
+    * guard). See [[autoCapped]].
     */
   val AutoBucket: Long = -1L
 
@@ -45,32 +45,74 @@ object Dedup {
   val BucketCapAutoValueKey = "graft.bucketCap.autoValue"
   private val BucketCapValueDefault = 200L
 
-  /** The `AutoBucket` decision: ONE count-per-bucket aggregate over
-    * the band rows (map-side combinable — output is one row per
-    * distinct bucket, reduced to a scalar) compared against
-    * [[BucketCapAutoThresholdKey]]; returns the configured cap when
-    * the hottest bucket crosses it, else 0 (uncapped). Driver-side by
-    * necessity — whether the O(width²) guard is worth its
-    * bucket-width shuffle is a plan choice that cannot stay lazy —
-    * and it is exactly the skew audit a 100 TB operator would run
-    * before an LSH join, wired into the knob. Materialization of the
-    * band frame is the CALLER's choice: simhash/bandedHamming pass
-    * their (always-materialized — raw-text upstream) frames; the LSH
-    * caller passes the plain frame and eats one extra signature agg
-    * over its materialized shingle sets instead (ProbeLshBandsMat:
-    * cheaper than a band checkpoint).
+  /** Validated read of one bucket-cap conf key: numeric and strictly
+    * positive, with the key named in the error (the [[Materializer.of]]
+    * conf-error style). A non-positive autoValue would otherwise make
+    * an "engaged" decision silently behave as uncapped.
     */
-  private[graft] def chooseBucketCap(bands: DataFrame,
-      keys: Seq[String]): Long = {
-    val conf = bands.sparkSession.conf
-    val threshold = conf
-      .get(BucketCapAutoThresholdKey, BucketCapThresholdDefault.toString).toLong
-    val capValue = conf
-      .get(BucketCapAutoValueKey, BucketCapValueDefault.toString).toLong
-    val row = bands.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__w"))
-      .agg(max(col("__w"))).head()
-    val hottest = if (row.isNullAt(0)) 0L else row.getLong(0)
+  private def capConf(spark: SparkSession, key: String,
+      default: Long): Long = {
+    val raw = spark.conf.get(key, default.toString)
+    val v =
+      try raw.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$key=$raw (want a positive integer)")
+      }
+    require(v > 0, s"$key=$v (want a positive integer)")
+    v
+  }
+
+  /** The `AutoBucket` decision AND its anti-join side from ONE
+    * count-per-bucket aggregate (map-side combinable — one row per
+    * distinct bucket). r14 ran that aggregate twice — a
+    * hottest-bucket scalar, then the hot-set build; here the
+    * materialized table keeps every bucket wider than
+    * min(autoValue, autoThreshold - 1) — at most bandRows/that rows
+    * by construction — so the hottest width is a max over the tiny
+    * checkpoint (any bucket reaching the threshold is in it, the cut
+    * sits below the threshold) and its `> autoValue` slice is the
+    * anti-join set, no second pass. The engage check is driver-side
+    * by necessity — whether the O(width²) guard is worth it is a plan
+    * choice that cannot stay lazy — and it is exactly the skew audit
+    * a 100 TB operator would run before an LSH join, wired into the
+    * knob. Materialization of the band frame stays the CALLER's
+    * choice: simhash/bandedHamming pass their (always-materialized —
+    * raw-text upstream) frames; the LSH caller passes the plain frame
+    * and eats one extra signature agg over its materialized shingle
+    * sets instead (ProbeLshBandsMat: cheaper than a band checkpoint).
+    */
+  /** The engage half of the `AutoBucket` decision for callers that
+    * already know their hottest bucket width (the streaming band
+    * indexes, whose materialized per-band candidate arrays make the
+    * width a cheap max): the configured cap iff `hottest` reaches the
+    * threshold, else 0 (uncapped). Same conf keys, same validation,
+    * same crossover as [[autoCapped]].
+    */
+  private[graft] def autoCapDecision(spark: SparkSession,
+      hottest: Long): Long = {
+    val threshold =
+      capConf(spark, BucketCapAutoThresholdKey, BucketCapThresholdDefault)
+    val capValue = capConf(spark, BucketCapAutoValueKey, BucketCapValueDefault)
     if (hottest >= threshold) capValue else 0L
+  }
+
+  private def autoCapped(all: DataFrame, keys: Seq[String]): DataFrame = {
+    val spark = all.sparkSession
+    val threshold =
+      capConf(spark, BucketCapAutoThresholdKey, BucketCapThresholdDefault)
+    val capValue = capConf(spark, BucketCapAutoValueKey, BucketCapValueDefault)
+    val lowCut = math.min(capValue, threshold - 1)
+    val wide = Materializer.of(spark)(
+      all.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__w"))
+        .filter(col("__w") > lowCut))
+    val row = wide.agg(max(col("__w"))).head()
+    val hottest = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (hottest >= threshold)
+      all.join(wide.filter(col("__w") > capValue).select(keys.map(col): _*),
+        keys, "left_anti")
+    else all
   }
 
   /** The buckets wider than `cap`: one map-side-combinable count per
@@ -131,10 +173,7 @@ object Dedup {
     val all = Materializer.of(bands0.sparkSession)(bands0)
     if (maxBucket == 0) all
     else if (maxBucket > 0) widthFiltered(all, keys, maxBucket)
-    else {
-      val cap = chooseBucketCap(all, keys)
-      if (cap <= 0) all else widthFiltered(all, keys, cap)
-    }
+    else autoCapped(all, keys)
   }
 
   /** D1: exact dedup — one hash-partial-aggregated groupBy on a 128-bit
@@ -730,6 +769,18 @@ object Dedup {
     * [[scrubContamination]]: merge covered positions into maximal
     * spans, keep spans >= `minSpanLen`, and emit per affected doc
     * (n_tokens, removed_tokens, n_spans_removed, keep_hash).
+    *
+    * ONE doc-keyed aggregate over the span frame: removed_tokens is
+    * Σ span lengths (spans are disjoint by construction), the covered
+    * position list assembles in-row via flatten(collect_list(
+    * sequence)) — membership-only downstream (array_except), so
+    * collect_list's arrival order is immaterial — and the span count
+    * rides the same groupBy. The r14 shape consumed `spans` TWICE
+    * (positions explode+agg, then a separate count groupBy joined
+    * back): with `covered` unmaterialized that re-ran the coverage
+    * distinct AND the span window end-to-end per consumer — the exact
+    * dedup-recall lesson, and the probed source of q_dup_clean's
+    * paired premium.
     */
   private def cleanCoveredAtThreshold(base: DataFrame, covered: DataFrame,
       minSpanLen: Int): DataFrame = {
@@ -743,14 +794,11 @@ object Dedup {
       .agg(min(col("tp")).as("__start"), count(lit(1)).as("__len"))
       .filter(col("__len") >= minSpanLen)
     val agg = spans
-      .select(col("doc_id"),
-        explode(sequence(col("__start"),
-          col("__start") + col("__len").cast("int") - 1)).as("tp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("removed_tokens"),
-        collect_list(col("tp")).as("__cov"))
-      .join(spans.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans_removed")), "doc_id")
+      .agg(sum(col("__len")).as("removed_tokens"),
+        count(lit(1)).as("n_spans_removed"),
+        flatten(collect_list(sequence(col("__start"),
+          col("__start") + col("__len").cast("int") - 1))).as("__cov"))
     agg.join(base, "doc_id")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         col("removed_tokens"), col("n_spans_removed"),
@@ -872,7 +920,7 @@ object Dedup {
     * decision: ONE map-side-combinable hottest-bucket count over the
     * (checkpointed-once) band rows, capped at
     * `graft.bucketCap.autoValue` iff the hottest bucket reaches
-    * `graft.bucketCap.autoThreshold` (see [[chooseBucketCap]]) — the
+    * `graft.bucketCap.autoThreshold` (see [[autoCapped]]) — the
     * probe's crossover wired into the knob, so a deployment need not
     * know its corpus's stop-phrase skew in advance.
     */
@@ -911,16 +959,14 @@ object Dedup {
     val bands =
       if (maxBucket == 0) all
       else if (maxBucket > 0) widthFiltered(all, lshKeys, maxBucket)
-      else {
+      else
         // AutoBucket: the decision re-runs the signature agg once over
         // the MATERIALIZED sets — deliberately NOT checkpointing the
         // band frame: ProbeLshBandsMat (interleaved arms) measured the
         // checkpointed band join 15-18% SLOWER than recomputing the
         // one-pass agg on each join side (the write costs more than
         // the agg saves when the shingle index is already local)
-        val cap = chooseBucketCap(all, lshKeys)
-        if (cap <= 0) all else widthFiltered(all, lshKeys, cap)
-      }
+        autoCapped(all, lshKeys)
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -1065,7 +1111,7 @@ object Dedup {
     * candidate generation — a popular band value (boilerplate-heavy
     * corpora collapse many docs into one bucket) would otherwise emit
     * O(width²) pairs in a single task; `AutoBucket` (-1) decides from
-    * a one-pass hottest-bucket count (see [[chooseBucketCap]]). Run
+    * a one-pass hottest-bucket count (see [[autoCapped]]). Run
     * exact dedup FIRST: a bucket that is wide because of true
     * byte-identical duplicates should never reach this operator.
     */
@@ -1171,7 +1217,7 @@ object Dedup {
     * `maxBucket` drops degenerate buckets (a flat fingerprint shared
     * by a huge corpus slice) before they emit O(width²) pairs
     * (`AutoBucket` decides from a one-pass hottest-bucket count, see
-    * [[chooseBucketCap]]); run exact dedup first so byte-identical
+    * [[autoCapped]]); run exact dedup first so byte-identical
     * media never reaches here.
     */
   def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,

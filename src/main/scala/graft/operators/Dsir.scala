@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -23,10 +22,12 @@ import graft.functions.Hashing
   *    decimals, scaled to integer micro-units — document scores become
   *    order-free integer sums, bit-identical on any engine and any
   *    partitioning.
-  *  - Selection is an exact global rank at gate scale; at 100 TB the
-  *    same score column feeds an approx-quantile threshold instead (the
-  *    rank window is the only global step, and it is only needed when
-  *    an EXACT top-k cut is demanded).
+  *  - Selection is an exact global (score desc, id) rank computed by
+  *    the [[RankSelect.globalRowNumber]] bucket-offset device: rows
+  *    range-bucket on the score, offsets come from a <=1024-row
+  *    histogram window, and each bucket ranks locally under a
+  *    bucket-keyed window — no corpus-sized single-partition sort, so
+  *    the exact top-k cut survives 100 TB.
   *
   * Laplace (+1) smoothing over `nBuckets` buckets keeps empty buckets
   * finite on both engines.
@@ -74,15 +75,18 @@ object Dsir {
       .select(col("bucket"),
         (microLogRatio(col("t_b"), col("__t_tot"), nBuckets) -
           microLogRatio(col("r_b"), col("__r_tot"), nBuckets)).as("lam"))
-    val scored = hashed
+    // Materialized: the rank device reads it twice (range stats +
+    // bucket keying), and its lineage is the full gram explode.
+    val scored = mat(hashed
       .join(broadcast(lambda), "bucket")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("score_micro"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("score_micro")))
     val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
-    scored
-      .withColumn("sel_rank",
-        row_number().over(Window.orderBy(col("score_micro").desc,
-          col("doc_id"))).cast("long"))
+    // Exact global (score desc, id) rank via the bucket-offset device
+    // — no corpus-sized SinglePartition sort anywhere in the plan; the
+    // only global window is over <= 1024 histogram rows.
+    RankSelect.globalRowNumber(scored, "score_micro", "sel_rank",
+        descending = true, tieBreak = Seq("doc_id"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("n_grams"), col("score_micro"),
         col("sel_rank"),

@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   * same partitioning) + one map-side-combinable sum on dst. Lineage
   * is truncated per round via [[Materializer]] so round N's plan does
   * not replay rounds 1..N-1 — the standard iterative-frontier
-  * discipline shared with [[Dedup.clusters]].
+  * discipline shared with [[Dedup.clusters]]. The integer ladder also
+  * buys an EXACT early exit (`earlyExit`, default on): a round whose
+  * ranks reproduce the previous round's bit-for-bit is a permanent
+  * fixpoint of the deterministic map, so the remaining rounds are
+  * skipped — no epsilon argument needed, result-identical either way.
   *
   * Overflow honesty: inflow sums accumulate in decimal(38,0) (a long
   * sum would wrap silently past 2^63 under non-ANSI semantics — the
@@ -53,7 +57,17 @@ object Graph {
     * convention (r₀ = scale).
     */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      earlyExit: Boolean = true): DataFrame =
+    pageRankCounted(edges, iters, scale, dampNum, dampDen, earlyExit)._1
+
+  /** [[pageRank]] plus the number of rounds actually executed — the
+    * early-exit observability hook the specs (and a deployment's job
+    * metrics) read.
+    */
+  private[graft] def pageRankCounted(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L, dampNum: Long = 85, dampDen: Long = 100,
+      earlyExit: Boolean = true): (DataFrame, Int) = {
     require(iters >= 0, s"iters=$iters (want >= 0)")
     require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"bad fixed-point config: scale=$scale damp=$dampNum/$dampDen")
@@ -67,7 +81,9 @@ object Graph {
     val base = (dampDen - dampNum) * scale / dampDen
     var ranks = deg.select(col("node"), col("deg"),
       lit(scale).as("rank_fp"))
-    for (i <- 1 to iters) {
+    var executed = 0
+    var converged = false
+    for (i <- 1 to iters if !converged) {
       val inflow = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("rank_fp div deg").as("__c"))
         .groupBy(col("dst").as("node"))
@@ -89,9 +105,25 @@ object Graph {
               s"Graph.pageRank: rank overflow at iter $i — lower `scale`")))
             .otherwise(lit(base) + damped)
             .as("rank_fp"))
-      ranks = mat.eager(next)
+      val nextM = mat.eager(next)
+      // Exact integer early-exit: the update is a DETERMINISTIC map,
+      // so ranks reproducing themselves bit-for-bit is a permanent
+      // fixpoint — every remaining round would be a no-op. The check
+      // is one node-keyed equi-join + take(1) over two frames the
+      // round already materialized (cheap next to the edge join), and
+      // at deployment scale it saves WHOLE rounds: float PageRank
+      // needs an epsilon argument here; the fixed-point ladder makes
+      // "unchanged" well-defined. Result-identical with the check off.
+      if (earlyExit) {
+        converged = nextM.as("n")
+          .join(ranks.select(col("node"), col("rank_fp").as("__prev")), "node")
+          .filter(col("rank_fp") =!= col("__prev"))
+          .isEmpty
+      }
+      ranks = nextM
+      executed = i
     }
-    ranks
+    (ranks, executed)
   }
 
   /** A66: exact triangle counting over an undirected edge list — the

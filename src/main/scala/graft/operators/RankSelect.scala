@@ -56,6 +56,79 @@ object RankSelect {
     * and the same plan runs the lookups as shuffled joins — identical
     * results, no driver-sized collect anywhere.
     */
+  /** Exact global `row_number()` over `(valueCol [desc], tieBreak...)`
+    * WITHOUT a corpus-sized SinglePartition sort — the same
+    * bucket-offset device as [[quantiles]], applied to FULL ranking:
+    *
+    *   1. global (min, max) of the value — a scalar aggregate,
+    *   2. each row keyed to an order-preserving range bucket (the
+    *      fraction is flipped for descending order, so bucket 0 holds
+    *      the FIRST-ranked rows either way),
+    *   3. per-bucket counts → exclusive running offsets — one window
+    *      over at most `buckets` rows (a bounded table, the documented
+    *      scale-safe device),
+    *   4. rows ranked by a BUCKET-KEYED window; offset + local rank IS
+    *      the global rank because equal values share a bucket (the
+    *      bucket is monotone in the value) and bucket boundaries
+    *      respect the value order.
+    *
+    * The result is row-for-row identical to
+    * `row_number().over(Window.orderBy(...))`, but the biggest sort is
+    * ~n/buckets rows on a bucket-keyed shuffle instead of the whole
+    * corpus through one task. Degenerate distributions (one dominant
+    * value) bound the hot bucket by that value's multiplicity, same as
+    * [[quantiles]].
+    *
+    * Contract: `valueCol` non-null, finite (no NaN/Inf — they poison
+    * the range split); `tieBreak` must make the total order unique for
+    * a deterministic rank. `df` is evaluated twice (the driver-side
+    * range scalar + the rank) — materialize it first if its lineage is
+    * expensive. The (lo, hi) range is read driver-side at PLAN-BUILD
+    * time (the [[graft.operators.Dedup]] AutoBucket /
+    * `rankKernel=auto` discipline: a physical range split cannot stay
+    * lazy, and the scalar costs one map-side-combinable pass over the
+    * — ideally checkpointed — input) and lands in the plan as
+    * literals, saving the broadcast cross-join stage a column-side
+    * range would need. The long→double cast of the range endpoints is
+    * monotone, so bucket assignment stays order-preserving even past
+    * 2^53.
+    */
+  def globalRowNumber(df: DataFrame, valueCol: String, rankName: String,
+      descending: Boolean = false, tieBreak: Seq[String] = Seq.empty,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val v = col(valueCol)
+    val r = df.agg(min(v).cast("double"), max(v).cast("double")).head()
+    val (lo, hi) =
+      if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
+    val keyed =
+      if (hi == lo) df.withColumn("__b", lit(0))
+      else {
+        val frac =
+          if (descending) (lit(hi) - v.cast("double")) / lit(hi - lo)
+          else (v.cast("double") - lit(lo)) / lit(hi - lo)
+        // greatest/least clamp: v == lo (desc) / v == hi (asc) gives
+        // frac exactly 1 -> bucket `buckets`, and float rounding could
+        // brush -0-epsilon; both clamp into [0, buckets-1]
+        df.withColumn("__b",
+          greatest(lit(0), least(lit(buckets - 1), floor(frac * buckets)))
+            .cast("int"))
+      }
+    val hist = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val off = hist
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val ordering = (if (descending) v.desc else v.asc) +:
+      tieBreak.map(col(_).asc)
+    keyed.join(broadcast(off), Seq("__b"))
+      .withColumn(rankName,
+        (col("__off") + row_number().over(
+          Window.partitionBy(col("__b")).orderBy(ordering: _*))).cast("long"))
+      .drop("__b", "__off")
+  }
+
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[(String, Long, Long)], buckets: Int = 1024,
       countCol: Option[String] = None,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Materializer, Multimodal}
+import graft.operators.{Dedup, Materializer, Multimodal}
 
 /** M7s: streaming image near-dup — a live stream of (id, media)
   * payloads fingerprinted at ingest (REAL raster decode -> 60-bit
@@ -27,6 +27,9 @@ import graft.operators.{Materializer, Multimodal}
   * Append mode, unbounded-history safe; `maxBucket` caps corpus-side
   * bucket width (a flat fingerprint shared corpus-wide would
   * otherwise ride into every matching stream row's candidate array).
+  * `maxBucket = Dedup.AutoBucket` auto-decides the cap from the
+  * hottest materialized band bucket, the same conf-keyed crossover as
+  * the batch band joins; other negative values reject loudly.
   */
 object StreamingImageNearDup {
 
@@ -36,6 +39,12 @@ object StreamingImageNearDup {
   def matchAgainst(stream: DataFrame, corpus: DataFrame, idCol: String,
       mediaCol: String, maxHamming: Int = 5, nBands: Int = 6,
       maxBucket: Long = 0): DataFrame = {
+    // same sentinel contract as the batch band joins: 0 = uncapped,
+    // > 0 = explicit cap, Dedup.AutoBucket = auto-decide; other
+    // negatives reject loudly instead of silently disabling the guard
+    require(maxBucket >= Dedup.AutoBucket,
+      s"maxBucket=$maxBucket: 0 = uncapped, > 0 = explicit cap, " +
+        s"${Dedup.AutoBucket} = auto")
     val totalBits = 60
     require(nBands > 0 && totalBits % nBands == 0,
       s"nBands=$nBands must divide $totalBits")
@@ -47,13 +56,28 @@ object StreamingImageNearDup {
     // band index
     val corpusH = mat(Multimodal.perceptualHash(corpus, idCol, mediaCol)
       .select(col("doc_id").as("right_id"), col("dhash").as("__rh")))
-    val bandIdx = (0 until nBands).map { j =>
-      val idx = corpusH
+    val rawIdx = (0 until nBands).map { j =>
+      mat(corpusH
         .withColumn(s"__bv_$j", shiftright(col("__rh"), width * j).bitwiseAND(lit(mask)))
         .groupBy(col(s"__bv_$j"))
-        .agg(collect_set(col("right_id")).as(s"__cand_$j"))
-      mat(if (maxBucket <= 0) idx
-      else idx.filter(size(col(s"__cand_$j")) <= maxBucket))
+        .agg(collect_set(col("right_id")).as(s"__cand_$j")))
+    }
+    // AutoBucket: the hottest bucket width is a max over the already
+    // materialized per-band candidate arrays (no extra corpus pass);
+    // the engage crossover is Dedup's (same conf keys)
+    val cap =
+      if (maxBucket == Dedup.AutoBucket) {
+        val hottest = (0 until nBands).map { j =>
+          val r = rawIdx(j).agg(max(size(col(s"__cand_$j")))).head()
+          if (r.isNullAt(0)) 0L else r.getInt(0).toLong
+        }.max
+        Dedup.autoCapDecision(corpus.sparkSession, hottest)
+      } else maxBucket
+    // cap filters run over the materialized index blocks — cheap, and
+    // the filtered frames need no re-checkpoint
+    val bandIdx = (0 until nBands).map { j =>
+      if (cap <= 0) rawIdx(j)
+      else rawIdx(j).filter(size(col(s"__cand_$j")) <= cap)
     }
 
     var out = Multimodal.perceptualHash(stream, idCol, mediaCol)

@@ -620,6 +620,25 @@ class DedupSpec extends SparkSuite {
       maxBucket = Dedup.AutoBucket).count() == 0)
   }
 
+  test("bucketCap conf values are validated loudly, naming the key") {
+    spark.conf.set(Dedup.BucketCapAutoThresholdKey, "not-a-number")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.minhashLsh(docs, "doc_id", "text", 3, 1, 2,
+          maxBucket = Dedup.AutoBucket))
+      assert(e.getMessage.contains(Dedup.BucketCapAutoThresholdKey))
+    } finally spark.conf.unset(Dedup.BucketCapAutoThresholdKey)
+    // autoValue <= 0 rejects instead of silently behaving as uncapped
+    // on an "engaged" decision
+    spark.conf.set(Dedup.BucketCapAutoValueKey, "0")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.minhashLsh(docs, "doc_id", "text", 3, 1, 2,
+          maxBucket = Dedup.AutoBucket))
+      assert(e.getMessage.contains(Dedup.BucketCapAutoValueKey))
+    } finally spark.conf.unset(Dedup.BucketCapAutoValueKey)
+  }
+
   test("maxBucket below the AutoBucket sentinel is rejected loudly") {
     intercept[IllegalArgumentException](
       Dedup.minhashLsh(docs, "doc_id", "text", 3, 1, 2, maxBucket = -2L))

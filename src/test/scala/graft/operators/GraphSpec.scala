@@ -44,6 +44,29 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("early exit: a stationary graph stops after one round, " +
+      "result-identical to the full run") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (df, executed) = Graph.pageRankCounted(edges, iters = 25)
+    assert(executed == 1, s"executed $executed rounds, wanted 1")
+    val got = df.select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    val full = Graph.pageRank(edges, iters = 25, earlyExit = false)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    assert(got == full)
+  }
+
+  test("early exit never fires while ranks still move") {
+    val edges = Seq(
+      (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 2L),
+      (2L, 4L), (3L, 5L))
+    // the reference really is still moving at round 3
+    assert(referencePageRank(edges, 2) != referencePageRank(edges, 3))
+    val (_, executed) =
+      Graph.pageRankCounted(edges.toDF("src", "dst"), iters = 3)
+    assert(executed == 3, s"executed $executed rounds, wanted 3")
+  }
+
   test("matches the driver-side BigInt recurrence on a directed graph") {
     // a small web: hub (1) pointed at by everyone, a chain, a cycle
     val edges = Seq(

@@ -38,6 +38,49 @@ class RankSelectSpec extends SparkSuite {
     assert(got == exp, s"bucket rank diverged from sort window:\ngot $got\nexp $exp")
   }
 
+  test("globalRowNumber equals the global sort window (desc, heavy ties, tiebreak)") {
+    val rng = new scala.util.Random(11)
+    // 50 distinct values over 3000 rows: ties everywhere, and many
+    // values share range buckets
+    val df = (1 to 3000).map(i => (i.toLong, (rng.nextInt(50) * 10).toLong))
+      .toDF("id", "s").repartition(7)
+    val got = RankSelect.globalRowNumber(df, "s", "rk",
+        descending = true, tieBreak = Seq("id"), buckets = 16)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+    val exp = df.withColumn("rk", row_number()
+        .over(Window.orderBy(col("s").desc, col("id"))).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+    assert(got == exp)
+  }
+
+  test("globalRowNumber ascending matches, including negative values") {
+    val rng = new scala.util.Random(23)
+    val df = (1 to 1000).map(i => (i.toLong, rng.nextLong() % 1000))
+      .toDF("id", "s").repartition(5)
+    val got = RankSelect.globalRowNumber(df, "s", "rk",
+        tieBreak = Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+    val exp = df.withColumn("rk", row_number()
+        .over(Window.orderBy(col("s").asc, col("id"))).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+    assert(got == exp)
+  }
+
+  test("globalRowNumber constant population ranks purely by tiebreak") {
+    val df = (1 to 200).map(i => (i.toLong, 42L)).toDF("id", "s")
+      .repartition(3)
+    val got = RankSelect.globalRowNumber(df, "s", "rk",
+        descending = true, tieBreak = Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+    assert(got == (1 to 200).map(i => i.toLong -> i.toLong).toMap)
+  }
+
+  test("globalRowNumber on an empty frame returns empty") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "s")
+    assert(RankSelect.globalRowNumber(df, "s", "rk",
+      tieBreak = Seq("id")).count() == 0)
+  }
+
   test("matches the sort window on a mixed pseudo-random population") {
     val rng = new scala.util.Random(42)
     check((1 to 2000).map(i => (s"g${i % 3}", rng.nextDouble() * 100 - 50)))

@@ -217,6 +217,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("windowspecdefinition"), s"stray window:\n$plan")
   }
 
+  test("dsir selection: global rank runs bucket-keyed, no corpus-sized " +
+      "single-partition score window") {
+    val plan = planOf(PipelineQueries.qDsirSelect(spark, dir))
+    // the r14 shape: row_number over an UNKEYED (score desc, id)
+    // window — a corpus-sized SinglePartition Exchange + Sort. The
+    // RankSelect.globalRowNumber rewire must keep it dead.
+    assert(!plan.contains("windowspecdefinition(score_micro"),
+      s"unkeyed corpus score window returned:\n$plan")
+    // the per-bucket rank window: partitioned by __b, ordered by the
+    // score — the shape that scales
+    assert("windowspecdefinition\\(__b#\\d+, score_micro#\\d+L? DESC".r
+        .findFirstIn(plan).isDefined,
+      s"bucket-keyed rank window missing:\n$plan")
+  }
+
   test("p95/MAD baselines: rank windows keyed by network, no cartesian") {
     for (q <- Seq(ReferenceQueries.qBaselineP95 _, ReferenceQueries.qMadAnomaly _)) {
       val plan = planOf(q(spark, dir))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 
 final case class MediaRow(doc_id: Long, media: Array[Byte])
 
@@ -52,6 +52,52 @@ class StreamingImageNearDupSpec extends SparkSuite {
       assert(got.contains((3L + 5376L, 3L, 0L)))
       assert(got.contains((7L + 5376L, 7L, 0L)))
     } finally query.stop()
+  }
+
+  private def runOnce(corpus: Seq[Long], streamed: Seq[Long],
+      name: String, maxBucket: Long): Set[(Long, Long)] = {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[MediaRow]
+    val df = StreamingImageNearDup.matchAgainst(in.toDF(),
+      mediaOf(corpus).toDF(), "doc_id", "media", maxBucket = maxBucket)
+    val query = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(mediaOf(streamed): _*)
+      query.processAllAvailable()
+      spark.table(name).collect()
+        .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+    } finally query.stop()
+  }
+
+  test("matchAgainst AutoBucket engages on a flat corpus and stays " +
+      "uncapped below the threshold") {
+    // three corpus images with IDENTICAL rasters (the 5376 synthesis
+    // period): every band bucket has width 3
+    val flat = Seq(3L, 3L + 5376L, 3L + 2 * 5376L)
+    val probe = Seq(3L + 3 * 5376L)
+    spark.conf.set(Dedup.BucketCapAutoValueKey, "2")
+    try {
+      // hottest (3) >= threshold (3): cap 2 drops every flat bucket,
+      // so the identical probe finds NO candidates
+      spark.conf.set(Dedup.BucketCapAutoThresholdKey, "3")
+      assert(runOnce(flat, probe, "img_auto_on", Dedup.AutoBucket).isEmpty)
+      // hottest (3) < threshold (4): uncapped, all three pairs match
+      spark.conf.set(Dedup.BucketCapAutoThresholdKey, "4")
+      assert(runOnce(flat, probe, "img_auto_off", Dedup.AutoBucket) ==
+        flat.map(r => (probe.head, r)).toSet)
+    } finally {
+      spark.conf.unset(Dedup.BucketCapAutoThresholdKey)
+      spark.conf.unset(Dedup.BucketCapAutoValueKey)
+    }
+  }
+
+  test("matchAgainst rejects negatives below the AutoBucket sentinel") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[MediaRow]
+    intercept[IllegalArgumentException](
+      StreamingImageNearDup.matchAgainst(in.toDF(),
+        mediaOf(corpusIds).toDF(), "doc_id", "media", maxBucket = -2L))
   }
 
   test("append mode, zero streaming state: plan has no stateful operator") {
