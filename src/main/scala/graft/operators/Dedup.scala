@@ -782,16 +782,24 @@ object Dedup {
     * dedup-recall lesson, and the probed source of q_dup_clean's
     * paired premium.
     */
-  private def cleanCoveredAtThreshold(base: DataFrame, covered: DataFrame,
-      minSpanLen: Int): DataFrame = {
+  /** Gaps-and-islands merge of covered (doc_id, tp) positions into
+    * maximal spans: (doc_id, __sid, __start, __len) — one doc-keyed
+    * window + a co-partitioned groupBy.
+    */
+  private def mergedSpans(covered: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
-    val spans = covered
+    covered
       .withColumn("__new",
         when(lag(col("tp"), 1).over(w).isNull ||
           col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
       .withColumn("__sid", sum(col("__new")).over(w))
       .groupBy(col("doc_id"), col("__sid"))
       .agg(min(col("tp")).as("__start"), count(lit(1)).as("__len"))
+  }
+
+  private def cleanCoveredAtThreshold(base: DataFrame, covered: DataFrame,
+      minSpanLen: Int): DataFrame = {
+    val spans = mergedSpans(covered)
       .filter(col("__len") >= minSpanLen)
     val agg = spans
       .groupBy(col("doc_id"))
@@ -830,12 +838,29 @@ object Dedup {
       tokenHash: Column => Column = Hashing.h30): DataFrame = {
     require(minSpanLen >= n,
       s"minSpanLen=$minSpanLen < n=$n: no span can be shorter than one gram")
+    val (base, grams) = scrubFrames(train, idCol, textCol, n, tokenHash)
+    val evalSh = shingleSets(eval, idCol, textCol, n, tokenHash)
+      .select("sh").distinct()
+    val covered = grams.join(evalSh, Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    cleanCoveredAtThreshold(base, covered, minSpanLen)
+  }
+
+  /** Shared front half of the C8 scrub family: materialized train
+    * (doc_id, toks, th) + the positional gram stream (doc_id, pos,
+    * sh). `grams` is NOT materialized here — single-consumer callers
+    * ([[scrubContamination]]) stream it; multi-consumer callers
+    * ([[scrubAttribution]]) wrap it themselves.
+    */
+  private def scrubFrames(train: DataFrame, idCol: String, textCol: String,
+      n: Int, tokenHash: Column => Column): (DataFrame, DataFrame) = {
     require(n <= ShingleCoef.length, s"n=$n exceeds ${ShingleCoef.length}")
     val combine = (0 until n)
       .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
       .mkString(" + ")
-    val mat = Materializer.of(train.sparkSession)
-    val base = mat(train
+    val base = Materializer.of(train.sparkSession)(train
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .withColumn("th", transform(col("toks"), t => tokenHash(t))))
@@ -844,13 +869,62 @@ object Dedup {
         posexplode(expr(s"transform(sequence(0, size(th) - $n), i -> $combine)"))
           .as(Seq("pos0", "sh")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
-    val evalSh = shingleSets(eval, idCol, textCol, n, tokenHash)
-      .select("sh").distinct()
-    val covered = grams.join(evalSh, Seq("sh"), "left_semi")
+    (base, grams)
+  }
+
+  /** C8b: per-eval-suite decontamination ATTRIBUTION — the D7d
+    * faceting discipline applied to [[scrubContamination]]: the
+    * release datasheet question is not just "how much was scrubbed"
+    * but "WHICH eval suite forced it". Removal stays CORPUS-GLOBAL
+    * (the scrubbed spans are decided by the union of all suites'
+    * grams — exactly what the C8 pass deletes); only the accounting
+    * facets. Per suite: the distinct (train doc, token position)
+    * pairs inside REMOVED spans that the suite's own grams cover, and
+    * the count of train docs with at least one such position. A span
+    * covered by two suites counts for both — Σ attributed_tokens over
+    * suites >= the scrub's removed total, by design (the datasheet
+    * wants per-suite blame, not a partition).
+    *
+    * Scale shape: inherits C8's — eval-side blocking (the suite-
+    * tagged gram set is eval-sized), train never shuffled for the
+    * probes (semi/inner joins against the tiny gram tables broadcast;
+    * growing eval degrades to a shuffled semi-join, measured in
+    * ProbeC8EvalGrowth), one doc-keyed span window, and the final
+    * aggregate is suite-cardinality rows. The gram stream is consumed
+    * twice (global covered + suite tagging), so it materializes once
+    * here.
+    */
+  def scrubAttribution(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, suiteCol: String, n: Int, minSpanLen: Int,
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    require(minSpanLen >= n,
+      s"minSpanLen=$minSpanLen < n=$n: no span can be shorter than one gram")
+    val mat = Materializer.of(train.sparkSession)
+    val (base, grams0) = scrubFrames(train, idCol, textCol, n, tokenHash)
+    val grams = mat(grams0)
+    val evalSuiteSh = mat(shingleSets(eval, idCol, textCol, n, tokenHash)
+      .join(eval.select(col(idCol).as("doc_id"),
+        col(suiteCol).as("suite")), "doc_id")
+      .select(col("suite"), col("sh")).distinct())
+    val covered = grams
+      .join(evalSuiteSh.select("sh").distinct(), Seq("sh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
       .distinct()
-    cleanCoveredAtThreshold(base, covered, minSpanLen)
+    val removed = mergedSpans(covered)
+      .filter(col("__len") >= minSpanLen)
+      .select(col("doc_id"),
+        explode(sequence(col("__start"),
+          col("__start") + col("__len").cast("int") - 1)).as("tp"))
+    val suiteCov = grams.join(evalSuiteSh, Seq("sh"))
+      .select(col("doc_id"), col("suite"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    suiteCov.join(removed, Seq("doc_id", "tp"), "left_semi")
+      .groupBy(col("suite"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("attributed_tokens"))
+      .orderBy(col("suite"))
   }
 
   // ------------------------------------------------------------ MinHash

@@ -114,7 +114,9 @@ object Graph {
       // at deployment scale it saves WHOLE rounds: float PageRank
       // needs an epsilon argument here; the fixed-point ladder makes
       // "unchanged" well-defined. Result-identical with the check off.
-      if (earlyExit) {
+      // the last round's check could only skip work that no longer
+      // exists — never pay it (ProbePagerank: ~0.12 s/round locally)
+      if (earlyExit && i < iters) {
         converged = nextM.as("n")
           .join(ranks.select(col("node"), col("rank_fp").as("__prev")), "node")
           .filter(col("rank_fp") =!= col("__prev"))

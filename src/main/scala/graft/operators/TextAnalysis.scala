@@ -114,38 +114,34 @@ object TextAnalysis {
   /** T5: intra-document repetition metrics (the Gopher-style filters
     * real curation pipelines gate on): the fraction of tokens that are
     * the single most frequent token, and the duplicate-2/3-gram
-    * fractions. Entirely in-row (higher-order lambdas over the token
-    * array) — zero shuffle, so per-row cost is bounded by document
-    * length and the operator is a pure map at any corpus size. The
-    * repetitive flag compares integer counts (n*top >= thr*total), so
-    * no float boundary can disagree with the oracle.
+    * fractions. Entirely in-row — zero shuffle, so per-row cost is
+    * bounded by document length and the operator is a pure map at any
+    * corpus size. The three statistics come from ONE codegen'd kernel
+    * call ([[graft.functions.TextKernels.repetitionStats]]) — the
+    * earlier declarative form paid six interpreted higher-order-
+    * function passes per row (array_sort + run-length chain + two
+    * gram transform/array_distinct pairs), all outside whole-stage
+    * codegen. `__st` is a NAMED intermediate consumed three times:
+    * CollapseProject keeps a non-cheap multi-referenced alias
+    * materialized once (the IvfIndex.withCell lesson), so the kernel
+    * runs once per row. The repetitive flag compares integer counts
+    * (n*top >= thr*total), so no float boundary can disagree with the
+    * oracle.
     */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def dupFrac(n: Int): Column = {
-      val grams = expr(
-        s"""transform(sequence(1, size(toks) - ${n - 1}),
-           |  i -> ${(0 until n).map(k => s"element_at(toks, i + $k)").mkString("concat_ws(' ', ", ", ", ")")})""".stripMargin)
+    def dupFrac(n: Int, distinctN: Column): Column = {
       val total = size(col("toks")) - (n - 1)
-      round((total - size(array_distinct(grams))) / total.cast("double"), 4)
+      round((total - distinctN) / total.cast("double"), 4)
     }
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 3)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-      // top token count via sorted-run lengths: O(n log n) per row.
-      // (The obvious filter-per-distinct-token is O(n^2) — a single
-      // 10^5-token document would cost 10^10 comparisons and straggle
-      // the whole task at corpus scale.)
-      .withColumn("__sorted", array_sort(col("toks")))
-      .withColumn("__starts", expr(
-        "filter(sequence(1, size(toks)), i -> i = 1 OR element_at(__sorted, i) != element_at(__sorted, i - 1))"))
-      .withColumn("__bounds", expr("concat(__starts, array(size(toks) + 1))"))
-      .withColumn("top_n", expr(
-        "array_max(transform(sequence(1, size(__starts)), j -> element_at(__bounds, j + 1) - element_at(__bounds, j)))")
-        .cast("long"))
+      .withColumn("__st", graft.functions.RepetitionStats.of(col("toks")))
+      .withColumn("top_n", element_at(col("__st"), 1))
       .select(col("doc_id"), col("n_tokens"), col("top_n"),
         round(col("top_n") / col("n_tokens"), 4).as("top_token_frac"),
-        dupFrac(2).as("dup_2gram_frac"),
-        dupFrac(3).as("dup_3gram_frac"),
+        dupFrac(2, element_at(col("__st"), 2)).as("dup_2gram_frac"),
+        dupFrac(3, element_at(col("__st"), 3)).as("dup_3gram_frac"),
         // top token > 20% of the doc — integer-exact threshold
         (col("top_n") * 5 > col("n_tokens")).as("is_repetitive"))
   }

@@ -158,6 +158,18 @@ object PipelineQueries {
         minSpanLen = 8, 2, tokenHash)
       .orderBy("doc_id")
 
+  // C8b: per-eval-suite decontamination attribution — the same global
+  // scrub decision, faceted by the eval doc's source: which suite
+  // forced each removed token (a span hit by two suites counts for
+  // both; the datasheet wants blame, not a partition).
+  def qDecontaminateBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.scrubAttribution(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7),
+      "doc_id", "text", "source", 5, minSpanLen = 8, tokenHash)
+  }
+
   // C8: decontamination scrubbing — remove spans (>= 8 tokens at
   // 5-grams) overlapping the eval split from every training doc; the
   // split is synthesized deterministically (doc_id % 10 == 7 -> eval).
@@ -1231,6 +1243,7 @@ object PipelineQueries {
     "q_simhash_recall" -> qSimhashRecall,
     "q_dup_clean" -> qDupClean,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_by" -> qDecontaminateBy,
     "q_split_leakage" -> qSplitLeakage,
     "q_dup_passages" -> qDupPassages,
     "q_dup_substrings" -> qDupSubstrings,
@@ -2256,6 +2269,51 @@ object PipelineQueries {
          |    list_filter(t.toks, (x, i) -> NOT list_contains(a.cov, i)), ' '), '')) AS keep_hash
          |FROM agg a JOIN nsp n USING (doc_id) JOIN th t USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+    // C8b: the C8 chain with suite-tagged eval grams; removal stays
+    // global (qual/cov identical to q_decontaminate), the accounting
+    // joins removed positions back to each suite's own gram coverage.
+    "q_decontaminate_by" -> {
+      val combine5 = {
+        import graft.operators.Dedup.ShingleCoef
+        (0 until 5).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+      }
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |th AS (SELECT doc_id, toks, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |       FROM tok WHERE len(toks) >= 5),
+         |sh AS (SELECT doc_id, i AS pos, $combine5 AS sh
+         |       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 4)) AS i
+         |             FROM th WHERE doc_id % 10 <> 7) x),
+         |eshs AS (SELECT DISTINCT d.source AS suite, g.sh
+         |         FROM (SELECT doc_id, $combine5 AS sh
+         |               FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 4)) AS i
+         |                     FROM th WHERE doc_id % 10 = 7) y) g
+         |         JOIN documents d USING (doc_id)),
+         |esh AS (SELECT DISTINCT sh FROM eshs),
+         |dp AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tp
+         |       FROM sh s JOIN esh USING (sh),
+         |            (SELECT unnest(generate_series(0, 4)) AS o) o),
+         |sp AS (SELECT doc_id, tp,
+         |         CASE WHEN lag(tp) OVER w IS NULL OR tp > lag(tp) OVER w + 1
+         |              THEN 1 ELSE 0 END AS new_span
+         |       FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY tp)),
+         |sid AS (SELECT doc_id, tp,
+         |          sum(new_span) OVER (PARTITION BY doc_id ORDER BY tp) AS span_id
+         |        FROM sp),
+         |spans AS (SELECT doc_id, span_id, min(tp) AS span_start,
+         |            count(*) AS span_len
+         |          FROM sid GROUP BY doc_id, span_id),
+         |qual AS (SELECT * FROM spans WHERE span_len >= 8),
+         |cov AS (SELECT doc_id,
+         |          unnest(generate_series(span_start, span_start + span_len - 1)) AS tp
+         |        FROM qual),
+         |scov AS (SELECT DISTINCT s.doc_id, e.suite, s.pos + o.o AS tp
+         |         FROM sh s JOIN eshs e USING (sh),
+         |              (SELECT unnest(generate_series(0, 4)) AS o) o)
+         |SELECT suite, CAST(count(DISTINCT sc.doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS attributed_tokens
+         |FROM scov sc JOIN cov USING (doc_id, tp)
+         |GROUP BY suite ORDER BY suite""".stripMargin
     },
     // D7b: same covered-position derivation, then gaps-and-islands span
     // ids, per-span content hash over the token slice, and the

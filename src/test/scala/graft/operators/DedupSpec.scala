@@ -375,6 +375,42 @@ class DedupSpec extends SparkSuite {
     assert(out(1L).getAs[String]("keep_hash") == expected)
   }
 
+  test("scrub attribution: per-suite blame, shared spans count for both suites") {
+    val p1 = (1 to 10).map(i => s"A$i").mkString(" ") // suite sA only
+    val p2 = (1 to 9).map(i => s"B$i").mkString(" ")  // suite sB only
+    val p3 = (1 to 8).map(i => s"C$i").mkString(" ")  // in BOTH suites
+    val train = Seq(
+      (1L, s"t1 t2 $p1 t3"),
+      (2L, s"u1 $p2 u2 u3"),
+      (3L, s"v1 v2 v3 $p3 v4")).toDF("doc_id", "text")
+    val evalc = Seq(
+      (100L, s"e1 $p1 e2 $p3 e3", "sA"),
+      (101L, s"f1 $p2 f2 $p3 f3", "sB")).toDF("doc_id", "text", "source")
+    val att = Dedup.scrubAttribution(train, evalc, "doc_id", "text",
+        "source", 5, minSpanLen = 8)
+      .collect().map(r => r.getAs[String]("suite") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("attributed_tokens"))).toMap
+    // sA blames doc 1 (10 tokens of p1) + doc 3 (8 tokens of p3);
+    // sB blames doc 2 (9) + doc 3 (8) — p3 counts for BOTH
+    assert(att == Map("sA" -> ((2L, 18L)), "sB" -> ((2L, 17L))))
+    // sanity vs the global scrub: sum over suites >= removed total
+    val removed = Dedup.scrubContamination(train,
+        evalc.select("doc_id", "text"), "doc_id", "text", 5, 8)
+      .agg(org.apache.spark.sql.functions.sum("removed_tokens"))
+      .head().getLong(0)
+    assert(removed == 27L)
+    assert(att.values.map(_._2).sum >= removed)
+  }
+
+  test("scrub attribution: no qualifying spans -> empty report") {
+    val train = Seq((1L, "wholly original training text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val evalc = Seq((100L, "completely different evaluation content", "sA"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.scrubAttribution(train, evalc, "doc_id", "text",
+      "source", 5, minSpanLen = 8).count() == 0)
+  }
+
   test("decontamination scrub: repeats WITHIN train never trigger removal") {
     // two train docs share a long passage absent from eval — the
     // dedup operators' concern, not decontamination's; output empty

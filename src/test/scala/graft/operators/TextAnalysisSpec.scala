@@ -65,6 +65,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(m(3L).getAs[Long]("top_n") == 4L)
   }
 
+  test("repetition kernel matches a driver-side reference on random docs") {
+    // differential gate for the codegen'd single-pass kernel that
+    // replaced the higher-order-function chains
+    val rng = new scala.util.Random(99)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g", "hh")
+    val docs = (1L to 60L).map { id =>
+      val n = 3 + rng.nextInt(40)
+      (id, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = TextAnalysis.repetition(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("top_n"), r.getAs[Double]("dup_2gram_frac"),
+          r.getAs[Double]("dup_3gram_frac"))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").toSeq
+      val top = toks.groupBy(identity).values.map(_.size).max.toLong
+      def frac(n: Int): Double = {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        // Spark round() is HALF_UP over BigDecimal.valueOf — mirror it
+        java.math.BigDecimal.valueOf(
+            (grams.size - grams.distinct.size).toDouble / grams.size)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      }
+      assert(got(id) == ((top, frac(2), frac(3))), s"doc $id: '$text'")
+    }
+  }
+
   test("repetition drops docs shorter than 3 tokens") {
     val docs = Seq((1L, "one two"), (2L, "x y z")).toDF("doc_id", "text")
     assert(TextAnalysis.repetition(docs, "doc_id", "text").count() == 1L)

@@ -101,6 +101,13 @@ class PlanAuditSpec extends SparkSuite {
     // lazy audit keeps the full un-truncated lineage, so the planner
     // sees the pre-materialization join shape.
     Set("q_ann_recall", "q_ann_ivf_sweep", "q_dedup_clusters",
+      // C8b attribution: the gram stream and the suite-tagged eval
+      // gram set are each consumed twice (global covered + per-suite
+      // blame) and materialize once at runtime (Dedup.scrubAttribution
+      // wraps both); under the lazy audit the planner sees the full
+      // unshared lineage on both sides of the suite joins. Runtime
+      // plan: eval-sized tables broadcast (PLANS_r15 dump).
+      "q_decontaminate_by",
       // pagerank's per-iteration edges x ranks join: both sides are
       // node/edge-scale (data x data at any graph size — a web graph's
       // rank table is billions of rows), and consecutive iterations
