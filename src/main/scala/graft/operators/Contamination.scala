@@ -35,8 +35,17 @@ object Contamination {
     val sets = Dedup.shingleSets(relevant, idCol, textCol, n, tokenHash)
       .join(relevant.select(col(idCol).as("doc_id"), col(splitCol).as("__split")),
         "doc_id")
-    val trainSh = sets.filter(col("__split") === trainVal)
-      .select("sh").distinct().withColumn("__hit", lit(1L))
+    // materialized + explicitly sized (Dedup.sizedGramSide): Spark
+    // does not model explode fan-out, so the static estimate of a
+    // post-explode distinct can underestimate by orders of magnitude
+    // and BROADCAST the train shingle index — the one side that must
+    // never broadcast at scale (ProbeC8EvalGrowth measured this exact
+    // rogue-broadcast class on the C8 scrub: 5.5M rows / 384 MiB
+    // hash-relation past the 10 MB threshold). The count-then-hint
+    // keeps the small case broadcast and the big case sort-merge.
+    val trainSh = Dedup.sizedGramSide(Materializer.of(df.sparkSession)(
+      sets.filter(col("__split") === trainVal)
+        .select("sh").distinct().withColumn("__hit", lit(1L))))
     sets.filter(col("__split") === testVal)
       .join(trainSh, Seq("sh"), "left")
       .groupBy("doc_id")
@@ -63,8 +72,11 @@ object Contamination {
       idCol: String, textCol: String, n: Int,
       tokenHash: Column => Column = Hashing.h30): DataFrame = {
     val docSets = Dedup.shingleSets(df, idCol, textCol, n, tokenHash)
-    val refSh = Dedup.shingleSets(reference, idCol, textCol, n, tokenHash)
-      .select("sh").distinct().withColumn("__hit", lit(1L))
+    // materialized + sized — same rogue-broadcast guard as
+    // [[ngramOverlap]]'s trainSh
+    val refSh = Dedup.sizedGramSide(Materializer.of(df.sparkSession)(
+      Dedup.shingleSets(reference, idCol, textCol, n, tokenHash)
+        .select("sh").distinct().withColumn("__hit", lit(1L))))
     docSets.join(refSh, Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),

@@ -839,13 +839,48 @@ object Dedup {
     require(minSpanLen >= n,
       s"minSpanLen=$minSpanLen < n=$n: no span can be shorter than one gram")
     val (base, grams) = scrubFrames(train, idCol, textCol, n, tokenHash)
-    val evalSh = shingleSets(eval, idCol, textCol, n, tokenHash)
-      .select("sh").distinct()
+    // materialized, then explicitly SIZED ([[sizedGramSide]]): the
+    // static planner broadcast a 5.5M-row / 384 MiB eval gram relation
+    // off its unmodeled post-explode estimate, and checkpoint stats
+    // (originStats) + AQE never correct a statically-chosen broadcast
+    // (ProbeC8EvalGrowth). The count-then-hint makes the degradation
+    // graceful and exact: broadcast while the eval set is genuinely
+    // small, spill-safe sort-merge past the cap.
+    val evalSh = sizedGramSide(Materializer.of(train.sparkSession)(
+      shingleSets(eval, idCol, textCol, n, tokenHash)
+        .select("sh").distinct()))
     val covered = grams.join(evalSh, Seq("sh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
       .distinct()
     cleanCoveredAtThreshold(base, covered, minSpanLen)
+  }
+
+  /** Row cap under which a (materialized) gram/shingle set side of a
+    * probe join gets an explicit broadcast hint; above it, an explicit
+    * sort-merge hint. Why explicit at all: Spark does not model
+    * explode fan-out, so the STATIC size estimate of a post-explode
+    * distinct is wrong by orders of magnitude, and a localCheckpoint
+    * carries the pre-checkpoint plan's stats (`originStats`) — AQE
+    * never revisits a statically-chosen broadcast. ProbeC8EvalGrowth
+    * measured the failure: a 5.5M-row / 384 MiB eval gram relation
+    * broadcast past the 10 MB threshold. A 24g local JVM absorbs
+    * that; cluster executors OOM. Default 1M rows ~ tens of MB as a
+    * HashedRelation — tune per deployment.
+    */
+  val GramBroadcastMaxRowsKey = "graft.gramSet.broadcastMaxRows"
+  private val GramBroadcastMaxRowsDefault = 1000000L
+
+  /** Size a MATERIALIZED gram-set join side explicitly: one count over
+    * the checkpoint (cheap, and the skew-audit-as-knob discipline of
+    * [[autoCapped]]/`rankKernel=auto`), then a broadcast hint under
+    * [[GramBroadcastMaxRowsKey]] rows or a sort-merge hint over it —
+    * spill-safe, never an executor-memory bet on a misestimate.
+    */
+  private[operators] def sizedGramSide(df: DataFrame): DataFrame = {
+    val maxRows =
+      capConf(df.sparkSession, GramBroadcastMaxRowsKey, GramBroadcastMaxRowsDefault)
+    if (df.count() <= maxRows) broadcast(df) else df.hint("merge")
   }
 
   /** Shared front half of the C8 scrub family: materialized train
@@ -902,12 +937,16 @@ object Dedup {
     val mat = Materializer.of(train.sparkSession)
     val (base, grams0) = scrubFrames(train, idCol, textCol, n, tokenHash)
     val grams = mat(grams0)
+    // both eval-side tables materialized AND explicitly sized — the
+    // same rogue-broadcast guard as [[scrubContamination]]'s evalSh
     val evalSuiteSh = mat(shingleSets(eval, idCol, textCol, n, tokenHash)
       .join(eval.select(col(idCol).as("doc_id"),
         col(suiteCol).as("suite")), "doc_id")
       .select(col("suite"), col("sh")).distinct())
+    val evalSuiteShSized = sizedGramSide(evalSuiteSh)
+    val evalSh = sizedGramSide(mat(evalSuiteSh.select("sh").distinct()))
     val covered = grams
-      .join(evalSuiteSh.select("sh").distinct(), Seq("sh"), "left_semi")
+      .join(evalSh, Seq("sh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
       .distinct()
@@ -916,7 +955,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("__start"),
           col("__start") + col("__len").cast("int") - 1)).as("tp"))
-    val suiteCov = grams.join(evalSuiteSh, Seq("sh"))
+    val suiteCov = grams.join(evalSuiteShSized, Seq("sh"))
       .select(col("doc_id"), col("suite"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
       .distinct()

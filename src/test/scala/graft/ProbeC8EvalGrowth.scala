@@ -11,21 +11,28 @@ import graft.operators.Dedup
   * gram set. This probe grows the eval slice until that stops being
   * true and answers:
   *
-  *   1. WHERE does the broadcast stop (eval fraction / distinct-gram
-  *      count / estimated bytes vs the 10 MB autoBroadcast default)?
+  *   1. WHERE does the broadcast stop (eval doc count / distinct-gram
+  *      bytes vs the 10 MB autoBroadcast default)?
   *   2. Does the plan degrade GRACEFULLY — a shuffled semi-join (one
   *      extra train shuffle by sh, correct, no cliff) rather than
   *      anything pathological?
-  *   3. Do the scrub totals stay byte-identical across the regime
-  *      change? (The join algorithm must never change the answer.)
+  *   3. Do the scrub totals stay identical across reps within each
+  *      regime? (The join algorithm must never change the answer.)
   *
-  * Method: sf0.1 documents; eval = deterministic doc_id slices at
-  * growing permille, train = the complement, so every arm's expected
-  * output is a pure function of the slice. n=3 per arm, interleaved
-  * reps; after each run the AQE-final plan is grepped for the
-  * LeftSemi operator actually chosen.
+  * Corpus: synthetic 400k docs x 50 tokens (sf0.1's documents table
+  * tops out ~5k docs — every slice broadcasts, nothing to probe), 1%
+  * of docs carry a planted shared 12-token passage so the scrub has
+  * real work. Eval slices are nested id-hash cuts; at ~50 grams/doc
+  * the eval gram set crosses 10 MB around 25-30k eval docs, i.e.
+  * between the 20 and 100 permille arms.
+  *
+  * Method: n=3 interleaved reps; each rep DRIVES the scrub's own
+  * queryExecution to completion (the PlanDump device — a noop write
+  * would finalize a different command's plan) and greps the AQE-final
+  * plan for the semi-join operator actually chosen.
   *
   * Run: sbt -batch "Test/runMain graft.ProbeC8EvalGrowth"
+  * (SPARK_DRIVER_MEM=16g+)
   */
 object ProbeC8EvalGrowth {
   def main(args: Array[String]): Unit = {
@@ -35,37 +42,59 @@ object ProbeC8EvalGrowth {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    val planted = (1 to 12).map(i => s"P$i").mkString(" ")
+    // regenerated per rep + full sweep after (§27 #4 probe hygiene:
+    // the scrub materializes an O(corpus) base index per run, and
+    // without the sweep later reps measure earlier reps' resident
+    // blocks, not the join)
+    def mkDocs() = spark.range(400000)
+      .select(col("id").as("doc_id"), expr(
+        s"""concat_ws(' ',
+           |  concat_ws(' ', transform(sequence(1, 50), j -> concat('w', id, '_', j))),
+           |  CASE WHEN id % 100 = 1 THEN '$planted' ELSE '' END)"""
+          .stripMargin).as("text"))
       .localCheckpoint(true)
 
-    // eval slice: first `permille` of the id hash space — nested, so a
-    // bigger slice strictly contains the smaller one
+    // eval slice: nested id-hash cuts (a bigger slice contains the
+    // smaller), so expected hits grow monotonically
     def slice(permille: Int) = pmod(xxhash64(col("doc_id")), lit(1000)) < permille
 
     final case class Res(t: Double, rows: Long, removed: Long, semi: String)
-    def run(permille: Int): Res = {
+    def run(docs: org.apache.spark.sql.DataFrame, permille: Int): Res = {
       val df = Dedup.scrubContamination(
         docs.filter(!slice(permille)), docs.filter(slice(permille)),
         "doc_id", "text", 5, minSpanLen = 8)
+      val qe = df.queryExecution
       val t0 = System.nanoTime()
-      val agg = df.agg(count(lit(1)), coalesce(sum(col("removed_tokens")), lit(0L))).head()
+      qe.toRdd.foreachPartition(_ => ())
       val t = (System.nanoTime() - t0) / 1e9
-      val plan = df.queryExecution.executedPlan.toString
-      val semi = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) LeftSemi".r
+      val plan = qe.executedPlan.toString
+      // toString prints the join type AFTER the key lists:
+      // "BroadcastHashJoin [sh], [sh], LeftSemi, BuildRight, false"
+      val semi = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\\n]*LeftSemi".r
         .findAllMatchIn(plan).map(_.group(1)).toSeq.distinct.mkString("+")
+      val agg = df.agg(count(lit(1)),
+        coalesce(sum(col("removed_tokens")), lit(0L))).head()
       Res(t, agg.getLong(0), agg.getLong(1), if (semi.isEmpty) "?" else semi)
     }
 
     spark.range(1000000).selectExpr("sum(id * 2)")
       .write.format("noop").mode("overwrite").save()
 
-    val permilles = Seq(2, 20, 100, 300, 500)
+    val permilles = Seq(2, 20, 100, 300)
     val acc = scala.collection.mutable.Map.empty[Int, List[Res]].withDefaultValue(Nil)
-    for (rep <- 1 to 3; p <- permilles) {
-      val r = run(p)
-      acc(p) = acc(p) :+ r
-      println(f"[rep $rep] eval=$p%3d permille  ${r.t}%6.2f s  " +
-        f"affected=${r.rows}%-6d removed=${r.removed}%-8d semi=${r.semi}")
+    for (rep <- 1 to 3) {
+      val docs = mkDocs()
+      for (p <- permilles) {
+        val r = run(docs, p)
+        acc(p) = acc(p) :+ r
+        println(f"[rep $rep] eval=$p%3d permille  ${r.t}%6.2f s  " +
+          f"affected=${r.rows}%-6d removed=${r.removed}%-8d semi=${r.semi}")
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     println("== medians ==")
     permilles.foreach { p =>
