@@ -62,9 +62,12 @@ object Bench {
     // runs on a shared box swing up to ~13x on identical plans, which
     // drowns any real regression signal in scheduler noise
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    // self-adjudication baseline: the PREVIOUS committed
-    // BENCH_LOCAL.json (read before this run overwrites it; same sf
-    // only — a different scale factor makes the ratio meaningless).
+    // self-adjudication baseline: the BENCH_LOCAL.json on disk at
+    // launch — normally the committed previous round's run (read
+    // before this run overwrites it; same sf only — a different scale
+    // factor makes the ratio meaningless). A second run in the same
+    // session compares against the first run's output, which is the
+    // freshest clean baseline available either way.
     // Every >=3x bench-tail instance this repo has probed was box
     // contention, not code (SURVEY §26.1/§26.9: 16/16 NOISE), and the
     // adjudication tax recurred every round — so the artifact now

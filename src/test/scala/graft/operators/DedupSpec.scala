@@ -411,6 +411,38 @@ class DedupSpec extends SparkSuite {
       "source", 5, minSpanLen = 8).count() == 0)
   }
 
+  test("sizedGramSide flips broadcast -> sort-merge exactly at the conf cap") {
+    // the ProbeC8EvalGrowth guard: the eval gram side must be an
+    // EXPLICIT hint both ways — estimates cannot be trusted across an
+    // explode (see Dedup.GramBroadcastMaxRowsKey scaladoc)
+    val passage = (1 to 10).map(i => s"G$i").mkString(" ")
+    val train = Seq((1L, s"t1 t2 $passage t3")).toDF("doc_id", "text")
+    val evalc = Seq((100L, s"e1 $passage e2")).toDF("doc_id", "text")
+    def semiOf(): String = {
+      val df = Dedup.scrubContamination(train, evalc, "doc_id", "text", 5, 8)
+      df.collect() // finalize THIS queryExecution's adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      "(BroadcastHashJoin|SortMergeJoin)[^\\n]*LeftSemi".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq.distinct.mkString("+")
+    }
+    // eval passage "e1 <10 tokens> e2" has 8 distinct 5-grams: a cap
+    // of 7 forces the merge hint, the default cap (1M) broadcasts
+    spark.conf.set(Dedup.GramBroadcastMaxRowsKey, "7")
+    try assert(semiOf() == "SortMergeJoin")
+    finally spark.conf.unset(Dedup.GramBroadcastMaxRowsKey)
+    assert(semiOf() == "BroadcastHashJoin")
+    spark.conf.set(Dedup.GramBroadcastMaxRowsKey, "8")
+    try assert(semiOf() == "BroadcastHashJoin", "cap is inclusive")
+    finally spark.conf.unset(Dedup.GramBroadcastMaxRowsKey)
+    // conf validation mirrors the bucketCap style: loud, names the key
+    spark.conf.set(Dedup.GramBroadcastMaxRowsKey, "lots")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.scrubContamination(train, evalc, "doc_id", "text", 5, 8))
+      assert(e.getMessage.contains(Dedup.GramBroadcastMaxRowsKey))
+    } finally spark.conf.unset(Dedup.GramBroadcastMaxRowsKey)
+  }
+
   test("decontamination scrub: repeats WITHIN train never trigger removal") {
     // two train docs share a long passage absent from eval — the
     // dedup operators' concern, not decontamination's; output empty

@@ -52,6 +52,30 @@ class PropertySpec extends SparkSuite {
     }, 10)
   }
 
+  test("globalRowNumber is the exact sort permutation on arbitrary multisets") {
+    // random value multisets (heavy ties by construction: values drawn
+    // from a small domain), random bucket counts incl. the minimum —
+    // the device must reproduce row_number over (v desc, id) exactly
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      domain <- Gen.chooseNum(1L, 12L)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-domain, domain))
+      buckets <- Gen.oneOf(2, 3, 16, 1024)
+    } yield (vals, buckets)
+    check(Prop.forAll(gen) { case (vals, buckets) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "s").repartition(4)
+      val got = RankSelect.globalRowNumber(df, "s", "rk",
+          descending = true, tieBreak = Seq("id"), buckets = buckets)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rk")).toMap
+      val expected = vals.zipWithIndex
+        .sortBy { case (v, i) => (-v, i) }
+        .zipWithIndex.map { case ((_, i), rk) => i.toLong -> (rk + 1L) }
+        .toMap
+      got == expected
+    }, 15)
+  }
+
   test("keySkew buckets equal independent integer log2 arithmetic") {
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 200))
     check(Prop.forAll(gen) { sizes =>
