@@ -22,7 +22,9 @@ object Bench {
     else {
       val qPart = txt.substring(qStart + 11, txt.indexOf('}', qStart))
       "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(qPart)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .flatMap(m => scala.util.Try(m.group(2).toDouble).toOption
+          .map(m.group(1) -> _))
+        .toMap
     }
   }
 

@@ -14,9 +14,14 @@ import graft.functions.Hashing
   * Scale shape: both sides reduce to (key = shingle hash) rows, the
   * train side is distinct-ed per shingle, and the overlap is one
   * hash-keyed join — work proportional to corpus shingle volume, never
-  * |test| x |train|. At 100 TB the train shingle index is itself huge,
-  * which is why this is a shuffle join on the hash (sort-merge
-  * friendly), not a broadcast of the train set.
+  * |test| x |train|. The train index side is explicitly SIZED
+  * ([[Dedup.sizedGramSide]]): a count over its checkpoint picks a
+  * broadcast hint while it genuinely fits
+  * `graft.gramSet.broadcastMaxRows` (default 1M) rows, and a
+  * spill-safe sort-merge hint past that — at 100 TB the train shingle
+  * index is itself huge and must never ride a broadcast bet on
+  * Spark's unmodeled explode estimates (the ProbeC8EvalGrowth
+  * rogue-broadcast lesson).
   */
 object Contamination {
 

@@ -64,6 +64,21 @@ object Dedup {
     v
   }
 
+  /** The engage half of the `AutoBucket` decision for callers that
+    * already know their hottest bucket width (the streaming band
+    * indexes, whose materialized per-band candidate arrays make the
+    * width a cheap max): the configured cap iff `hottest` reaches the
+    * threshold, else 0 (uncapped). Same conf keys, same validation,
+    * same crossover as [[autoCapped]].
+    */
+  private[graft] def autoCapDecision(spark: SparkSession,
+      hottest: Long): Long = {
+    val threshold =
+      capConf(spark, BucketCapAutoThresholdKey, BucketCapThresholdDefault)
+    val capValue = capConf(spark, BucketCapAutoValueKey, BucketCapValueDefault)
+    if (hottest >= threshold) capValue else 0L
+  }
+
   /** The `AutoBucket` decision AND its anti-join side from ONE
     * count-per-bucket aggregate (map-side combinable — one row per
     * distinct bucket). r14 ran that aggregate twice — a
@@ -83,21 +98,6 @@ object Dedup {
     * and eats one extra signature agg over its materialized shingle
     * sets instead (ProbeLshBandsMat: cheaper than a band checkpoint).
     */
-  /** The engage half of the `AutoBucket` decision for callers that
-    * already know their hottest bucket width (the streaming band
-    * indexes, whose materialized per-band candidate arrays make the
-    * width a cheap max): the configured cap iff `hottest` reaches the
-    * threshold, else 0 (uncapped). Same conf keys, same validation,
-    * same crossover as [[autoCapped]].
-    */
-  private[graft] def autoCapDecision(spark: SparkSession,
-      hottest: Long): Long = {
-    val threshold =
-      capConf(spark, BucketCapAutoThresholdKey, BucketCapThresholdDefault)
-    val capValue = capConf(spark, BucketCapAutoValueKey, BucketCapValueDefault)
-    if (hottest >= threshold) capValue else 0L
-  }
-
   private def autoCapped(all: DataFrame, keys: Seq[String]): DataFrame = {
     val spark = all.sparkSession
     val threshold =
@@ -765,6 +765,21 @@ object Dedup {
     cleanCoveredAtThreshold(base, covered, minSpanLen)
   }
 
+  /** Gaps-and-islands merge of covered (doc_id, tp) positions into
+    * maximal spans: (doc_id, __sid, __start, __len) — one doc-keyed
+    * window + a co-partitioned groupBy.
+    */
+  private def mergedSpans(covered: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
+    covered
+      .withColumn("__new",
+        when(lag(col("tp"), 1).over(w).isNull ||
+          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__sid"))
+      .agg(min(col("tp")).as("__start"), count(lit(1)).as("__len"))
+  }
+
   /** Shared removal tail of [[dupCleanAtThreshold]] /
     * [[scrubContamination]]: merge covered positions into maximal
     * spans, keep spans >= `minSpanLen`, and emit per affected doc
@@ -782,21 +797,6 @@ object Dedup {
     * dedup-recall lesson, and the probed source of q_dup_clean's
     * paired premium.
     */
-  /** Gaps-and-islands merge of covered (doc_id, tp) positions into
-    * maximal spans: (doc_id, __sid, __start, __len) — one doc-keyed
-    * window + a co-partitioned groupBy.
-    */
-  private def mergedSpans(covered: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
-    covered
-      .withColumn("__new",
-        when(lag(col("tp"), 1).over(w).isNull ||
-          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
-      .withColumn("__sid", sum(col("__new")).over(w))
-      .groupBy(col("doc_id"), col("__sid"))
-      .agg(min(col("tp")).as("__start"), count(lit(1)).as("__len"))
-  }
-
   private def cleanCoveredAtThreshold(base: DataFrame, covered: DataFrame,
       minSpanLen: Int): DataFrame = {
     val spans = mergedSpans(covered)

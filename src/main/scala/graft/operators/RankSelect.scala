@@ -79,11 +79,15 @@ object RankSelect {
     * value) bound the hot bucket by that value's multiplicity, same as
     * [[quantiles]].
     *
-    * Contract: `valueCol` non-null, finite (no NaN/Inf — they poison
-    * the range split); `tieBreak` must make the total order unique for
-    * a deterministic rank. `df` is evaluated twice (the driver-side
-    * range scalar + the rank) — materialize it first if its lineage is
-    * expensive. The (lo, hi) range is read driver-side at PLAN-BUILD
+    * Contract: `valueCol` non-null (ENFORCED — a null would silently
+    * land in the last bucket where the window form ranks nulls first,
+    * so the range scalar counts nulls and raises loudly) and finite
+    * (no NaN/Inf — they poison the range split); `tieBreak` must make
+    * the total order unique for a deterministic rank. An
+    * unmaterialized `df` is evaluated THREE times (the driver-side
+    * range scalar, the histogram lineage, and the rank side of the
+    * offset join) — materialize it first if its lineage is expensive.
+    * The (lo, hi) range is read driver-side at PLAN-BUILD
     * time (the [[graft.operators.Dedup]] AutoBucket /
     * `rankKernel=auto` discipline: a physical range split cannot stay
     * lazy, and the scalar costs one map-side-combinable pass over the
@@ -98,7 +102,11 @@ object RankSelect {
       buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val v = col(valueCol)
-    val r = df.agg(min(v).cast("double"), max(v).cast("double")).head()
+    val r = df.agg(min(v).cast("double"), max(v).cast("double"),
+      count(lit(1)) - count(v)).head()
+    require(r.getLong(2) == 0L,
+      s"globalRowNumber: $valueCol has ${r.getLong(2)} null value(s) — " +
+        "the range bucket cannot place them; filter or impute first")
     val (lo, hi) =
       if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
     val keyed =

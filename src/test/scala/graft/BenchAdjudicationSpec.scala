@@ -19,9 +19,13 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(m == Map("q_a" -> 1.25, "q_b" -> 0.04))
     // a different scale factor yields NO baseline, not a wrong one
     assert(Bench.parsePrior(line, "/root/testdata/sf0.01").isEmpty)
-    // garbage degrades to empty, never throws
+    // garbage degrades to empty, never throws — including entries the
+    // number regex admits but toDouble rejects ("1e")
     assert(Bench.parsePrior("not json at all", "/root/testdata/sf0.1").isEmpty)
     assert(Bench.parsePrior("", "/root/testdata/sf0.1").isEmpty)
+    val mangled = line.replace("\"q_b\":0.04", "\"q_b\":1e")
+    assert(Bench.parsePrior(mangled, "/root/testdata/sf0.1") ==
+      Map("q_a" -> 1.25))
   }
 
   test("needsRetry: 3x AND +0.5s absolute, no baseline = no retry") {

@@ -75,6 +75,15 @@ class RankSelectSpec extends SparkSuite {
     assert(got == (1 to 200).map(i => i.toLong -> i.toLong).toMap)
   }
 
+  test("globalRowNumber rejects null values loudly (the window form " +
+      "would rank them differently)") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "s")
+    val e = intercept[IllegalArgumentException](
+      RankSelect.globalRowNumber(df, "s", "rk", tieBreak = Seq("id")))
+    assert(e.getMessage.contains("null"))
+  }
+
   test("globalRowNumber on an empty frame returns empty") {
     val df = Seq.empty[(Long, Long)].toDF("id", "s")
     assert(RankSelect.globalRowNumber(df, "s", "rk",
