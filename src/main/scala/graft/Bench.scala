@@ -78,10 +78,21 @@ object Bench {
     // churn) re-runs once and keeps the min. A REAL regression
     // survives the retry; a transient contention window cannot write
     // the official artifact any more.
-    val prior: Map[String, Double] =
-      try parsePrior(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"))), sfDir)
-      catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] = {
+      val txt =
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_LOCAL.json"))))
+        catch { case _: Throwable => None }
+      val parsed = txt.map(parsePrior(_, sfDir)).getOrElse(Map.empty)
+      // a present-but-unparseable baseline silently disables the retry
+      // guard — make that state visible in the run log so format drift
+      // or an sf mismatch can't hide behind the lenient degrade
+      if (txt.isDefined && parsed.isEmpty)
+        System.err.println("[bench] BENCH_LOCAL.json exists but no " +
+          "baseline parsed (sf mismatch or format drift) — the >3x " +
+          "retry guard is disabled this run")
+      parsed
+    }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
@@ -98,10 +109,18 @@ object Bench {
       // broken query must not make the bench look green or faster
       val ok = times.length == runs
       val median = if (ok) times.sorted.apply(runs / 2) else -1.0
+      // the retry re-runs a FULL runs-sized median (not one run) and
+      // keeps the min of the two medians, so the artifact's "per-query
+      // medians" claim holds for retried entries too and a single
+      // lucky run can't record a value no honest median would produce
       val retried =
-        if (ok && needsRetry(median, prior.get(name)))
-          timeOnce(name, fn).map(r => (median, math.min(median, r)))
-        else None
+        if (ok && needsRetry(median, prior.get(name))) {
+          val again = (1 to runs).flatMap(_ => timeOnce(name, fn))
+          if (again.length == runs) {
+            val m2 = again.sorted.apply(runs / 2)
+            Some((median, math.min(median, m2)))
+          } else None
+        } else None
       (name, retried.fold(median)(_._2), ok, retried.map(_._1))
     }
     // failed queries serialize as null (JSON has no NaN) and are listed
@@ -129,8 +148,9 @@ object Bench {
       "this shared box (SURVEY 17/19/21/22) - compare cross-round " +
       "totals only via isolated probes or a paired same-session " +
       "oracle run (BENCH_DUCK); entries whose median exceeded 3x the " +
-      "previous committed run re-ran once and kept the min (see " +
-      "'retried' for the replaced medians)"
+      "previous committed run re-ran a full " + runs + "-run median " +
+      "and kept the min of the two medians (see 'retried' for the " +
+      "replaced first medians)"
     // every interpolated string goes through the JSON escape — a
     // quote/backslash/control char in a future noise_note edit (or an
     // exotic sfDir) must never corrupt the one-line artifact all three

@@ -82,7 +82,9 @@ object RankSelect {
     * Contract: `valueCol` non-null (ENFORCED — a null would silently
     * land in the last bucket where the window form ranks nulls first,
     * so the range scalar counts nulls and raises loudly) and finite
-    * (no NaN/Inf — they poison the range split); `tieBreak` must make
+    * (ALSO ENFORCED — the same scalar counts NaN/Inf, which would
+    * otherwise bucket via floor(NaN)=0 and silently diverge from the
+    * window form's NaN-ranks-largest order); `tieBreak` must make
     * the total order unique for a deterministic rank. An
     * unmaterialized `df` is evaluated THREE times (the driver-side
     * range scalar, the histogram lineage, and the rank side of the
@@ -102,11 +104,18 @@ object RankSelect {
       buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val v = col(valueCol)
+    val vd = v.cast("double")
     val r = df.agg(min(v).cast("double"), max(v).cast("double"),
-      count(lit(1)) - count(v)).head()
+      count(lit(1)) - count(v),
+      coalesce(sum(when(isnan(vd) || vd === Double.PositiveInfinity ||
+        vd === Double.NegativeInfinity, 1L).otherwise(0L)), lit(0L))).head()
     require(r.getLong(2) == 0L,
       s"globalRowNumber: $valueCol has ${r.getLong(2)} null value(s) — " +
         "the range bucket cannot place them; filter or impute first")
+    require(r.getLong(3) == 0L,
+      s"globalRowNumber: $valueCol has ${r.getLong(3)} non-finite " +
+        "value(s) (NaN/Infinity) — floor(NaN)=0 would bucket them low " +
+        "while the window form ranks NaN largest; filter or impute first")
     val (lo, hi) =
       if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
     val keyed =

@@ -84,6 +84,19 @@ class RankSelectSpec extends SparkSuite {
     assert(e.getMessage.contains("null"))
   }
 
+  test("globalRowNumber rejects NaN/Infinity values loudly (floor(NaN) " +
+      "buckets low while the window form ranks NaN largest)") {
+    val nan = Seq((1L, 5.0), (2L, Double.NaN), (3L, 7.0)).toDF("id", "s")
+    val e1 = intercept[IllegalArgumentException](
+      RankSelect.globalRowNumber(nan, "s", "rk", tieBreak = Seq("id")))
+    assert(e1.getMessage.contains("non-finite"))
+    val inf = Seq((1L, 5.0), (2L, Double.NegativeInfinity),
+      (3L, Double.PositiveInfinity)).toDF("id", "s")
+    val e2 = intercept[IllegalArgumentException](
+      RankSelect.globalRowNumber(inf, "s", "rk", tieBreak = Seq("id")))
+    assert(e2.getMessage.contains("2 non-finite"))
+  }
+
   test("globalRowNumber on an empty frame returns empty") {
     val df = Seq.empty[(Long, Long)].toDF("id", "s")
     assert(RankSelect.globalRowNumber(df, "s", "rk",
