@@ -61,6 +61,51 @@ object Contamination {
         (col("n_hit") * thrDen >= col("n_shingles") * thrNum).as("contaminated"))
   }
 
+  /** C1b: per-eval-suite contamination ATTRIBUTION — the C8b faceting
+    * discipline ([[Dedup.scrubAttribution]]) applied to the AUDIT
+    * side: a release datasheet wants the [[ngramOverlap]] counts
+    * blamed per eval suite, not one undifferentiated test-split
+    * number. Each test doc carries its suite (`suiteCol`); the per-doc
+    * audit is IDENTICAL to C1 (same train shingle index, same
+    * eval-blocked join, the suite rides the existing doc-keyed
+    * aggregate as a functionally-dependent grouping key — zero extra
+    * shuffle width), then one suite-cardinality rollup: docs audited,
+    * docs over the contamination threshold, gram totals, and the
+    * suite's pooled overlap fraction.
+    *
+    * Scale shape: inherits C1's — the only additions are a
+    * passthrough column on the test side and a second aggregate whose
+    * input is one row per test doc and whose output is suite-
+    * cardinality. The train index keeps the [[Dedup.sizedGramSide]]
+    * broadcast/sort-merge sizing guard.
+    */
+  def ngramOverlapBy(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, suiteCol: String, n: Int,
+      trainVal: String = "train", testVal: String = "test",
+      thrNum: Long = 1, thrDen: Long = 5,
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    val relevant = df.filter(col(splitCol).isin(trainVal, testVal))
+    val sets = Dedup.shingleSets(relevant, idCol, textCol, n, tokenHash)
+      .join(relevant.select(col(idCol).as("doc_id"),
+        col(splitCol).as("__split"), col(suiteCol).as("__suite")), "doc_id")
+    val trainSh = Dedup.sizedGramSide(Materializer.of(df.sparkSession)(
+      sets.filter(col("__split") === trainVal)
+        .select("sh").distinct().withColumn("__hit", lit(1L))))
+    sets.filter(col("__split") === testVal)
+      .join(trainSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"), col("__suite"))
+      .agg(count(lit(1)).as("__n_sh"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__n_hit"))
+      .groupBy(col("__suite").as("suite"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__n_hit") * thrDen >= col("__n_sh") * thrNum)
+          .cast("long")).as("n_contaminated"),
+        sum(col("__n_sh")).as("n_shingles"),
+        sum(col("__n_hit")).as("n_hit"))
+      .withColumn("overlap_frac",
+        round(col("n_hit") / col("n_shingles"), 4))
+  }
+
   /** C4: per-document n-gram NOVELTY against an ARBITRARY reference
     * corpus — the two-table generalization of [[ngramOverlap]] (which
     * needs both sides in one frame behind a split column), and the

@@ -200,4 +200,26 @@ object Graph {
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** A70: per-node local clustering coefficient — triangles the node
+    * participates in over the C(deg, 2) wedges it centers, the
+    * completion of the PageRank/triangles/coefficient triad for
+    * link-farm detection on a web corpus's host graph (a farm's hub
+    * has high degree and near-zero closure; a genuine community
+    * closes).
+    *
+    * Scale shape: [[triangles]] does ALL the work (its per-node output
+    * already carries both deg and n_tri) — the coefficient is one
+    * row-local projection, no additional join or shuffle. Both
+    * operands are exact integers (2·n_tri and deg·(deg−1)), so the
+    * single IEEE division is bit-deterministic across engines; deg < 2
+    * centers no wedge and yields NULL (not 0 — "no closure" and "no
+    * wedges to close" are different datasheet facts).
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame =
+    triangles(edges).select(col("node"), col("deg"), col("n_tri"),
+      when(col("deg") >= 2,
+        (col("n_tri") * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"))
+        .as("coef"))
 }

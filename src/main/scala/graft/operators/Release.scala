@@ -73,4 +73,75 @@ object Release {
       .parquet(dir)
     manifest(df.sparkSession.read.parquet(dir), partitionCol, idCol, textCol)
   }
+
+  /** P13b: small-file COMPACTION of an existing release — the
+    * maintenance half of the writer: incremental appends leave each
+    * partition littered with batch-sized fragments, and at 100 TB the
+    * per-file scheduling/open cost of a million tiny parquet files
+    * dominates reads. Rewrites `srcDir` into `dstDir` bin-packed
+    * toward `targetRecordsPerFile`, and returns the per-partition
+    * verification frame: before/after row counts, content checksums
+    * (the P13 manifest — order-independent by construction, so the
+    * rewrite MUST reproduce it string-for-string), file counts, and a
+    * `matched` flag. A lost/duplicated/mangled row flips `matched`
+    * false; callers gate the swap on `matched` being all-true.
+    *
+    * Packing: per-partition target file counts come from one
+    * vocabulary-sized count aggregate joined back by broadcast (never
+    * a driver collect), each row takes a DETERMINISTIC file index
+    * `hash(id) mod k`, and the pre-write shuffle keys on
+    * (partition, index) so each task holds whole output files. No
+    * row_number / per-partition sort anywhere — the hash spread is
+    * binomially even, which is what compaction needs; the
+    * `maxRecordsPerFile` bound backstops any hash-collision merge of
+    * two index groups into one task. Writes to a NEW directory:
+    * rewriting a parquet dir that a live plan is lazily reading is a
+    * self-overwrite corruption class Spark cannot guard, and the
+    * atomic swap (rename / catalog pointer flip) is the caller's
+    * transaction anyway.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, partitionCol: String, idCol: String, textCol: String,
+      targetRecordsPerFile: Long): DataFrame = {
+    require(targetRecordsPerFile >= 1L,
+      s"targetRecordsPerFile must be >= 1, got $targetRecordsPerFile")
+    require(new java.io.File(dstDir).getCanonicalPath !=
+      new java.io.File(srcDir).getCanonicalPath,
+      "compact must write to a new directory (self-overwrite of a " +
+        "lazily-read parquet dir corrupts the release); swap after gating")
+    val src = spark.read.parquet(srcDir)
+    val sizes = src.groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(partitionCol),
+        expr(s"(__n + ${targetRecordsPerFile - 1}) div $targetRecordsPerFile")
+          .cast("int").as("__k"))
+    src.join(broadcast(sizes), Seq(partitionCol))
+      .withColumn("__f", pmod(hash(col(idCol)), greatest(col("__k"), lit(1))))
+      .repartition(col(partitionCol), col("__f"))
+      .drop("__k", "__f")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(dstDir)
+    val dst = spark.read.parquet(dstDir)
+    def side(df: DataFrame, tag: String): DataFrame =
+      manifest(df, partitionCol, idCol, textCol)
+        // file counts via the file-source _metadata column (a real,
+        // deterministic column — input_file_name() is rejected inside
+        // aggregates as non-deterministic)
+        .join(df.select(col(partitionCol),
+            col("_metadata.file_path").as("__fp"))
+          .groupBy(col(partitionCol))
+          .agg(countDistinct(col("__fp")).as(s"files_$tag")),
+          Seq(partitionCol))
+        .select(col(partitionCol), col("n_rows").as(s"n_rows_$tag"),
+          col("content_sum").as(s"content_sum_$tag"), col(s"files_$tag"))
+    side(src, "before").join(side(dst, "after"), Seq(partitionCol), "full")
+      .withColumn("matched",
+        // a partition present on only one side is a loss/invention —
+        // the full join's nulls must read as mismatch, never null
+        coalesce(col("n_rows_before") === col("n_rows_after") &&
+          col("content_sum_before") === col("content_sum_after"),
+          lit(false)))
+  }
 }

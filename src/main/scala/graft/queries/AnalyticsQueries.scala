@@ -1056,7 +1056,7 @@ object AnalyticsQueries {
   // (parts sharing an urgent-priority order — the priority filter
   // keeps the gate graph's density representative without the full
   // graph's 1.9M-triangle oracle cost).
-  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+  private def urgentCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").join(
         t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_orderkey")),
@@ -1065,11 +1065,20 @@ object AnalyticsQueries {
       .distinct()
     val a = li.select(col("o"), col("p").as("src"))
     val b = li.select(col("o").as("o2"), col("p").as("dst"))
-    val edges = a.join(b, col("o") === col("o2") && col("src") < col("dst"))
+    a.join(b, col("o") === col("o2") && col("src") < col("dst"))
       .select("src", "dst")
-    graft.operators.Graph.triangles(edges)
-      .orderBy("node")
   }
+
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangles(urgentCoPurchaseEdges(s, dir))
+      .orderBy("node")
+
+  // A70: local clustering coefficient over the same co-purchase graph
+  // — the triad closure rate per part (2·tri / deg·(deg−1), NULL for
+  // degree-1 nodes that center no wedge).
+  def qClusteringCoef(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.clusteringCoefficient(urgentCoPurchaseEdges(s, dir))
+      .orderBy("node")
 
   // A67: lag 1..6 autocorrelation of each event type's hourly
   // value-sum series (values on the integer-micro ladder — floor, not
@@ -1188,6 +1197,7 @@ object AnalyticsQueries {
     "q_basket" -> qBasket,
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
+    "q_clustering_coef" -> qClusteringCoef,
     "q_acf" -> qAcf,
     "q_winsorize" -> qWinsorize,
     "q_ccf" -> qCcf,
@@ -1408,6 +1418,42 @@ object AnalyticsQueries {
         |         SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |       GROUP BY 1)
         |SELECT deg.node, deg.deg, coalesce(pn.n_tri, 0) AS n_tri
+        |FROM deg LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin,
+    // A70: the identical triangle pipeline, one projection on top —
+    // both division operands are exact integers, so the lone IEEE
+    // divide is bit-deterministic across engines.
+    "q_clustering_coef" ->
+      """WITH li AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+        |       FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |       WHERE ord.o_orderpriority = '1-URGENT'),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |ori AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |            THEN e.u ELSE e.v END AS s,
+        |          CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |            THEN e.v ELSE e.u END AS t,
+        |          CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |            THEN dv.deg ELSE du.deg END AS tdeg
+        |        FROM e JOIN deg du ON e.u = du.node
+        |               JOIN deg dv ON e.v = dv.node),
+        |w AS (SELECT d1.s AS a, d1.t AS b, d2.t AS c
+        |      FROM ori d1 JOIN ori d2 ON d1.s = d2.s
+        |        AND ((d1.tdeg, d1.t) < (d2.tdeg, d2.t))),
+        |tri AS (SELECT a, b, c
+        |        FROM w JOIN ori d ON w.b = d.s AND w.c = d.t),
+        |pn AS (SELECT node, count(*) AS n_tri FROM (
+        |         SELECT a AS node FROM tri UNION ALL
+        |         SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |       GROUP BY 1)
+        |SELECT deg.node, deg.deg, coalesce(pn.n_tri, 0) AS n_tri,
+        |  CASE WHEN deg.deg >= 2 THEN
+        |    CAST(coalesce(pn.n_tri, 0) * 2 AS DOUBLE)
+        |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+        |  END AS coef
         |FROM deg LEFT JOIN pn USING (node)
         |ORDER BY node""".stripMargin,
     // A67: the identical six integer pair sums in HUGEINT (DuckDB's

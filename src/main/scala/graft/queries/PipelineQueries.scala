@@ -745,6 +745,18 @@ object PipelineQueries {
         "doc_id", "text", "split", n = 5)
       .orderBy("doc_id")
 
+  // C1b: the C1 audit's per-eval-suite attribution — same hash split,
+  // same train index and eval-blocked join, rolled up by the test
+  // doc's crawl source standing in as the eval suite: per suite, docs
+  // audited / docs over threshold / gram totals / pooled overlap.
+  def qContaminationBy(s: SparkSession, dir: String): DataFrame =
+    Contamination.ngramOverlapBy(
+        Sampling.hashSplit(
+          t(s, dir, "documents").select("doc_id", "text", "source"),
+          "doc_id", 80, 10),
+        "doc_id", "text", "split", "source", n = 5)
+      .orderBy("suite")
+
   // T16: BM25 over a fixed 3-term query (one zero-df term pins the
   // degenerate idf path); top 50 by (score, doc_id).
   def qBm25(s: SparkSession, dir: String): DataFrame =
@@ -1286,6 +1298,7 @@ object PipelineQueries {
     "q_lm_score" -> qLmScore,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_contamination" -> qContamination,
+    "q_contamination_by" -> qContaminationBy,
     "q_embed_quant" -> qEmbedQuant,
     "q_embed_cartography" -> qEmbedCartography,
     "q_seq_pack" -> qSeqPack,
@@ -3286,6 +3299,36 @@ object PipelineQueries {
          |  round(n_hit / n_shingles, 4) AS overlap_frac,
          |  (n_hit * 5 >= n_shingles * 1) AS contaminated
          |FROM j ORDER BY doc_id""".stripMargin
+    },
+    "q_contamination_by" -> {
+      val b = Sampling.bucketOfSql("doc_id", "split", 100)
+      val combine5 = {
+        import graft.operators.Dedup.ShingleCoef
+        (0 until 5).map(k => s"${ShingleCoef(k)} * th[i + $k]").mkString(" + ")
+      }
+      s"""WITH d AS (SELECT doc_id, text, source,
+         |       CASE WHEN $b < 80 THEN 'train'
+         |            WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+         |     FROM documents),
+         |tok AS (SELECT doc_id, split, source,
+         |        regexp_split_to_array(trim(text), '\\s+') AS toks FROM d),
+         |th AS (SELECT doc_id, split, source, list_transform(toks, t -> ${Hashing.h30Sql("t")}) AS th
+         |       FROM tok WHERE len(toks) >= 5),
+         |sh AS (SELECT DISTINCT doc_id, split, source, $combine5 AS sh
+         |       FROM (SELECT doc_id, split, source, th,
+         |             unnest(generate_series(1, len(th) - 4)) AS i FROM th) x),
+         |tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+         |te AS (SELECT doc_id, source, sh FROM sh WHERE split = 'test'),
+         |j AS (SELECT te.doc_id, te.source, count(*) AS n_sh,
+         |        CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |      FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY te.doc_id, te.source)
+         |SELECT source AS suite, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_hit * 5 >= n_sh * 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |  CAST(sum(n_hit) AS BIGINT) AS n_hit,
+         |  round(sum(n_hit) / sum(n_sh), 4) AS overlap_frac
+         |FROM j GROUP BY source ORDER BY suite""".stripMargin
     },
     "q_embed_cartography" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

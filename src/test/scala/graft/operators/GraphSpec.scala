@@ -158,6 +158,32 @@ class GraphSpec extends SparkSuite {
       Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
   }
 
+  private def runCoef(edges: Seq[(Long, Long)]): Map[Long, Option[Double]] =
+    Graph.clusteringCoefficient(edges.toDF("src", "dst"))
+      .collect().map(r => r.getAs[Long]("node") ->
+        (if (r.isNullAt(r.fieldIndex("coef"))) None
+         else Some(r.getAs[Double]("coef")))).toMap
+
+  test("clusteringCoefficient: K4 closes every wedge — coef 1.0 everywhere") {
+    val edges = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(runCoef(edges) == (1L to 4L).map(_ -> Some(1.0)).toMap)
+  }
+
+  test("clusteringCoefficient: star center is 0, degree-1 leaves NULL") {
+    val edges = (2L to 6L).map(n => (1L, n))
+    val got = runCoef(edges)
+    assert(got(1L) == Some(0.0))
+    assert((2L to 6L).forall(got(_).isEmpty))
+  }
+
+  test("clusteringCoefficient: shared-edge triangles — exact ratios") {
+    // {1,2,3} + {2,3,4}: nodes 1,4 close their only wedge (1.0);
+    // nodes 2,3 have deg 3 (3 wedges), 2 triangles -> 2/3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(runCoef(edges) == Map(1L -> Some(1.0), 2L -> Some(2.0 / 3),
+      3L -> Some(2.0 / 3), 4L -> Some(1.0)))
+  }
+
   test("triangles: matches brute force on a dense pseudo-random graph") {
     // deterministic edge set: 18 nodes, edge iff (a*31 + b*17) % 3 == 0
     val edges = for {

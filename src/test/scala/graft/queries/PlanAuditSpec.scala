@@ -79,6 +79,9 @@ class PlanAuditSpec extends SparkSuite {
     // at any graph size, shuffled on node ids; the degree-ordered
     // orientation bounds the wedge fan-out, not broadcastability
     "q_triangles",
+    // clustering coefficient = one projection on the SAME triangle
+    // pipeline — inherits q_triangles' wedge/closure SMJ class verbatim
+    "q_clustering_coef",
     // autocorrelation's series x shifted-series equi-join on
     // (key, t + lag): both sides are the SAME aggregated series table
     // (hosts x horizon at metrics scale — data x data), shuffled on
