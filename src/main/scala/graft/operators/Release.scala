@@ -74,6 +74,72 @@ object Release {
     manifest(df.sparkSession.read.parquet(dir), partitionCol, idCol, textCol)
   }
 
+  /** P13c: incremental APPEND to an existing release, manifest-
+    * reconciled — the op that CREATES the fragmentation [[compact]]
+    * cleans up, gated the same way. The P13 checksum is an
+    * order-independent SUM, so append has an algebraic expectation:
+    * per partition, expected = before + batch (both row counts and
+    * decimal(38,0) content sums ADD — no re-scan of the existing
+    * release's data beyond its vocabulary-sized manifest). The
+    * returned frame compares that expectation against the re-read
+    * artifact's actual manifest; `matched` false on any loss,
+    * duplication, or mangling of either the old rows or the batch.
+    *
+    * Append is a pure MULTISET add (lakehouse append semantics): ids
+    * already present simply duplicate, and the reconciliation still
+    * balances — dedup against the corpus is the D8 incremental
+    * operator's job, upstream of the writer. Both the before-manifest
+    * and the batch-manifest are materialized EAGERLY before the write:
+    * a lazy before-read re-listing the directory after the append
+    * would see the new files and vacuously match, and a batch whose
+    * lineage reads the target dir would double-count.
+    */
+  def appendAndManifest(batch: DataFrame, dir: String, partitionCol: String,
+      idCol: String, textCol: String,
+      maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    val spark = batch.sparkSession
+    val mat = Materializer.of(spark)
+    val before = mat.eager(
+      manifest(spark.read.parquet(dir), partitionCol, idCol, textCol))
+    val batchM = mat.eager(manifest(batch, partitionCol, idCol, textCol))
+    batch.write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(dir)
+    reconcileAppend(before, batchM,
+      manifest(spark.read.parquet(dir), partitionCol, idCol, textCol),
+      partitionCol)
+  }
+
+  /** The pure reconciliation behind [[appendAndManifest]], exposed so
+    * the loss/tamper arms are unit-testable without corrupting a real
+    * write: per partition, (before + batch) vs after on both row
+    * counts and content sums, full-joined so a partition missing from
+    * (or invented in) the artifact reads as mismatch, never null.
+    */
+  def reconcileAppend(beforeM: DataFrame, batchM: DataFrame,
+      afterM: DataFrame, partitionCol: String): DataFrame = {
+    val zero = lit(0L).cast("decimal(38,0)")
+    def arm(m: DataFrame, tag: String): DataFrame =
+      m.select(col(partitionCol), col("n_rows").as(s"__n_$tag"),
+        col("content_sum").cast("decimal(38,0)").as(s"__s_$tag"))
+    val expected = arm(beforeM, "b").join(arm(batchM, "a"),
+        Seq(partitionCol), "full")
+      .select(col(partitionCol),
+        (coalesce(col("__n_b"), lit(0L)) + coalesce(col("__n_a"), lit(0L)))
+          .as("n_rows_expected"),
+        (coalesce(col("__s_b"), zero) + coalesce(col("__s_a"), zero))
+          .cast("decimal(38,0)").cast("string").as("content_sum_expected"))
+    expected.join(
+        afterM.select(col(partitionCol), col("n_rows").as("n_rows_after"),
+          col("content_sum").as("content_sum_after")),
+        Seq(partitionCol), "full")
+      .withColumn("matched",
+        coalesce(col("n_rows_expected") === col("n_rows_after") &&
+          col("content_sum_expected") === col("content_sum_after"),
+          lit(false)))
+  }
+
   /** P13b: small-file COMPACTION of an existing release — the
     * maintenance half of the writer: incremental appends leave each
     * partition littered with batch-sized fragments, and at 100 TB the
@@ -105,10 +171,18 @@ object Release {
       targetRecordsPerFile: Long): DataFrame = {
     require(targetRecordsPerFile >= 1L,
       s"targetRecordsPerFile must be >= 1, got $targetRecordsPerFile")
-    require(new java.io.File(dstDir).getCanonicalPath !=
-      new java.io.File(srcDir).getCanonicalPath,
-      "compact must write to a new directory (self-overwrite of a " +
-        "lazily-read parquet dir corrupts the release); swap after gating")
+    // equal OR nested either way: a dst inside src would surface the
+    // half-written copy to src's own lazy re-read (partition discovery
+    // walks the tree), and a src inside dst would be deleted by the
+    // overwrite — all three are the same corruption class
+    val (srcC, dstC) = (new java.io.File(srcDir).getCanonicalPath,
+      new java.io.File(dstDir).getCanonicalPath)
+    require(srcC != dstC &&
+      !srcC.startsWith(dstC + java.io.File.separator) &&
+      !dstC.startsWith(srcC + java.io.File.separator),
+      "compact must write to a new directory outside the source tree " +
+        "(self-overwrite of a lazily-read parquet dir corrupts the " +
+        "release); swap after gating")
     val src = spark.read.parquet(srcDir)
     val sizes = src.groupBy(col(partitionCol))
       .agg(count(lit(1)).as("__n"))

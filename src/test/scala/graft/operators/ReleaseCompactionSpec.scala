@@ -91,6 +91,15 @@ class ReleaseCompactionSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       Release.compact(spark, src, src + "/", "source", "doc_id", "text", 10L))
     assert(e.getMessage.contains("new directory"))
+    // nested either way is the same corruption class
+    val e2 = intercept[IllegalArgumentException](
+      Release.compact(spark, src, src + "/compacted", "source",
+        "doc_id", "text", 10L))
+    assert(e2.getMessage.contains("new directory"))
+    val e3 = intercept[IllegalArgumentException](
+      Release.compact(spark, src, new java.io.File(src).getParent,
+        "source", "doc_id", "text", 10L))
+    assert(e3.getMessage.contains("new directory"))
   }
 
   test("a corrupted rewrite cannot read as matched (full-join null arms " +
