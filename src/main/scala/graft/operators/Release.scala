@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -49,14 +49,18 @@ object Release {
         rm(new java.io.File(dir))
       }))
 
+  /** The per-row checksum term the manifest sums (order-independent by
+    * commutativity of the decimal sum). */
+  private def rowChecksum(idCol: String, textCol: String): Column =
+    Hashing.md5Long60(concat(col(idCol).cast("string"), lit("|"),
+      coalesce(col(textCol), lit("")))).cast("decimal(38,0)")
+
   /** Order-independent per-partition manifest of any frame. */
   def manifest(df: DataFrame, partitionCol: String, idCol: String,
       textCol: String): DataFrame =
     df.groupBy(col(partitionCol))
       .agg(count(lit(1)).as("n_rows"),
-        sum(Hashing.md5Long60(concat(col(idCol).cast("string"), lit("|"),
-          coalesce(col(textCol), lit("")))).cast("decimal(38,0)"))
-          .cast("string").as("content_sum"),
+        sum(rowChecksum(idCol, textCol)).cast("string").as("content_sum"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
 
@@ -109,6 +113,99 @@ object Release {
     reconcileAppend(before, batchM,
       manifest(spark.read.parquet(dir), partitionCol, idCol, textCol),
       partitionCol)
+  }
+
+  /** P13c's PRODUCTION path: the same append, verified in O(batch)
+    * instead of O(release). [[appendAndManifest]] re-scans the whole
+    * artifact twice (before + after) — audit-grade, but at 100 TB two
+    * full-corpus scans per daily batch IS the op's own scale killer.
+    * Here the caller passes the release's STORED manifest (the frame
+    * the previous [[writeAndManifest]] / [[compact]] /
+    * appendIncremental call returned — every writer op emits the next
+    * one precisely so this chain never re-reads history):
+    *
+    *   1. list the release's files (a filesystem metadata op — the
+    *      same listing every lakehouse commit does; Hadoop FS API, so
+    *      HDFS/S3A work, not just local disk),
+    *   2. append the batch,
+    *   3. re-list; any PRE-EXISTING file missing RAISES (an append
+    *      that destroyed history is not a mismatch to report, it is a
+    *      stop-the-pipeline corruption),
+    *   4. manifest ONLY the new files (partition columns restored via
+    *      basePath) and compare against the batch's own manifest —
+    *      the landed bytes must BE the batch,
+    *   5. compose the post-append manifest algebraically from the
+    *      stored manifest + the landed data (sums add, min/max fold)
+    *      — zero reads of pre-existing rows anywhere.
+    *
+    * Returns the composed manifest (the stored artifact for the NEXT
+    * call) plus a per-partition `matched` flag from step 4. Trust
+    * model: the stored manifest attests history (re-attest any time
+    * with [[manifest]] over a full read — the audit path); this call
+    * proves the DELTA landed intact.
+    */
+  def appendIncremental(batch: DataFrame, dir: String,
+      storedManifest: DataFrame, partitionCol: String, idCol: String,
+      textCol: String, maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    val spark = batch.sparkSession
+    val mat = Materializer.of(spark)
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(hPath)
+    def listParquet(): Set[String] = {
+      val it = fs.listFiles(qualified, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString
+      }
+      b.result()
+    }
+    // the stored manifest and the batch's manifest both materialize
+    // BEFORE the write — same lazy-relist / self-referential-batch
+    // holes appendAndManifest closes
+    val before = mat.eager(storedManifest
+      .select(col(partitionCol), col("n_rows"), col("content_sum"),
+        col("min_id"), col("max_id")))
+    val batchM = mat.eager(manifest(batch, partitionCol, idCol, textCol))
+    val files0 = listParquet()
+    batch.write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(dir)
+    val files1 = listParquet()
+    val lost = files0 -- files1
+    if (lost.nonEmpty) throw new IllegalStateException(
+      s"appendIncremental: ${lost.size} pre-existing file(s) vanished " +
+        s"during the append (e.g. ${lost.head}) — the release history " +
+        "was destroyed; halt and restore before trusting the artifact")
+    val newFiles = (files1 -- files0).toSeq.sorted
+    val landed =
+      if (newFiles.isEmpty) batchM.limit(0)
+      else manifest(
+        spark.read.option("basePath", qualified.toString)
+          .parquet(newFiles: _*),
+        partitionCol, idCol, textCol)
+    def arm(m: DataFrame, tag: String): DataFrame =
+      m.select(col(partitionCol), col("n_rows").as(s"__n_$tag"),
+        col("content_sum").cast("decimal(38,0)").as(s"__s_$tag"),
+        col("min_id").as(s"__lo_$tag"), col("max_id").as(s"__hi_$tag"))
+    val zero = lit(0L).cast("decimal(38,0)")
+    // step 4 (landed == batch) and step 5 (before + landed) in one
+    // three-way full join; least/greatest skip null arms natively
+    arm(before, "b").join(arm(landed, "l"), Seq(partitionCol), "full")
+      .join(arm(batchM, "x"), Seq(partitionCol), "full")
+      .select(col(partitionCol),
+        (coalesce(col("__n_b"), lit(0L)) + coalesce(col("__n_l"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("__s_b"), zero) + coalesce(col("__s_l"), zero))
+          .cast("decimal(38,0)").cast("string").as("content_sum"),
+        least(col("__lo_b"), col("__lo_l")).as("min_id"),
+        greatest(col("__hi_b"), col("__hi_l")).as("max_id"),
+        coalesce(
+          (col("__n_l") <=> col("__n_x")) && (col("__s_l") <=> col("__s_x")),
+          lit(false)).as("matched"))
   }
 
   /** The pure reconciliation behind [[appendAndManifest]], exposed so
@@ -198,18 +295,19 @@ object Release {
       .partitionBy(partitionCol)
       .parquet(dstDir)
     val dst = spark.read.parquet(dstDir)
+    // ONE scan per side: checksum and file count fused into the same
+    // aggregate (a separate file-count pass would re-read the corpus —
+    // at 100 TB the verification's cost is these two scans, period).
+    // Files counted via the file-source _metadata column (a real,
+    // deterministic column — input_file_name() is rejected inside
+    // aggregates as non-deterministic).
     def side(df: DataFrame, tag: String): DataFrame =
-      manifest(df, partitionCol, idCol, textCol)
-        // file counts via the file-source _metadata column (a real,
-        // deterministic column — input_file_name() is rejected inside
-        // aggregates as non-deterministic)
-        .join(df.select(col(partitionCol),
-            col("_metadata.file_path").as("__fp"))
-          .groupBy(col(partitionCol))
-          .agg(countDistinct(col("__fp")).as(s"files_$tag")),
-          Seq(partitionCol))
-        .select(col(partitionCol), col("n_rows").as(s"n_rows_$tag"),
-          col("content_sum").as(s"content_sum_$tag"), col(s"files_$tag"))
+      df.select(col(partitionCol), rowChecksum(idCol, textCol).as("__cs"),
+          col("_metadata.file_path").as("__fp"))
+        .groupBy(col(partitionCol))
+        .agg(count(lit(1)).as(s"n_rows_$tag"),
+          sum(col("__cs")).cast("string").as(s"content_sum_$tag"),
+          countDistinct(col("__fp")).as(s"files_$tag"))
     side(src, "before").join(side(dst, "after"), Seq(partitionCol), "full")
       .withColumn("matched",
         // a partition present on only one side is a loss/invention —

@@ -65,6 +65,65 @@ class ReleaseAppendSpec extends SparkSuite {
     assert(r2("a").getAs[Long]("n_rows_after") == 18L) // 12 + 3 + 3
   }
 
+  test("appendIncremental: the O(batch) chain — each call's output is " +
+      "the next call's stored manifest, always equal to a full re-scan") {
+    val dir = tmp("rel_inc_")
+    val m0 = Release.writeAndManifest(base, dir, "source", "doc_id", "text",
+      maxRecordsPerFile = 5L)
+    val m1 = Release.appendIncremental(batch, dir, m0, "source",
+      "doc_id", "text", maxRecordsPerFile = 5L)
+    assert(m1.collect().forall(_.getAs[Boolean]("matched")))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_rows", "content_sum", "min_id", "max_id")
+        .as[(String, Long, String, Long, Long)].collect().toSet
+    // the composed manifest IS the artifact's full-scan manifest
+    assert(asSet(m1) == asSet(Release.manifest(spark.read.parquet(dir),
+      "source", "doc_id", "text")))
+    // chain a second batch off m1 — still O(batch), still exact
+    val batch2 = Seq((301L, "b", "late doc"), (302L, "d", "another new "
+      + "partition")).toDF("doc_id", "source", "text")
+    val m2 = Release.appendIncremental(batch2, dir, m1, "source",
+      "doc_id", "text")
+    assert(m2.collect().forall(_.getAs[Boolean]("matched")))
+    assert(asSet(m2) == asSet(Release.manifest(spark.read.parquet(dir),
+      "source", "doc_id", "text")))
+    assert(asSet(m2).map(_._1) == Set("a", "b", "c", "d"))
+  }
+
+  test("appendIncremental: an empty batch composes to the unchanged " +
+      "manifest, matched everywhere") {
+    val dir = tmp("rel_inc2_")
+    val m0 = Release.writeAndManifest(base, dir, "source", "doc_id", "text")
+    val m1 = Release.appendIncremental(batch.filter(lit(false)), dir, m0,
+      "source", "doc_id", "text")
+    assert(m1.collect().forall(_.getAs[Boolean]("matched")))
+    assert(m1.select("source", "n_rows", "content_sum")
+        .as[(String, Long, String)].collect().toSet ==
+      m0.select("source", "n_rows", "content_sum")
+        .as[(String, Long, String)].collect().toSet)
+  }
+
+  test("appendIncremental trust model: matched attests the DELTA " +
+      "landed; a wrong stored manifest poisons only the composition") {
+    val dir = tmp("rel_inc3_")
+    Release.writeAndManifest(base, dir, "source", "doc_id", "text").collect()
+    val forged = Release.manifest(base.withColumn("text", lit("forged")),
+      "source", "doc_id", "text")
+    val m1 = Release.appendIncremental(batch, dir, forged, "source",
+      "doc_id", "text")
+    // the delta verification still passes (the landed files ARE the
+    // batch)...
+    assert(m1.collect().forall(_.getAs[Boolean]("matched")))
+    // ...but the composed manifest no longer matches the artifact —
+    // exactly the documented trust split (re-attest via the audit path)
+    val audit = Release.manifest(spark.read.parquet(dir),
+      "source", "doc_id", "text")
+    assert(m1.select("source", "content_sum").as[(String, String)]
+        .collect().toSet !=
+      audit.select("source", "content_sum").as[(String, String)]
+        .collect().toSet)
+  }
+
   test("reconciliation detects loss, invention, and mangling " +
       "(unit-level on the pure arm)") {
     val beforeM = Release.manifest(base, "source", "doc_id", "text")
