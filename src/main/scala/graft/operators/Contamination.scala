@@ -33,12 +33,27 @@ object Contamination {
   def ngramOverlap(df: DataFrame, idCol: String, textCol: String,
       splitCol: String, n: Int, trainVal: String = "train",
       testVal: String = "test", thrNum: Long = 1, thrDen: Long = 5,
-      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+      tokenHash: Column => Column = Hashing.h30): DataFrame =
+    perDocOverlap(df, idCol, textCol, splitCol, Seq.empty, n,
+        trainVal, testVal, tokenHash)
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit") / col("n_shingles"), 4).as("overlap_frac"),
+        (col("n_hit") * thrDen >= col("n_shingles") * thrNum).as("contaminated"))
+
+  /** The shared C1 audit core: per test doc, (n_shingles, n_hit)
+    * against the train split's shingle index, with `extraCols` riding
+    * the test side as functionally-dependent grouping keys (zero extra
+    * shuffle width — doc_id determines them).
+    */
+  private def perDocOverlap(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, extraCols: Seq[String], n: Int, trainVal: String,
+      testVal: String, tokenHash: Column => Column): DataFrame = {
     // only train/test docs are shingled — a 'val' split (or anything
     // else) must not pay the tokenize+hash+explode pass at corpus scale
     val relevant = df.filter(col(splitCol).isin(trainVal, testVal))
     val sets = Dedup.shingleSets(relevant, idCol, textCol, n, tokenHash)
-      .join(relevant.select(col(idCol).as("doc_id"), col(splitCol).as("__split")),
+      .join(relevant.select((col(idCol).as("doc_id") +:
+          col(splitCol).as("__split") +: extraCols.map(col)): _*),
         "doc_id")
     // materialized + explicitly sized (Dedup.sizedGramSide): Spark
     // does not model explode fan-out, so the static estimate of a
@@ -53,12 +68,9 @@ object Contamination {
         .select("sh").distinct().withColumn("__hit", lit(1L))))
     sets.filter(col("__split") === testVal)
       .join(trainSh, Seq("sh"), "left")
-      .groupBy("doc_id")
+      .groupBy(col("doc_id") +: extraCols.map(col): _*)
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
-        round(col("n_hit") / col("n_shingles"), 4).as("overlap_frac"),
-        (col("n_hit") * thrDen >= col("n_shingles") * thrNum).as("contaminated"))
   }
 
   /** C1b: per-eval-suite contamination ATTRIBUTION — the C8b faceting
@@ -83,28 +95,17 @@ object Contamination {
       splitCol: String, suiteCol: String, n: Int,
       trainVal: String = "train", testVal: String = "test",
       thrNum: Long = 1, thrDen: Long = 5,
-      tokenHash: Column => Column = Hashing.h30): DataFrame = {
-    val relevant = df.filter(col(splitCol).isin(trainVal, testVal))
-    val sets = Dedup.shingleSets(relevant, idCol, textCol, n, tokenHash)
-      .join(relevant.select(col(idCol).as("doc_id"),
-        col(splitCol).as("__split"), col(suiteCol).as("__suite")), "doc_id")
-    val trainSh = Dedup.sizedGramSide(Materializer.of(df.sparkSession)(
-      sets.filter(col("__split") === trainVal)
-        .select("sh").distinct().withColumn("__hit", lit(1L))))
-    sets.filter(col("__split") === testVal)
-      .join(trainSh, Seq("sh"), "left")
-      .groupBy(col("doc_id"), col("__suite"))
-      .agg(count(lit(1)).as("__n_sh"),
-        sum(coalesce(col("__hit"), lit(0L))).as("__n_hit"))
-      .groupBy(col("__suite").as("suite"))
+      tokenHash: Column => Column = Hashing.h30): DataFrame =
+    perDocOverlap(df, idCol, textCol, splitCol, Seq(suiteCol), n,
+        trainVal, testVal, tokenHash)
+      .groupBy(col(suiteCol).as("suite"))
       .agg(count(lit(1)).as("n_docs"),
-        sum((col("__n_hit") * thrDen >= col("__n_sh") * thrNum)
+        sum((col("n_hit") * thrDen >= col("n_shingles") * thrNum)
           .cast("long")).as("n_contaminated"),
-        sum(col("__n_sh")).as("n_shingles"),
-        sum(col("__n_hit")).as("n_hit"))
+        sum(col("n_shingles")).as("n_shingles"),
+        sum(col("n_hit")).as("n_hit"))
       .withColumn("overlap_frac",
         round(col("n_hit") / col("n_shingles"), 4))
-  }
 
   /** C4: per-document n-gram NOVELTY against an ARBITRARY reference
     * corpus — the two-table generalization of [[ngramOverlap]] (which
