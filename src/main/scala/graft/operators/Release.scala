@@ -49,6 +49,22 @@ object Release {
         rm(new java.io.File(dir))
       }))
 
+  /** Null-safe full outer join on one key column — a NULL partition
+    * value is a legitimate release dimension (written as Hive's
+    * default-partition directory and read back as NULL), but
+    * `usingColumns` equi-joins never match null keys, so the two
+    * sides' null-partition rows would split into two half-null rows
+    * and read as corruption. `<=>` matches them; the surviving key is
+    * coalesced back under the original name.
+    */
+  private def fullJoinNullSafe(l: DataFrame, r: DataFrame,
+      key: String): DataFrame =
+    l.withColumnRenamed(key, "__lk")
+      .join(r.withColumnRenamed(key, "__rk"),
+        col("__lk") <=> col("__rk"), "full")
+      .withColumn(key, coalesce(col("__lk"), col("__rk")))
+      .drop("__lk", "__rk")
+
   /** The per-row checksum term the manifest sums (order-independent by
     * commutativity of the decimal sum). */
   private def rowChecksum(idCol: String, textCol: String): Column =
@@ -193,9 +209,11 @@ object Release {
         col("min_id").as(s"__lo_$tag"), col("max_id").as(s"__hi_$tag"))
     val zero = lit(0L).cast("decimal(38,0)")
     // step 4 (landed == batch) and step 5 (before + landed) in one
-    // three-way full join; least/greatest skip null arms natively
-    arm(before, "b").join(arm(landed, "l"), Seq(partitionCol), "full")
-      .join(arm(batchM, "x"), Seq(partitionCol), "full")
+    // three-way NULL-SAFE full join (a null partition is a legitimate
+    // dimension value); least/greatest skip null arms natively
+    fullJoinNullSafe(
+        fullJoinNullSafe(arm(before, "b"), arm(landed, "l"), partitionCol),
+        arm(batchM, "x"), partitionCol)
       .select(col(partitionCol),
         (coalesce(col("__n_b"), lit(0L)) + coalesce(col("__n_l"), lit(0L)))
           .as("n_rows"),
@@ -220,17 +238,17 @@ object Release {
     def arm(m: DataFrame, tag: String): DataFrame =
       m.select(col(partitionCol), col("n_rows").as(s"__n_$tag"),
         col("content_sum").cast("decimal(38,0)").as(s"__s_$tag"))
-    val expected = arm(beforeM, "b").join(arm(batchM, "a"),
-        Seq(partitionCol), "full")
+    val expected = fullJoinNullSafe(arm(beforeM, "b"), arm(batchM, "a"),
+        partitionCol)
       .select(col(partitionCol),
         (coalesce(col("__n_b"), lit(0L)) + coalesce(col("__n_a"), lit(0L)))
           .as("n_rows_expected"),
         (coalesce(col("__s_b"), zero) + coalesce(col("__s_a"), zero))
           .cast("decimal(38,0)").cast("string").as("content_sum_expected"))
-    expected.join(
+    fullJoinNullSafe(expected,
         afterM.select(col(partitionCol), col("n_rows").as("n_rows_after"),
           col("content_sum").as("content_sum_after")),
-        Seq(partitionCol), "full")
+        partitionCol)
       .withColumn("matched",
         coalesce(col("n_rows_expected") === col("n_rows_after") &&
           col("content_sum_expected") === col("content_sum_after"),
@@ -286,10 +304,16 @@ object Release {
       .select(col(partitionCol),
         expr(s"(__n + ${targetRecordsPerFile - 1}) div $targetRecordsPerFile")
           .cast("int").as("__k"))
-    src.join(broadcast(sizes), Seq(partitionCol))
+    // NULL-SAFE size lookup: a plain usingColumns equi-join would
+    // silently DROP every null-partition row from the rewrite (nulls
+    // never match) — the verification would catch it as a mismatch,
+    // but the op must handle the legitimate null dimension, not just
+    // detect its own loss of it
+    src.join(broadcast(sizes.withColumnRenamed(partitionCol, "__pc")),
+        col(partitionCol) <=> col("__pc"))
       .withColumn("__f", pmod(hash(col(idCol)), greatest(col("__k"), lit(1))))
       .repartition(col(partitionCol), col("__f"))
-      .drop("__k", "__f")
+      .drop("__pc", "__k", "__f")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .partitionBy(partitionCol)
@@ -308,7 +332,7 @@ object Release {
         .agg(count(lit(1)).as(s"n_rows_$tag"),
           sum(col("__cs")).cast("string").as(s"content_sum_$tag"),
           countDistinct(col("__fp")).as(s"files_$tag"))
-    side(src, "before").join(side(dst, "after"), Seq(partitionCol), "full")
+    fullJoinNullSafe(side(src, "before"), side(dst, "after"), partitionCol)
       .withColumn("matched",
         // a partition present on only one side is a loss/invention —
         // the full join's nulls must read as mismatch, never null

@@ -90,6 +90,29 @@ class ReleaseAppendSpec extends SparkSuite {
     assert(asSet(m2).map(_._1) == Set("a", "b", "c", "d"))
   }
 
+  test("appendIncremental: a NULL partition value appends and " +
+      "reconciles (null-safe three-way join)") {
+    val dir = tmp("rel_inc_null_")
+    val baseN = base.withColumn("source",
+      when(col("doc_id") <= 4, lit(null: String)).otherwise(col("source")))
+    val m0 = Release.writeAndManifest(baseN, dir, "source", "doc_id", "text")
+    val batchN = Seq((401L, null.asInstanceOf[String], "null-source doc"),
+      (402L, "a", "normal doc")).toDF("doc_id", "source", "text")
+    val m1 = Release.appendIncremental(batchN, dir, m0, "source",
+      "doc_id", "text")
+    val rows = m1.collect()
+    assert(rows.forall(_.getAs[Boolean]("matched")))
+    val nullRow = rows.find(_.isNullAt(rows.head.fieldIndex("source"))).get
+    assert(nullRow.getAs[Long]("n_rows") == 5L) // 4 base + 1 batch
+    // composed manifest still equals the full re-scan, null row included
+    val audit = Release.manifest(spark.read.parquet(dir),
+      "source", "doc_id", "text")
+    assert(m1.select("source", "n_rows", "content_sum")
+        .as[(Option[String], Long, String)].collect().toSet ==
+      audit.select("source", "n_rows", "content_sum")
+        .as[(Option[String], Long, String)].collect().toSet)
+  }
+
   test("appendIncremental: an empty batch composes to the unchanged " +
       "manifest, matched everywhere") {
     val dir = tmp("rel_inc2_")

@@ -84,6 +84,27 @@ class ReleaseCompactionSpec extends SparkSuite {
     }
   }
 
+  test("a NULL partition value survives compaction (Hive default " +
+      "partition dir, null-safe joins end-to-end)") {
+    val src = tmp("rel_cpt_null_src_")
+    val dst = tmp("rel_cpt_null_dst_")
+    val withNull = corpus.withColumn("source",
+      when(col("doc_id") % 3 === 0, lit(null: String))
+        .otherwise(col("source")))
+    Release.writeAndManifest(withNull, src, "source", "doc_id", "text",
+      maxRecordsPerFile = 4L).collect()
+    val rep = Release.compact(spark, src, dst, "source", "doc_id", "text",
+        targetRecordsPerFile = 100L)
+      .collect()
+    assert(rep.length == 3) // a, b, and the null partition
+    assert(rep.forall(_.getAs[Boolean]("matched")))
+    val nullRow = rep.find(_.isNullAt(rep.head.fieldIndex("source"))).get
+    assert(nullRow.getAs[Long]("n_rows_after") == 13L) // 40/3 rounded: ids 3,6,...,39
+    assert(nullRow.getAs[Long]("files_after") == 1L)
+    // and the compacted artifact round-trips the null partition rows
+    assert(spark.read.parquet(dst).filter(col("source").isNull).count() == 13L)
+  }
+
   test("compaction refuses to rewrite the source dir in place") {
     val src = tmp("rel_cpt_src3_")
     Release.writeAndManifest(corpus, src, "source", "doc_id", "text",
