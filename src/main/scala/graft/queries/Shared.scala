@@ -62,18 +62,27 @@ object Shared {
   def sum2(c: Column): Column =
     round(sum(c.cast("decimal(28,10)")), 2).cast("double")
 
-  /** Order-independent `round(avg(double), 4)`. DuckDB's avg(DECIMAL)
-    * returns DOUBLE while Spark's stays decimal, so avg is computed as
-    * exact-decimal-sum (rounded to scale 6 → exact double) divided by the
-    * non-null count in IEEE double: both engines then perform the identical
-    * single division and rounding on identical inputs.
+  /** Order-independent `avg(double)` truncated to 4 places. DuckDB's
+    * avg(DECIMAL) returns DOUBLE while Spark's stays decimal, so avg is
+    * computed as exact-decimal-sum (rounded to scale 6 → exact double)
+    * divided by the non-null count in IEEE double: both engines perform
+    * the identical single division on identical inputs. The final cut is
+    * FLOOR on the 1e4 ladder, not round — rounding a DOUBLE is
+    * engine-ambiguous at half ties (Spark rounds the shortest decimal
+    * re-rendering of the double, DuckDB the binary value itself: the
+    * sf0.001 gate caught avg 38.378749999999996… reading 38.3788 in
+    * Spark vs 38.3787 in DuckDB), while floor of the same double is one
+    * exact predicate on identical bits. Same floor-not-round discipline
+    * as q_acf's ladder.
     */
   def avg4(c: Column): Column =
-    round(round(sum(c.cast("decimal(28,10)")), 6).cast("double") / count(c), 4)
+    floor(round(sum(c.cast("decimal(28,10)")), 6).cast("double") / count(c)
+      * 10000) / 10000
 
   /** DuckDB oracle twins of sum2/avg4 (same arithmetic, same order). */
   def sum2Sql(x: String): String =
     s"CAST(round(sum(CAST(($x) AS DECIMAL(28,10))), 2) AS DOUBLE)"
   def avg4Sql(x: String): String =
-    s"round(CAST(round(sum(CAST(($x) AS DECIMAL(28,10))), 6) AS DOUBLE) / count($x), 4)"
+    s"floor(CAST(round(sum(CAST(($x) AS DECIMAL(28,10))), 6) AS DOUBLE)" +
+      s" / count($x) * 10000) / 10000"
 }
