@@ -18,7 +18,7 @@ object AnalyticsQueries {
   // A1: TPC-H Q1 shape — filter + wide group agg, pushdown-friendly.
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .filter(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).cast("long").as("sum_qty"),
@@ -37,9 +37,9 @@ object AnalyticsQueries {
   def q3Join(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders")
-      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+      .filter(col("o_orderdate") < tsLit("1998-03-15 00:00:00"))
     val li = t(s, dir, "lineitem")
-      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+      .filter(col("l_shipdate") > tsLit("1998-03-15 00:00:00"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -56,8 +56,8 @@ object AnalyticsQueries {
     val cust = t(s, dir, "customer")
     val supp = t(s, dir, "supplier")
     val ord = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
-        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .filter(col("o_orderdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
     val li = t(s, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -373,8 +373,8 @@ object AnalyticsQueries {
   // customer/nation join-back broadcasts under AQE.
   def q10Returned(s: SparkSession, dir: String): DataFrame = {
     val ord = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")) &&
-        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")))
+      .filter(col("o_orderdate") >= tsLit("1997-07-01 00:00:00") &&
+        col("o_orderdate") < tsLit("1997-10-01 00:00:00"))
     t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -410,8 +410,8 @@ object AnalyticsQueries {
   // full aggregate and no second scan of lineitem.
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
-        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      .filter(col("l_shipdate") >= tsLit("1997-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1997-04-01 00:00:00"))
       .groupBy(col("l_suppkey"))
       .agg(moneySum(money(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - rate(col("l_discount"))))
         .as("total_revenue"))
@@ -604,8 +604,8 @@ object AnalyticsQueries {
   // integer-exact (2*availqty > sum_qty — quantities are integral).
   def q20ExcessParts(s: SparkSession, dir: String): DataFrame = {
     val qty = t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
-        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .filter(col("l_shipdate") >= tsLit("1997-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1998-01-01 00:00:00"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).cast("long").as("__sq"))
     val redParts = t(s, dir, "part")
@@ -632,8 +632,8 @@ object AnalyticsQueries {
   // Q6 multiplies by the discount itself, not 1-discount).
   def q6Forecast(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
-        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+      .filter(col("l_shipdate") >= tsLit("1997-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1998-01-01 00:00:00") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(
         moneySum(money(col("l_extendedprice")) * rate(col("l_discount"))).as("revenue"),
@@ -660,8 +660,8 @@ object AnalyticsQueries {
       .withColumn("__receipt", expr("timestampadd(DAY, __r, l_shipdate)"))
       .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
         col("__c") > 0 && col("__c") < col("__r") &&
-        col("__receipt") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
-        col("__receipt") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        col("__receipt") >= tsLit("1997-01-01 00:00:00") &&
+        col("__receipt") < tsLit("1998-01-01 00:00:00"))
       .select(col("l_orderkey"), col("l_shipmode"))
     val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     l.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),

@@ -53,6 +53,16 @@ object Shared {
   def r4(c: Column): Column = round(c, 4)
   def r2(c: Column): Column = round(c, 2)
 
+  /** TZ-independent timestamp literal: parsed in the SESSION time zone
+    * (pinned UTC by every entrypoint and spec). The previous
+    * `lit(java.sql.Timestamp.valueOf(...))` form parses in the JVM
+    * DEFAULT zone — every date-boundary filter drifted with the
+    * driver's TZ (a TZ=Pacific/Chatham gate sweep flipped q1_agg's
+    * boundary rows), which on a mixed-TZ cluster fleet is silent
+    * result divergence between drivers.
+    */
+  def tsLit(s: String): Column = to_timestamp(lit(s))
+
   /** Order-independent `round(sum(double), 2)`: the double is decimal-cast
     * first so the sum is exact (partition order can't move the result by an
     * ulp the way a raw double sum can), rounded to scale 2 while still
