@@ -362,7 +362,8 @@ object TextAnalysis {
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(translate(lower(text), "—–", "--"),
+      regexp_replace(translate(
+        graft.functions.TextExpressions.lowerRoot(text), "—–", "--"),
         "[\\x00-\\x1f\\x7f]", " "),
       "[\\s ]+", " "))
 
@@ -550,7 +551,8 @@ object TextAnalysis {
     // need quoting/backticks work — same idiom as urlDomainsPsl above
     val s = size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
       .cast("long")
-    val syl = size(regexp_extract_all(lower(col(textCol)),
+    val syl = size(regexp_extract_all(
+      graft.functions.TextExpressions.lowerRoot(col(textCol)),
       lit("[aeiouy]+"), lit(0))).cast("long")
     df.select(col(idCol).as("doc_id"),
         w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"))
