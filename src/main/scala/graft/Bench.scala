@@ -112,16 +112,19 @@ object Bench {
       // the retry re-runs a FULL runs-sized median (not one run) and
       // keeps the min of the two medians, so the artifact's "per-query
       // medians" claim holds for retried entries too and a single
-      // lucky run can't record a value no honest median would produce
-      val retried =
-        if (ok && needsRetry(median, prior.get(name))) {
-          val again = (1 to runs).flatMap(_ => timeOnce(name, fn))
-          if (again.length == runs) {
-            val m2 = again.sorted.apply(runs / 2)
-            Some((median, math.min(median, m2)))
-          } else None
-        } else None
-      (name, retried.fold(median)(_._2), ok, retried.map(_._1))
+      // lucky run can't record a value no honest median would produce.
+      // A retry whose re-run itself fails marks the query NOT-ok (null
+      // in "queries", listed in "failed", first median preserved under
+      // "retried"): the adjudication the retry owed never happened, so
+      // the original, possibly contention-inflated median must not be
+      // recorded as a clean entry.
+      if (ok && needsRetry(median, prior.get(name))) {
+        val again = (1 to runs).flatMap(_ => timeOnce(name, fn))
+        if (again.length == runs) {
+          val m2 = again.sorted.apply(runs / 2)
+          (name, math.min(median, m2), true, Some(median))
+        } else (name, -1.0, false, Some(median))
+      } else (name, median, ok, None)
     }
     // failed queries serialize as null (JSON has no NaN) and are listed
     // in "failed"; "value" sums SUCCESSFUL queries only — a round with a

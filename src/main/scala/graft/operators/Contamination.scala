@@ -90,12 +90,31 @@ object Contamination {
     * input is one row per test doc and whose output is suite-
     * cardinality. The train index keeps the [[Dedup.sizedGramSide]]
     * broadcast/sort-merge sizing guard.
+    *
+    * Audit-coverage accounting: `n_docs` counts test docs that
+    * produced at least one n-gram — a doc shorter than `n` tokens has
+    * nothing to audit and is excluded from the per-doc core. So a
+    * datasheet reader can't mistake `n_docs` for the suite's full
+    * size, `n_docs_skipped` reports those short docs explicitly
+    * (computed from one suite-cardinality count over the test split —
+    * no extra shingling pass). A suite consisting ONLY of short docs
+    * still has no row (there is nothing audited to report on).
+    *
+    * `overlap_frac` is cut with the avg4 floor ladder
+    * (floor(x*1e4)/1e4), not round: rounding a double is
+    * engine-ambiguous at half ties (Spark rounds the shortest decimal
+    * re-rendering, DuckDB the binary value — SURVEY §30.4), and a
+    * pooled n_hit/n_shingles landing on a 1e-4 half tie would flake
+    * the bit-exact gate.
     */
   def ngramOverlapBy(df: DataFrame, idCol: String, textCol: String,
       splitCol: String, suiteCol: String, n: Int,
       trainVal: String = "train", testVal: String = "test",
       thrNum: Long = 1, thrDen: Long = 5,
-      tokenHash: Column => Column = Hashing.h30): DataFrame =
+      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+    val totals = df.filter(col(splitCol) === testVal)
+      .groupBy(col(suiteCol).as("__suite_t"))
+      .agg(count(lit(1)).as("__n_total"))
     perDocOverlap(df, idCol, textCol, splitCol, Seq(suiteCol), n,
         trainVal, testVal, tokenHash)
       .groupBy(col(suiteCol).as("suite"))
@@ -104,8 +123,16 @@ object Contamination {
           .cast("long")).as("n_contaminated"),
         sum(col("n_shingles")).as("n_shingles"),
         sum(col("n_hit")).as("n_hit"))
-      .withColumn("overlap_frac",
-        round(col("n_hit") / col("n_shingles"), 4))
+      // suite vocabulary is datasheet-sized — broadcast, null-safe (a
+      // null suite is a legitimate facet and must keep its skip count)
+      .join(broadcast(totals), col("suite") <=> col("__suite_t"), "left")
+      .select(col("suite"), col("n_docs"),
+        (coalesce(col("__n_total"), lit(0L)) - col("n_docs"))
+          .as("n_docs_skipped"),
+        col("n_contaminated"), col("n_shingles"), col("n_hit"),
+        (floor(col("n_hit") / col("n_shingles") * 10000) / 10000)
+          .as("overlap_frac"))
+  }
 
   /** C4: per-document n-gram NOVELTY against an ARBITRARY reference
     * corpus — the two-table generalization of [[ngramOverlap]] (which

@@ -289,15 +289,23 @@ object Release {
     // equal OR nested either way: a dst inside src would surface the
     // half-written copy to src's own lazy re-read (partition discovery
     // walks the tree), and a src inside dst would be deleted by the
-    // overwrite — all three are the same corruption class
-    val (srcC, dstC) = (new java.io.File(srcDir).getCanonicalPath,
-      new java.io.File(dstDir).getCanonicalPath)
-    require(srcC != dstC &&
-      !srcC.startsWith(dstC + java.io.File.separator) &&
-      !dstC.startsWith(srcC + java.io.File.separator),
+    // overwrite — all three are the same corruption class. Compared on
+    // Hadoop-QUALIFIED URIs, not java.io.File: Spark accepts URI
+    // spellings, and 'file:///data/rel' vs '/data/rel' name the same
+    // location while canonicalizing differently as local files — a
+    // java.io.File guard would wave the self-overwrite through (the
+    // same qualification appendIncremental's file listing uses).
+    val hConf = spark.sessionState.newHadoopConf()
+    def qualified(d: String): String = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hConf).makeQualified(p).toUri.toString
+    }
+    val (srcQ, dstQ) = (qualified(srcDir), qualified(dstDir))
+    require(srcQ != dstQ &&
+      !srcQ.startsWith(dstQ + "/") && !dstQ.startsWith(srcQ + "/"),
       "compact must write to a new directory outside the source tree " +
         "(self-overwrite of a lazily-read parquet dir corrupts the " +
-        "release); swap after gating")
+        s"release); got src=$srcQ dst=$dstQ; swap after gating")
     val src = spark.read.parquet(srcDir)
     val sizes = src.groupBy(col(partitionCol))
       .agg(count(lit(1)).as("__n"))

@@ -3319,16 +3319,23 @@ object PipelineQueries {
          |             unnest(generate_series(1, len(th) - 4)) AS i FROM th) x),
          |tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
          |te AS (SELECT doc_id, source, sh FROM sh WHERE split = 'test'),
+         |tot AS (SELECT source, count(*) AS n_total FROM d
+         |        WHERE split = 'test' GROUP BY source),
          |j AS (SELECT te.doc_id, te.source, count(*) AS n_sh,
          |        CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-         |      FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY te.doc_id, te.source)
-         |SELECT source AS suite, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN n_hit * 5 >= n_sh * 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_contaminated,
-         |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
-         |  CAST(sum(n_hit) AS BIGINT) AS n_hit,
-         |  round(sum(n_hit) / sum(n_sh), 4) AS overlap_frac
-         |FROM j GROUP BY source ORDER BY suite""".stripMargin
+         |      FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY te.doc_id, te.source),
+         |r AS (SELECT source AS suite, count(*) AS n_docs,
+         |        CAST(sum(CASE WHEN n_hit * 5 >= n_sh * 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_contaminated,
+         |        CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |        CAST(sum(n_hit) AS BIGINT) AS n_hit,
+         |        floor(sum(n_hit) / sum(n_sh) * 10000) / 10000 AS overlap_frac
+         |      FROM j GROUP BY source)
+         |SELECT r.suite, r.n_docs,
+         |  CAST(coalesce(tot.n_total, 0) - r.n_docs AS BIGINT) AS n_docs_skipped,
+         |  r.n_contaminated, r.n_shingles, r.n_hit, r.overlap_frac
+         |FROM r LEFT JOIN tot ON r.suite IS NOT DISTINCT FROM tot.source
+         |ORDER BY r.suite""".stripMargin
     },
     "q_embed_cartography" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -41,23 +41,30 @@ class ContaminationSpec extends SparkSuite {
 
   test("ngramOverlapBy: hand-computed per-suite blame (rollup of the " +
       "per-doc audit, suite = the test doc's own facet)") {
-    // suiteA: docs 100 (10 toks -> 8 3-grams, all hit) and 102 (8
-    // grams, 3 hit); suiteB: doc 101 (8 grams, 0 hit). Train docs'
-    // suite must not matter (tagged suiteB to prove it).
-    val faceted = docs.withColumn("suite",
-      when(col("doc_id").isin(100L, 102L), "suiteA").otherwise("suiteB"))
+    // suiteA: docs 100 (10 toks -> 8 3-grams, all hit), 102 (8 grams,
+    // 3 hit), and 103 (2 toks — too short to shingle, must be COUNTED
+    // as skipped, not silently vanish from the audit coverage);
+    // suiteB: doc 101 (8 grams, 0 hit). Train docs' suite must not
+    // matter (tagged suiteB to prove it).
+    val faceted = docs.union(Seq((103L, "tiny doc", "test"))
+        .toDF("doc_id", "text", "split"))
+      .withColumn("suite",
+        when(col("doc_id").isin(100L, 102L, 103L), "suiteA")
+          .otherwise("suiteB"))
     val out = Contamination.ngramOverlapBy(faceted, "doc_id", "text",
         "split", "suite", n = 3)
       .collect().map(r => r.getAs[String]("suite") -> r).toMap
     assert(out.keySet == Set("suiteA", "suiteB"))
     val a = out("suiteA")
     assert(a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Long]("n_docs_skipped") == 1L) // doc 103: < n tokens
     assert(a.getAs[Long]("n_contaminated") == 2L) // 8/8 and 3/8, both >= 1/5
     assert(a.getAs[Long]("n_shingles") == 16L)
     assert(a.getAs[Long]("n_hit") == 11L)
     assert(a.getAs[Double]("overlap_frac") == 0.6875)
     val b = out("suiteB")
     assert(b.getAs[Long]("n_docs") == 1L) // train docs not audited
+    assert(b.getAs[Long]("n_docs_skipped") == 0L)
     assert(b.getAs[Long]("n_contaminated") == 0L)
     assert(b.getAs[Long]("n_shingles") == 8L)
     assert(b.getAs[Long]("n_hit") == 0L)

@@ -121,6 +121,17 @@ class ReleaseCompactionSpec extends SparkSuite {
       Release.compact(spark, src, new java.io.File(src).getParent,
         "source", "doc_id", "text", 10L))
     assert(e3.getMessage.contains("new directory"))
+    // URI spelling must not defeat the guard: 'file://<p>' and '<p>'
+    // name the same location (java.io.File canonicalization treated
+    // them as different paths — the hole this guard version closes)
+    val e4 = intercept[IllegalArgumentException](
+      Release.compact(spark, src, "file://" + src,
+        "source", "doc_id", "text", 10L))
+    assert(e4.getMessage.contains("new directory"))
+    val e5 = intercept[IllegalArgumentException](
+      Release.compact(spark, "file://" + src, src + "/compacted",
+        "source", "doc_id", "text", 10L))
+    assert(e5.getMessage.contains("new directory"))
   }
 
   test("a corrupted rewrite cannot read as matched (full-join null arms " +
