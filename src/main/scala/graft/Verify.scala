@@ -15,6 +15,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // determinism-sweep breadcrumb: hostile-axis runs (TZ, locale,
+    // parallelism, codegen-off) inject conf via -D system properties —
+    // echo the codegen axis so a sweep that silently failed to apply
+    // can't masquerade as a passing sweep
+    System.err.println("[verify] codegen.wholeStage=" +
+      spark.conf.get("spark.sql.codegen.wholeStage", "true") +
+      " factoryMode=" +
+      spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs just those
     // queries (the driver never sets it, so its gate always runs all)
