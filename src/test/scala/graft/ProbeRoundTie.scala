@@ -66,6 +66,11 @@ object ProbeRoundTie {
         values += ((k, "avg", (cents / 100.0) / cnt))
       }
     }
+    // negated mirror of the whole population: HALF_UP at a negative
+    // tie rounds AWAY FROM ZERO — correlations, slopes, log-ratios and
+    // cosines are signed, so the kernel equivalence must hold on both
+    // sides of zero
+    values ++= values.toSeq.map { case (k, cls, x) => (k, s"neg_$cls", -x) }
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
