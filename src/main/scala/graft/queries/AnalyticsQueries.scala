@@ -1478,9 +1478,9 @@ object AnalyticsQueries {
         |SELECT key, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
         |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
         |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
-        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    THEN CAST(round(CAST(CAST((CAST(n * sxy - sx * sy AS DOUBLE)
         |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |  END AS r
         |FROM g ORDER BY key, lag""".stripMargin,
     // A68: the identical discrete-percentile clamp — rn/n windows,
@@ -1514,9 +1514,9 @@ object AnalyticsQueries {
         |SELECT key, CAST(n AS BIGINT) AS n, lo, hi,
         |  CAST(n_clip_lo AS BIGINT) AS n_clip_lo,
         |  CAST(n_clip_hi AS BIGINT) AS n_clip_hi,
-        |  round(CAST(sw AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS mean_w,
-        |  round(sqrt(CAST(cn * sww - sw * sw AS DOUBLE))
-        |    / CAST(cn AS DOUBLE), 6) AS std_w
+        |  CAST(round(CAST(CAST((CAST(sw AS DOUBLE) / CAST(cn AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS mean_w,
+        |  CAST(round(CAST(CAST((sqrt(CAST(cn * sww - sw * sw AS DOUBLE))
+        |    / CAST(cn AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS std_w
         |FROM g ORDER BY key""".stripMargin,
     // A69: the A67 kernel with two filtered series and signed lags.
     "q_ccf" ->
@@ -1542,9 +1542,9 @@ object AnalyticsQueries {
         |SELECT key, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
         |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
         |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
-        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    THEN CAST(round(CAST(CAST((CAST(n * sxy - sx * sy AS DOUBLE)
         |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |  END AS r
         |FROM g ORDER BY key, lag""".stripMargin,
     // A57: per-day leaderboard + day+1 self-join for rank movement.
@@ -1578,8 +1578,8 @@ object AnalyticsQueries {
         |       GROUP BY 1, 2)
         |SELECT pr.type_a, pr.type_b, pr.n_ab, a.n AS n_a, b.n AS n_b,
         |  tot.n_sessions,
-        |  round(CAST(tot.n_sessions * pr.n_ab AS DOUBLE)
-        |    / CAST(a.n * b.n AS DOUBLE), 6) AS lift
+        |  CAST(round(CAST(CAST((CAST(tot.n_sessions * pr.n_ab AS DOUBLE)
+        |    / CAST(a.n * b.n AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS lift
         |FROM pr JOIN pt a ON pr.type_a = a.ty
         |JOIN pt b ON pr.type_b = b.ty CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
@@ -1647,16 +1647,16 @@ object AnalyticsQueries {
         |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |ORDER BY o_orderkey""".stripMargin,
     "q_window_suite" ->
-      """SELECT event_type, event_id, round(value, 2) AS value,
+      """SELECT event_type, event_id, CAST(round(CAST(CAST((value) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS value,
         |  rank() OVER w AS rnk,
         |  dense_rank() OVER w AS drnk,
         |  ntile(4) OVER w AS quartile,
-        |  round(lag(value, 1) OVER w, 2) AS prev_value,
-        |  round(lead(value, 1) OVER w, 2) AS next_value,
-        |  round(sum(value) OVER (PARTITION BY event_type ORDER BY value DESC, event_id
-        |    ROWS UNBOUNDED PRECEDING), 2) AS running_sum,
-        |  round(min(value) OVER (PARTITION BY event_type ORDER BY value DESC, event_id
-        |    ROWS UNBOUNDED PRECEDING), 2) AS running_min
+        |  CAST(round(CAST(CAST((lag(value, 1) OVER w) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS prev_value,
+        |  CAST(round(CAST(CAST((lead(value, 1) OVER w) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS next_value,
+        |  CAST(round(CAST(CAST((sum(value) OVER (PARTITION BY event_type ORDER BY value DESC, event_id
+        |    ROWS UNBOUNDED PRECEDING)) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS running_sum,
+        |  CAST(round(CAST(CAST((min(value) OVER (PARTITION BY event_type ORDER BY value DESC, event_id
+        |    ROWS UNBOUNDED PRECEDING)) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS running_min
         |FROM events WHERE user_id < 10
         |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
         |ORDER BY event_type, rnk, event_id""".stripMargin,
@@ -1811,7 +1811,7 @@ object AnalyticsQueries {
          |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
          |  CAST(round(sum($discPrice), 2) AS DOUBLE) AS sum_disc_price,
          |  CAST(round(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
-         |  round(avg(l_quantity), 4) AS avg_qty,
+         |  CAST(round(CAST(CAST((avg(l_quantity)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS avg_qty,
          |  ${avg4Sql("l_discount")} AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem
@@ -1935,9 +1935,9 @@ object AnalyticsQueries {
         |    count(*) OVER (PARTITION BY event_type) AS n
         |  FROM events)
         |SELECT event_type,
-        |  round(min(CASE WHEN rk * 2 >= n THEN value END), 4) AS p50,
-        |  round(min(CASE WHEN rk * 10 >= 9 * n THEN value END), 4) AS p90,
-        |  round(min(CASE WHEN rk * 100 >= 99 * n THEN value END), 4) AS p99
+        |  CAST(round(CAST(CAST((min(CASE WHEN rk * 2 >= n THEN value END)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS p50,
+        |  CAST(round(CAST(CAST((min(CASE WHEN rk * 10 >= 9 * n THEN value END)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS p90,
+        |  CAST(round(CAST(CAST((min(CASE WHEN rk * 100 >= 99 * n THEN value END)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS p99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
@@ -1951,7 +1951,7 @@ object AnalyticsQueries {
          |       WHERE l_partkey IN (SELECT p_partkey FROM bp)),
          |pa AS (SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS n
          |       FROM li GROUP BY 1)
-         |SELECT round(${sum2Sql("l_extendedprice")} / 7, 2) AS avg_yearly
+         |SELECT CAST(round(CAST(CAST((${sum2Sql("l_extendedprice")} / 7) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS avg_yearly
          |FROM li JOIN pa USING (l_partkey)
          |WHERE l_quantity * n * 5 < sq""".stripMargin,
     "q18_large_orders" ->
@@ -2014,7 +2014,7 @@ object AnalyticsQueries {
          |      WHERE r_name = 'EUROPE')
          |  GROUP BY 1)
          |SELECT o_year, nation_revenue, total_revenue,
-         |  round(nation_revenue / total_revenue, 6) AS mkt_share
+         |  CAST(round(CAST(CAST((nation_revenue / total_revenue) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS mkt_share
          |FROM x ORDER BY o_year""".stripMargin,
     "q10_returned" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
@@ -2038,7 +2038,7 @@ object AnalyticsQueries {
          |  FROM lineitem JOIN part ON l_partkey = p_partkey
          |  GROUP BY 1)
          |SELECT ship_month, promo_revenue, total_revenue,
-         |  round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+         |  CAST(round(CAST(CAST((100.0 * promo_revenue / total_revenue) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS promo_pct
          |FROM x ORDER BY ship_month""".stripMargin,
     "q15_top_supplier" ->
       s"""WITH rev AS (

@@ -1396,7 +1396,7 @@ object PipelineQueries {
        |szl AS (SELECT left_id, count(*) AS n_l FROM left_idsh GROUP BY 1),
        |szr AS (SELECT right_id, count(*) AS n_r FROM right_idsh GROUP BY 1),
        |erp AS (SELECT p.left_id, p.right_id, p.shared, sa.n_l, sb.n_r,
-       |          round(p.shared / (sa.n_l + sb.n_r - p.shared), 4) AS jaccard
+       |          CAST(round(CAST(CAST((p.shared / (sa.n_l + sb.n_r - p.shared)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard
        |        FROM pr p JOIN szl sa ON p.left_id = sa.left_id
        |        JOIN szr sb ON p.right_id = sb.right_id
        |        WHERE 7 * p.shared >= 2 * (sa.n_l + sb.n_r))""".stripMargin
@@ -1405,7 +1405,7 @@ object PipelineQueries {
   /** Jaccard tail shared by D2/D3 (tau = 1/2 as integer arithmetic). */
   private val jaccardTail =
     """SELECT p.doc_a, p.doc_b, p.shared, sa.n AS n_a, sb.n AS n_b,
-      |  round(p.shared / (sa.n + sb.n - p.shared), 4) AS jaccard
+      |  CAST(round(CAST(CAST((p.shared / (sa.n + sb.n - p.shared)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard
       |FROM pr p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
       |WHERE 3 * p.shared >= sa.n + sb.n
       |ORDER BY doc_a, doc_b""".stripMargin
@@ -1531,7 +1531,7 @@ object PipelineQueries {
        |      FROM q JOIN n c ON q.query_id <> c.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
-       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |SELECT query_id, rnk, neighbor_id, CAST(round(CAST(CAST((cos) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** S3 oracle as a function of `nprobe` — the gated q_ann_ivf uses
@@ -1573,7 +1573,7 @@ object PipelineQueries {
        |      FROM qp JOIN cells c USING (cell) WHERE qp.query_id <> c.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
-       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |SELECT query_id, rnk, neighbor_id, CAST(round(CAST(CAST((cos) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** S2 oracle — the single-probe LSH chain; shared by the q_ann_lsh
@@ -1591,7 +1591,7 @@ object PipelineQueries {
        |      FROM q JOIN nb c USING (bucket) WHERE q.query_id <> c.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
-       |SELECT query_id, bucket, rnk, neighbor_id, round(cos, 6) AS cos
+       |SELECT query_id, bucket, rnk, neighbor_id, CAST(round(CAST(CAST((cos) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** S5 oracle: reproduces the multi-probe bucket set — per-plane
@@ -1639,7 +1639,7 @@ object PipelineQueries {
        |      WHERE pr.query_id <> c.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
-       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |SELECT query_id, rnk, neighbor_id, CAST(round(CAST(CAST((cos) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
@@ -1668,7 +1668,7 @@ object PipelineQueries {
        |         GROUP BY 1, 2),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
-       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos
+       |SELECT query_id, rnk, neighbor_id, CAST(round(CAST(CAST((cos) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
@@ -1707,25 +1707,25 @@ object PipelineQueries {
         |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
         |      + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
         |      + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms_hit,
-        |    round(
-        |      (CASE WHEN tf0 > 0 THEN round(
-        |        round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df0 + 0.5)
-        |          / (df0 + 0.5)), 6)
+        |    CAST(round(CAST(CAST((
+        |      (CASE WHEN tf0 > 0 THEN CAST(round(CAST(CAST((
+        |        CAST(round(CAST(CAST((ln(1.0 + (CAST(n_docs AS DOUBLE) - df0 + 0.5)
+        |          / (df0 + 0.5))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |        * (tf0 * (CAST(1.2 AS DOUBLE) + 1)) / (tf0 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75
-        |          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))),
-        |        6) ELSE 0.0 END)
-        |      + (CASE WHEN tf1 > 0 THEN round(
-        |        round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df1 + 0.5)
-        |          / (df1 + 0.5)), 6)
+        |          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))) AS VARCHAR) AS DECIMAL(38,18)),
+        |        6) AS DOUBLE) ELSE 0.0 END)
+        |      + (CASE WHEN tf1 > 0 THEN CAST(round(CAST(CAST((
+        |        CAST(round(CAST(CAST((ln(1.0 + (CAST(n_docs AS DOUBLE) - df1 + 0.5)
+        |          / (df1 + 0.5))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |        * (tf1 * (CAST(1.2 AS DOUBLE) + 1)) / (tf1 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75
-        |          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))),
-        |        6) ELSE 0.0 END)
-        |      + (CASE WHEN tf2 > 0 THEN round(
-        |        round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df2 + 0.5)
-        |          / (df2 + 0.5)), 6)
+        |          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))) AS VARCHAR) AS DECIMAL(38,18)),
+        |        6) AS DOUBLE) ELSE 0.0 END)
+        |      + (CASE WHEN tf2 > 0 THEN CAST(round(CAST(CAST((
+        |        CAST(round(CAST(CAST((ln(1.0 + (CAST(n_docs AS DOUBLE) - df2 + 0.5)
+        |          / (df2 + 0.5))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |        * (tf2 * (CAST(1.2 AS DOUBLE) + 1)) / (tf2 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75
-        |          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))),
-        |        6) ELSE 0.0 END), 6) AS bm25
+        |          + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))) AS VARCHAR) AS DECIMAL(38,18)),
+        |        6) AS DOUBLE) ELSE 0.0 END)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS bm25
         |  FROM d CROSS JOIN st)
         |SELECT doc_id, CAST(dl AS BIGINT) AS dl, n_terms_hit, bm25,
         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
@@ -1763,7 +1763,7 @@ object PipelineQueries {
         |SELECT doc_id, n_chars, n_non_ascii, n_digit, n_other,
         |  n_control, n_replacement,
         |  CASE WHEN n_chars = 0 THEN 0.0
-        |    ELSE round(n_non_ascii / CAST(n_chars AS DOUBLE), 6) END
+        |    ELSE CAST(round(CAST(CAST((n_non_ascii / CAST(n_chars AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) END
         |    AS non_ascii_ratio,
         |  CASE WHEN n_control = 0 AND n_replacement = 0
         |    THEN 1 ELSE 0 END AS is_clean
@@ -1786,10 +1786,10 @@ object PipelineQueries {
         |p AS (SELECT *, (n_cur * (c_ref + CAST(0.5 AS DOUBLE)))
         |    / (n_ref + CAST(0.5 AS DOUBLE) * n_cats) AS e FROM t)
         |SELECT source, category, c_ref, c_cur, n_ref, n_cur,
-        |  round(e, 6) AS expected,
-        |  round(sum((c_cur - e) * (c_cur - e) / e) OVER (PARTITION BY source
+        |  CAST(round(CAST(CAST((e) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS expected,
+        |  CAST(round(CAST(CAST((sum((c_cur - e) * (c_cur - e) / e) OVER (PARTITION BY source
         |    ORDER BY category ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND UNBOUNDED FOLLOWING), 6) AS chi2,
+        |    AND UNBOUNDED FOLLOWING)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS chi2,
         |  n_cats - 1 AS dof
         |FROM p ORDER BY source, category""".stripMargin,
     // E3: the identical (i, j) moment expansion — decimal-exact sums,
@@ -1847,8 +1847,8 @@ object PipelineQueries {
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
          |  GROUP BY 1, 2)
          |SELECT pr.src_a, pr.src_b, pr.n_common, sa.n AS n_a, sb.n AS n_b,
-         |  round(CAST(pr.n_common AS DOUBLE)
-         |    / (sa.n + sb.n - pr.n_common), 6) AS jaccard
+         |  CAST(round(CAST(CAST((CAST(pr.n_common AS DOUBLE)
+         |    / (sa.n + sb.n - pr.n_common)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS jaccard
          |FROM pr JOIN sz sa ON pr.src_a = sa.source
          |JOIN sz sb ON pr.src_b = sb.source
          |ORDER BY 1, 2""".stripMargin,
@@ -1874,8 +1874,8 @@ object PipelineQueries {
          |  length(text) AS n_chars
          | FROM d),
          |q AS (SELECT doc_id, lang, n_tokens,
-         |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_punct / n_chars)
-         |        * (1.0 - n_stop / n_tokens), 4) AS quality
+         |  CAST(round(CAST(CAST((least(1.0, n_tokens / 100.0) * (1.0 - n_punct / n_chars)
+         |        * (1.0 - n_stop / n_tokens)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS quality
          | FROM st)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(round(sum(CAST(quality AS DECIMAL(10,4))), 2) AS DOUBLE) AS sum_quality,
@@ -1910,7 +1910,7 @@ object PipelineQueries {
     "q_mix_temperature" -> {
       val b = Sampling.bucketOfSql("doc_id", "tmix", 1000000)
       s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-         |w AS (SELECT source, n, CAST(round(sqrt(n), 6) AS DECIMAL(18,6)) AS w FROM c),
+         |w AS (SELECT source, n, CAST(CAST(round(CAST(CAST((sqrt(n)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS DECIMAL(18,6)) AS w FROM c),
          |tot AS (SELECT CAST(round(sum(w), 6) AS DOUBLE) AS wsum,
          |          CAST(sum(n) AS BIGINT) AS total FROM w),
          |t AS (SELECT source, least(1000000, CAST(floor(
@@ -1939,8 +1939,8 @@ object PipelineQueries {
          |SELECT d.doc_id, count(*) AS n_grams,
          |  CAST(sum(CASE WHEN ref.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_seen,
-         |  round(1.0 - sum(CASE WHEN ref.sh IS NOT NULL THEN 1 ELSE 0 END)
-         |    / count(*), 4) AS novelty
+         |  CAST(round(CAST(CAST((1.0 - sum(CASE WHEN ref.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS novelty
          |FROM dsh d LEFT JOIN ref ON d.sh = ref.sh
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
@@ -1955,8 +1955,8 @@ object PipelineQueries {
          |  length(text) AS n_chars
          | FROM d),
          |q AS (SELECT doc_id, source, lang, n_tokens,
-         |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_punct / n_chars)
-         |        * (1.0 - n_stop / n_tokens), 4) AS quality
+         |  CAST(round(CAST(CAST((least(1.0, n_tokens / 100.0) * (1.0 - n_punct / n_chars)
+         |        * (1.0 - n_stop / n_tokens)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS quality
          | FROM s),
          |r AS (SELECT *,
          |  row_number() OVER (PARTITION BY source, lang
@@ -2049,7 +2049,7 @@ object PipelineQueries {
          |        WHERE t.hamming <= 3)
          |SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS n_true,
          |  CAST(sum(hit) AS BIGINT) AS n_hit,
-         |  round(CAST(sum(hit) AS BIGINT) / count(*), 4) AS recall
+         |  CAST(round(CAST(CAST((CAST(sum(hit) AS BIGINT) / count(*)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS recall
          |FROM lab GROUP BY hamming ORDER BY hamming""".stripMargin
     },
     // D10: the D2 capped truth chain (shd/shc/ncand/npr) and the D3
@@ -2080,7 +2080,7 @@ object PipelineQueries {
          |          ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b)
          |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_true,
          |  CAST(sum(hit) AS BIGINT) AS n_hit,
-         |  round(CAST(sum(hit) AS BIGINT) / count(*), 4) AS recall
+         |  CAST(round(CAST(CAST((CAST(sum(hit) AS BIGINT) / count(*)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS recall
          |FROM lab GROUP BY bucket ORDER BY bucket""".stripMargin,
     // C7: the D3 pair chain + the P2 split buckets, re-derived — the
     // same jaccard >= 1/2 integer tail, the same md5 split kernel.
@@ -2195,7 +2195,7 @@ object PipelineQueries {
          |        FROM sp GROUP BY doc_id)
          |SELECT a.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
          |  a.dup_tokens, a.n_spans,
-         |  round(a.dup_tokens / len(t.toks), 4) AS dup_frac,
+         |  CAST(round(CAST(CAST((a.dup_tokens / len(t.toks)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS dup_frac,
          |  md5(coalesce(array_to_string(
          |    list_filter(t.toks, (x, i) -> NOT list_contains(a.cov, i)), ' '), '')) AS keep_hash
          |FROM agg a JOIN th t USING (doc_id) ORDER BY doc_id""".stripMargin
@@ -2402,7 +2402,7 @@ object PipelineQueries {
     "q_dedup_embed" ->
       s"""WITH $normCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-         |  round(list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2), 6) AS cos
+         |  CAST(round(CAST(CAST((list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
@@ -2421,7 +2421,7 @@ object PipelineQueries {
          |  CAST(coalesce(g.n_sim_lower, 0) AS BIGINT) AS n_sim_lower,
          |  CAST(CASE WHEN g.n_sim_lower IS NULL THEN 1 ELSE 0 END AS BIGINT)
          |    AS kept,
-         |  round(g.mx, 6) AS max_cos_lower
+         |  CAST(round(CAST(CAST((g.mx) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS max_cos_lower
          |FROM cells c LEFT JOIN agg g USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
     // D9b: corpus IVF assignment (proven chain) + the synthesized
@@ -2454,7 +2454,7 @@ object PipelineQueries {
          |SELECT i.vec_id, CAST(i.cell AS BIGINT) AS cell,
          |  CASE WHEN match_id IS NULL THEN 'new' ELSE 'near_dup' END AS status,
          |  match_id, CAST(coalesce(n_sim, 0) AS BIGINT) AS n_sim,
-         |  round(mx, 6) AS max_cos
+         |  CAST(round(CAST(CAST((mx) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS max_cos
          |FROM icells i LEFT JOIN agg USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
     // E5: the identical md5-derived plane literals (Projection.Salt),
@@ -2472,10 +2472,10 @@ object PipelineQueries {
          |pp AS (SELECT vec_id, v, nrm2, proj,
          |         list_dot_product(proj, proj) AS pn2 FROM p)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2), 6) AS cos_orig,
-         |  round(list_dot_product(a.proj, b.proj) / sqrt(a.pn2 * b.pn2), 6) AS cos_proj,
-         |  round(abs(list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2)
-         |    - list_dot_product(a.proj, b.proj) / sqrt(a.pn2 * b.pn2)), 6) AS abs_err
+         |  CAST(round(CAST(CAST((list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos_orig,
+         |  CAST(round(CAST(CAST((list_dot_product(a.proj, b.proj) / sqrt(a.pn2 * b.pn2)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos_proj,
+         |  CAST(round(CAST(CAST((abs(list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2)
+         |    - list_dot_product(a.proj, b.proj) / sqrt(a.pn2 * b.pn2))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS abs_err
          |FROM pp a JOIN pp b ON b.vec_id = a.vec_id + 1
          |ORDER BY id_a""".stripMargin
     },
@@ -2487,16 +2487,16 @@ object PipelineQueries {
          |        list_dot_product(a.v, b.v) / sqrt(a.nrm2 * b.nrm2) AS cf
          |      FROM n a JOIN n b ON b.vec_id = a.vec_id + 1),
          |e AS (SELECT ks.k,
-         |        CAST(round(round(abs(cf -
+         |        CAST(round(CAST(round(CAST(CAST((abs(cf -
          |          list_dot_product(array_slice(va, 1, ks.k), array_slice(vb, 1, ks.k)) /
          |          sqrt(list_dot_product(array_slice(va, 1, ks.k), array_slice(va, 1, ks.k))
          |            * list_dot_product(array_slice(vb, 1, ks.k), array_slice(vb, 1, ks.k)))
-         |        ), 6) * 1000000) AS BIGINT) AS err_micro
+         |        )) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) * 1000000) AS BIGINT) AS err_micro
          |      FROM p, (VALUES (CAST(8 AS BIGINT)), (16), (32)) AS ks(k))
          |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
          |  CAST(sum(err_micro) AS BIGINT) AS sum_err_micro,
          |  max(err_micro) AS max_err_micro,
-         |  round(sum(err_micro) / count(*), 4) AS avg_err_micro
+         |  CAST(round(CAST(CAST((sum(err_micro) / count(*)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS avg_err_micro
          |FROM e GROUP BY k ORDER BY k""".stripMargin,
     // F1: the identical integer-comparison rule chain, first-fail
     // CASE attribution, and the reached/rate assembly re-derived.
@@ -2533,7 +2533,7 @@ object PipelineQueries {
         |SELECT rule_no, rule, total - bef AS n_reached,
         |  CASE WHEN rule_no < 6 THEN c ELSE CAST(0 AS BIGINT) END AS n_dropped,
         |  CASE WHEN total - bef > 0
-        |    THEN round((CASE WHEN rule_no < 6 THEN c ELSE 0 END) / (total - bef), 6)
+        |    THEN CAST(round(CAST(CAST(((CASE WHEN rule_no < 6 THEN c ELSE 0 END) / (total - bef)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |  END AS drop_rate
         |FROM w ORDER BY rule_no""".stripMargin,
     // F2: the same six predicates summed independently in one pass,
@@ -2565,9 +2565,9 @@ object PipelineQueries {
         |  CASE e.rule_no WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2
         |    WHEN 3 THEN f3 WHEN 4 THEN f4 ELSE f5 END AS n_failed,
         |  n AS n_docs,
-        |  CASE WHEN n > 0 THEN round((CASE e.rule_no WHEN 0 THEN f0
+        |  CASE WHEN n > 0 THEN CAST(round(CAST(CAST(((CASE e.rule_no WHEN 0 THEN f0
         |    WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3 WHEN 4 THEN f4
-        |    ELSE f5 END) / n, 6) END AS fail_rate
+        |    ELSE f5 END) / n) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) END AS fail_rate
         |FROM e, f ORDER BY rule_no""".stripMargin,
     // G2: the G1 chain with the probe rank kept unfiltered and joined
     // to the nprobe value table, against the brute different-label
@@ -2632,7 +2632,7 @@ object PipelineQueries {
          |      FROM qp JOIN cl c USING (cell) WHERE qp.qlabel <> c.label),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
-         |SELECT query_id, rnk, neighbor_id, neighbor_label, round(cos, 6) AS cos
+         |SELECT query_id, rnk, neighbor_id, neighbor_label, CAST(round(CAST(CAST((cos) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // V1: the same violated = NOT coalesce(pred, FALSE) semantics per
     // check, the referential as a left join vs distinct customer keys.
@@ -2659,7 +2659,7 @@ object PipelineQueries {
         |  UNION ALL SELECT 'orderdate_in_range', n, f5 FROM rc
         |  UNION ALL SELECT 'custkey_referential', n, f FROM ref)
         |SELECT expectation, n_checked, CAST(n_failed AS BIGINT) AS n_failed,
-        |  round(CAST(n_failed AS DOUBLE) / n_checked, 6) AS fail_rate,
+        |  CAST(round(CAST(CAST((CAST(n_failed AS DOUBLE) / n_checked) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS fail_rate,
         |  CAST(CASE WHEN n_checked = 0 THEN NULL
         |    WHEN n_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM u ORDER BY expectation""".stripMargin,
@@ -2699,7 +2699,7 @@ object PipelineQueries {
          |  CASE WHEN match_id IS NULL THEN 'clean' ELSE 'contaminated' END
          |    AS status,
          |  match_id, CAST(coalesce(n_sim, 0) AS BIGINT) AS n_sim,
-         |  round(mx, 6) AS max_cos
+         |  CAST(round(CAST(CAST((mx) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS max_cos
          |FROM tr t LEFT JOIN agg USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
     // E4: the whole fixed-point Lloyd fit unrolled (see
@@ -2727,9 +2727,9 @@ object PipelineQueries {
          |        FROM gb GROUP BY 1),
          |tot AS (SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM cnt),
          |lam AS (SELECT bucket,
-         |          CAST(round(round(ln((t_b + 1.0) / (t_tot + 256.0)), 6)
+         |          CAST(round(CAST(round(CAST(CAST((ln((t_b + 1.0) / (t_tot + 256.0))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
          |            * 1000000) AS BIGINT)
-         |        - CAST(round(round(ln((r_b + 1.0) / (r_tot + 256.0)), 6)
+         |        - CAST(round(CAST(round(CAST(CAST((ln((r_b + 1.0) / (r_tot + 256.0))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
          |            * 1000000) AS BIGINT) AS lam
          |        FROM cnt, tot),
          |sc AS (SELECT doc_id, count(*) AS n_grams,
@@ -2828,7 +2828,7 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY d2, neighbor_id) AS rnk FROM est)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
-         |  round(d2, 6) AS d2est
+         |  CAST(round(CAST(CAST((d2) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS d2est
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // S9b: IVF routing CTEs (cc/ad/asg/q/qp — verbatim the q_ann_ivf
     // devices at nprobe=4) fused with the PQ codebook/encode CTEs
@@ -2884,7 +2884,7 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY d2, neighbor_id) AS rnk FROM est)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
-         |  round(d2, 6) AS d2est
+         |  CAST(round(CAST(CAST((d2) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS d2est
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_split" -> {
       val b = graft.operators.Sampling.bucketOfSql("doc_id", "split", 100)
@@ -2997,9 +2997,9 @@ object PipelineQueries {
         |          / (n_cur + CAST(0.0001 AS DOUBLE) * 10) AS q
         |      FROM t)
         |SELECT event_type, bin, c_ref, c_cur, n_ref, n_cur,
-        |  round(sum((p - q) * ln(p / q)) OVER (PARTITION BY event_type
+        |  CAST(round(CAST(CAST((sum((p - q) * ln(p / q)) OVER (PARTITION BY event_type
         |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND UNBOUNDED FOLLOWING), 6) AS psi
+        |    AND UNBOUNDED FOLLOWING)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS psi
         |FROM p ORDER BY event_type, bin""".stripMargin
         .replace("BINEXPR", bin)
     },
@@ -3133,7 +3133,7 @@ object PipelineQueries {
         |  SELECT doc_id, count(*) AS n_bigrams,
         |    CAST(coalesce(sum(CASE WHEN c12 IS NULL THEN 1 END), 0) AS BIGINT)
         |      AS n_oov,
-        |    coalesce(sum(CAST(round(round(ln(CAST(c12 AS DOUBLE) / c1), 6)
+        |    coalesce(sum(CAST(round(CAST(round(CAST(CAST((ln(CAST(c12 AS DOUBLE) / c1)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |      * 1000000) AS BIGINT)), 0) AS s
         |  FROM bg
         |  LEFT JOIN c12 USING (w1, w2)
@@ -3152,8 +3152,8 @@ object PipelineQueries {
         |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) AS n_docs FROM documents)
         |SELECT doc_id, token, tf, df,
-        |  round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf,
-        |  round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 4) AS tfidf
+        |  CAST(round(CAST(CAST((ln(CAST(n_docs AS DOUBLE) / df)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS idf,
+        |  CAST(round(CAST(CAST((tf * CAST(round(CAST(CAST((ln(CAST(n_docs AS DOUBLE) / df)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS tfidf
         |FROM tf JOIN dfc USING (token) CROSS JOIN n
         |WHERE tf >= 2 AND df >= 2
         |ORDER BY doc_id, token""".stripMargin,
@@ -3171,16 +3171,16 @@ object PipelineQueries {
         |g AS (SELECT *, greatest(n_sentences, 1) AS s1 FROM c)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
         |  CASE WHEN n_words > 0 THEN
-        |    round(CAST(n_words AS DOUBLE) / CAST(s1 AS DOUBLE), 6)
+        |    CAST(round(CAST(CAST((CAST(n_words AS DOUBLE) / CAST(s1 AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |  END AS words_per_sentence,
         |  CASE WHEN n_words > 0 THEN
-        |    round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |    CAST(round(CAST(CAST((CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |  END AS syllables_per_word,
         |  CASE WHEN n_words > 0 THEN
-        |    round(206.835
+        |    CAST(round(CAST(CAST((206.835
         |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(s1 AS DOUBLE))
-        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
-        |      4)
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))) AS VARCHAR) AS DECIMAL(38,18)),
+        |      4) AS DOUBLE)
         |  END AS flesch
         |FROM g ORDER BY doc_id""".stripMargin,
     // T19: the identical ln-micro ladder (round(round(ln,6)*1e6)),
@@ -3194,22 +3194,22 @@ object PipelineQueries {
         |        CAST(sum(c) AS BIGINT) AS n_tokens,
         |        count(*) AS n_types,
         |        CAST(sum(CAST(c AS HUGEINT) *
-        |          CAST(CAST(round(round(ln(CAST(c AS DOUBLE)), 6) * 1000000, 0)
+        |          CAST(CAST(round(CAST(round(CAST(CAST((ln(CAST(c AS DOUBLE))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) * 1000000, 0)
         |            AS BIGINT) AS HUGEINT)) AS HUGEINT) AS s
         |      FROM c GROUP BY 1),
         |n AS (SELECT *,
-        |        CAST(CAST(round(round(ln(CAST(n_tokens AS DOUBLE)), 6) * 1000000, 0)
+        |        CAST(CAST(round(CAST(round(CAST(CAST((ln(CAST(n_tokens AS DOUBLE))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) * 1000000, 0)
         |          AS BIGINT) AS HUGEINT) * CAST(n_tokens AS HUGEINT) - s AS num,
-        |        CAST(CAST(round(round(ln(CAST(n_types AS DOUBLE)), 6) * 1000000, 0)
+        |        CAST(CAST(round(CAST(round(CAST(CAST((ln(CAST(n_types AS DOUBLE))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) * 1000000, 0)
         |          AS BIGINT) AS HUGEINT) AS lnm_t
         |      FROM g)
         |SELECT source, n_tokens, n_types,
-        |  round(CAST(num AS DOUBLE)
-        |    / CAST(CAST(n_tokens AS HUGEINT) * 1000000 AS DOUBLE), 6)
+        |  CAST(round(CAST(CAST((CAST(num AS DOUBLE)
+        |    / CAST(CAST(n_tokens AS HUGEINT) * 1000000 AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |    AS entropy_nats,
         |  CASE WHEN n_types > 1 THEN
-        |    round(CAST(num AS DOUBLE)
-        |      / CAST(CAST(n_tokens AS HUGEINT) * lnm_t AS DOUBLE), 6)
+        |    CAST(round(CAST(CAST((CAST(num AS DOUBLE)
+        |      / CAST(CAST(n_tokens AS HUGEINT) * lnm_t AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
         |  END AS norm_entropy
         |FROM n ORDER BY source""".stripMargin,
     // T18: identical counts (unigram, adjacent-bigram, totals) and the
@@ -3228,9 +3228,9 @@ object PipelineQueries {
         |          CAST(sum(greatest(len(ts) - 1, 0)) AS HUGEINT) AS n_bi
         |        FROM d)
         |SELECT bi.tok_a, bi.tok_b, bi.n_ab, a.n AS n_a, b.n AS n_b,
-        |  round(CAST(CAST(bi.n_ab AS HUGEINT) * n_tok * n_tok AS DOUBLE)
+        |  CAST(round(CAST(CAST((CAST(CAST(bi.n_ab AS HUGEINT) * n_tok * n_tok AS DOUBLE)
         |    / CAST(n_bi * CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)
-        |        AS DOUBLE), 6) AS lift
+        |        AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS lift
         |FROM bi JOIN uni a ON bi.tok_a = a.token
         |        JOIN uni b ON bi.tok_b = b.token
         |        CROSS JOIN tot
@@ -3296,7 +3296,7 @@ object PipelineQueries {
          |        CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
          |      FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY te.doc_id)
          |SELECT doc_id, n_shingles, n_hit,
-         |  round(n_hit / n_shingles, 4) AS overlap_frac,
+         |  CAST(round(CAST(CAST((n_hit / n_shingles) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS overlap_frac,
          |  (n_hit * 5 >= n_shingles * 1) AS contaminated
          |FROM j ORDER BY doc_id""".stripMargin
     },
@@ -3346,14 +3346,14 @@ object PipelineQueries {
         |      FROM d GROUP BY 1, 2),
         |cent AS (SELECT label, list(comp ORDER BY dim) AS cv FROM c GROUP BY label),
         |cn AS (SELECT label, cv,
-        |        round(sqrt(list_dot_product(cv, cv)), 6) AS centroid_norm FROM cent),
-        |m AS (SELECT v.label, round(list_dot_product(v.v, cn.cv)
-        |          / sqrt(list_dot_product(v.v, v.v) * list_dot_product(cn.cv, cn.cv)), 6) AS cos,
+        |        CAST(round(CAST(CAST((sqrt(list_dot_product(cv, cv))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS centroid_norm FROM cent),
+        |m AS (SELECT v.label, CAST(round(CAST(CAST((list_dot_product(v.v, cn.cv)
+        |          / sqrt(list_dot_product(v.v, v.v) * list_dot_product(cn.cv, cn.cv))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos,
         |        len(v.v) AS dim, cn.centroid_norm
         |      FROM v JOIN cn USING (label))
         |SELECT label, count(*) AS n_vecs, CAST(max(dim) AS BIGINT) AS dim,
         |  max(centroid_norm) AS centroid_norm,
-        |  round(CAST(round(sum(CAST(cos AS DECIMAL(28,10))), 6) AS DOUBLE) / count(cos), 4) AS avg_cos,
+        |  CAST(round(CAST(CAST((CAST(round(sum(CAST(cos AS DECIMAL(28,10))), 6) AS DOUBLE) / count(cos)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS avg_cos,
         |  min(cos) AS min_cos
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q_embed_quant" -> {
@@ -3363,13 +3363,13 @@ object PipelineQueries {
          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
          |sc AS (SELECT vec_id, v, amax, amax / 127.0 AS scale FROM a)
          |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
-         |  round(scale, 6) AS scale,
+         |  CAST(round(CAST(CAST((scale) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS scale,
          |  CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
          |       ELSE CAST(len(list_filter(v, x -> abs(${codeOf("x")}) >= 127.0)) AS BIGINT)
          |  END AS n_sat,
          |  CASE WHEN amax = 0 THEN 0.0
-         |       ELSE round(list_max(list_transform(v,
-         |              x -> abs(x - ${codeOf("x")} * scale))), 6)
+         |       ELSE CAST(round(CAST(CAST((list_max(list_transform(v,
+         |              x -> abs(x - ${codeOf("x")} * scale)))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
          |  END AS max_abs_err
          |FROM sc ORDER BY vec_id""".stripMargin
     },
@@ -3385,12 +3385,12 @@ object PipelineQueries {
          |  length(text) AS n_chars
          | FROM d)
          |SELECT doc_id, n_tokens, n_distinct,
-         |  round(tot_len / n_tokens, 4) AS avg_token_len,
-         |  round(n_stop / n_tokens, 4) AS stop_ratio,
-         |  round(n_punct / n_chars, 4) AS punct_ratio,
-         |  round(n_upper / n_chars, 4) AS upper_ratio,
-         |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_punct / n_chars)
-         |        * (1.0 - n_stop / n_tokens), 4) AS quality
+         |  CAST(round(CAST(CAST((tot_len / n_tokens) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS avg_token_len,
+         |  CAST(round(CAST(CAST((n_stop / n_tokens) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS stop_ratio,
+         |  CAST(round(CAST(CAST((n_punct / n_chars) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS punct_ratio,
+         |  CAST(round(CAST(CAST((n_upper / n_chars) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS upper_ratio,
+         |  CAST(round(CAST(CAST((least(1.0, n_tokens / 100.0) * (1.0 - n_punct / n_chars)
+         |        * (1.0 - n_stop / n_tokens)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS quality
          |FROM s ORDER BY doc_id""".stripMargin,
     "q_langid" -> {
       val caseExpr = "CASE bucket WHEN 0 THEN 'en' WHEN 1 THEN 'es' " +
@@ -3403,7 +3403,7 @@ object PipelineQueries {
          |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bucket) AS rn
          |      FROM c)
          |SELECT doc_id, $caseExpr AS pred_lang,
-         |  round(c / n_tokens, 4) AS confidence, lang,
+         |  CAST(round(CAST(CAST((c / n_tokens) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS confidence, lang,
          |  ($caseExpr = lang) AS is_match
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
@@ -3411,7 +3411,7 @@ object PipelineQueries {
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
          |  CAST(sum(len(regexp_extract_all(text, '$bpeRegexSql'))) AS BIGINT) AS bpe_tokens,
-         |  round(avg(len(regexp_extract_all(text, '$bpeRegexSql'))), 4) AS avg_bpe_per_doc
+         |  CAST(round(CAST(CAST((avg(len(regexp_extract_all(text, '$bpeRegexSql')))) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS avg_bpe_per_doc
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_seq_pack" ->
       s"""WITH d AS (SELECT doc_id, source,
@@ -3461,9 +3461,9 @@ object PipelineQueries {
          |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3,
          |  n FROM b)
          |SELECT doc_id, n_tokens, top_n,
-         |  round(top_n / n_tokens, 4) AS top_token_frac,
-         |  round((n - 1 - len(list_distinct(g2))) / CAST(n - 1 AS DOUBLE), 4) AS dup_2gram_frac,
-         |  round((n - 2 - len(list_distinct(g3))) / CAST(n - 2 AS DOUBLE), 4) AS dup_3gram_frac,
+         |  CAST(round(CAST(CAST((top_n / n_tokens) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS top_token_frac,
+         |  CAST(round(CAST(CAST(((n - 1 - len(list_distinct(g2))) / CAST(n - 1 AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS dup_2gram_frac,
+         |  CAST(round(CAST(CAST(((n - 2 - len(list_distinct(g3))) / CAST(n - 2 AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS dup_3gram_frac,
          |  (top_n * 5 > n_tokens) AS is_repetitive
          |FROM m ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" -> {
@@ -3702,7 +3702,7 @@ object PipelineQueries {
          |          AS BIGINT) AS zc
          |      FROM p)
          |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, zc AS zero_crossings,
-         |  round(CAST(zc AS DOUBLE) / (n - 1), 6) AS zcr
+         |  CAST(round(CAST(CAST((CAST(zc AS DOUBLE) / (n - 1)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS zcr
          |FROM z ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       s"""WITH p AS (SELECT doc_id,

@@ -717,12 +717,12 @@ object ReferenceQueries {
          |        CAST(sum(x * x) AS BIGINT) AS sxx
          |      FROM rel GROUP BY host),
          |f AS (SELECT host, n_buckets, sx, sy,
-         |        round(CAST(n_buckets * sxy - sx * sy AS DOUBLE)
-         |          / CAST(n_buckets * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |        CAST(round(CAST(CAST((CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+         |          / CAST(n_buckets * sxx - sx * sx AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS slope,
          |        n_buckets * sxx - sx * sx AS den
          |      FROM m)
          |SELECT host, n_buckets, slope,
-         |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_buckets, 6)
+         |  CAST(round(CAST(CAST(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_buckets) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
          |    AS intercept
          |FROM f WHERE den <> 0 ORDER BY host""".stripMargin,
     // R25: HHI + top share from exact integer moments (/26 groups).
@@ -737,8 +737,8 @@ object ReferenceQueries {
          |        CAST(max(c) AS BIGINT) AS maxc
          |      FROM c GROUP BY network)
          |SELECT network, n_sources, total AS n_events,
-         |  round(CAST(sumsq AS DOUBLE) / CAST(total * total AS DOUBLE), 6) AS hhi,
-         |  round(CAST(maxc AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top_share
+         |  CAST(round(CAST(CAST((CAST(sumsq AS DOUBLE) / CAST(total * total AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS hhi,
+         |  CAST(round(CAST(CAST((CAST(maxc AS DOUBLE) / CAST(total AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS top_share
          |FROM m ORDER BY network""".stripMargin,
     // R27: adjacent-window count deltas per host, top-20 by |delta|.
     "q_heavy_change" ->
@@ -754,7 +754,7 @@ object ReferenceQueries {
          |  FROM t GROUP BY 1)
          |SELECT host, n_cur, n_prev, n_cur - n_prev AS delta,
          |  abs(n_cur - n_prev) AS abs_delta,
-         |  round(n_cur / (n_prev + 1.0), 6) AS ratio,
+         |  CAST(round(CAST(CAST((n_cur / (n_prev + 1.0)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS ratio,
          |  CAST(row_number() OVER (ORDER BY abs(n_cur - n_prev) DESC,
          |    host) AS INTEGER) AS rnk
          |FROM c ORDER BY rnk LIMIT 20""".stripMargin,
@@ -819,9 +819,9 @@ object ReferenceQueries {
          |          - CAST(h.sx AS HUGEINT) * c.n_current AS dev_num
          |      FROM h JOIN c ON h.network = c.network)
          |SELECT network, n_hist, n_current,
-         |  round(CAST(sx AS DOUBLE) / n_hist / 1e6, 6) AS mean_value,
-         |  round(sqrt(CAST(var_num AS DOUBLE)) / n_hist / 1e6, 6) AS std_value,
-         |  round(CAST(sc AS DOUBLE) / n_current / 1e6, 6) AS current_avg,
+         |  CAST(round(CAST(CAST((CAST(sx AS DOUBLE) / n_hist / 1e6) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS mean_value,
+         |  CAST(round(CAST(CAST((sqrt(CAST(var_num AS DOUBLE)) / n_hist / 1e6) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS std_value,
+         |  CAST(round(CAST(CAST((CAST(sc AS DOUBLE) / n_current / 1e6) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS current_avg,
          |  CAST(dev_num * dev_num * 1 >
          |    9 * CAST(n_current AS HUGEINT) * n_current * var_num AS INTEGER)
          |    AS is_anomaly
@@ -851,8 +851,8 @@ object ReferenceQueries {
          |mad AS (SELECT network, min(d) AS mad
          |        FROM dr WHERE rk * 2 >= cnt GROUP BY network)
          |SELECT m.network, m.n_hist, c.n_current, m.med, a.mad,
-         |  round(c.current_avg, 6) AS current_avg,
-         |  (abs(round(c.current_avg, 6) - m.med) * 1 > 3 * a.mad) AS is_anomaly
+         |  CAST(round(CAST(CAST((c.current_avg) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS current_avg,
+         |  (abs(CAST(round(CAST(CAST((c.current_avg) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) - m.med) * 1 > 3 * a.mad) AS is_anomaly
          |FROM med m JOIN mad a ON m.network = a.network
          |JOIN cur c ON m.network = c.network
          |ORDER BY m.network""".stripMargin,
