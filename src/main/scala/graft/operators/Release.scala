@@ -281,20 +281,18 @@ object Release {
     * atomic swap (rename / catalog pointer flip) is the caller's
     * transaction anyway.
     */
-  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
-      dstDir: String, partitionCol: String, idCol: String, textCol: String,
-      targetRecordsPerFile: Long): DataFrame = {
-    require(targetRecordsPerFile >= 1L,
-      s"targetRecordsPerFile must be >= 1, got $targetRecordsPerFile")
-    // equal OR nested either way: a dst inside src would surface the
-    // half-written copy to src's own lazy re-read (partition discovery
-    // walks the tree), and a src inside dst would be deleted by the
-    // overwrite — all three are the same corruption class. Compared on
-    // Hadoop-QUALIFIED URIs, not java.io.File: Spark accepts URI
-    // spellings, and 'file:///data/rel' vs '/data/rel' name the same
-    // location while canonicalizing differently as local files — a
-    // java.io.File guard would wave the self-overwrite through (the
-    // same qualification appendIncremental's file listing uses).
+  /** Equal OR nested either way is refused: a dst inside src would
+    * surface the half-written copy to src's own lazy re-read
+    * (partition discovery walks the tree), and a src inside dst would
+    * be deleted by the overwrite — all three are the same corruption
+    * class. Compared on Hadoop-QUALIFIED URIs, not java.io.File: Spark
+    * accepts URI spellings, and 'file:///data/rel' vs '/data/rel' name
+    * the same location while canonicalizing differently as local files
+    * — a java.io.File guard would wave the self-overwrite through (the
+    * same qualification appendIncremental's file listing uses).
+    */
+  private def requireDisjointDirs(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String, op: String): Unit = {
     val hConf = spark.sessionState.newHadoopConf()
     def qualified(d: String): String = {
       val p = new org.apache.hadoop.fs.Path(d)
@@ -303,9 +301,17 @@ object Release {
     val (srcQ, dstQ) = (qualified(srcDir), qualified(dstDir))
     require(srcQ != dstQ &&
       !srcQ.startsWith(dstQ + "/") && !dstQ.startsWith(srcQ + "/"),
-      "compact must write to a new directory outside the source tree " +
+      s"$op must write to a new directory outside the source tree " +
         "(self-overwrite of a lazily-read parquet dir corrupts the " +
         s"release); got src=$srcQ dst=$dstQ; swap after gating")
+  }
+
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, partitionCol: String, idCol: String, textCol: String,
+      targetRecordsPerFile: Long): DataFrame = {
+    require(targetRecordsPerFile >= 1L,
+      s"targetRecordsPerFile must be >= 1, got $targetRecordsPerFile")
+    requireDisjointDirs(spark, srcDir, dstDir, "compact")
     val src = spark.read.parquet(srcDir)
     val sizes = src.groupBy(col(partitionCol))
       .agg(count(lit(1)).as("__n"))
@@ -347,5 +353,254 @@ object Release {
         coalesce(col("n_rows_before") === col("n_rows_after") &&
           col("content_sum_before") === col("content_sum_after"),
           lit(false)))
+  }
+
+  /** The pure reconciliation behind [[deleteAndManifest]] — P13c's
+    * algebra in REVERSE (the checksum is an order-independent decimal
+    * SUM, so deletion subtracts exactly the way append adds): per
+    * partition, expected = before − removed on both row counts and
+    * content sums, compared against the rewritten artifact's actual
+    * manifest. Full-joined null-safely so a partition lost by the
+    * rewrite, invented by it, or fully deleted (legitimately absent
+    * from `after`) reads as an explicit verdict, never a null: a fully
+    * deleted partition matches iff expected lands on exactly 0/0, and
+    * a partition present in `after` but absent from `before` can never
+    * match. Exposed so the loss/invention/mangling arms are
+    * unit-testable without corrupting a real write.
+    */
+  def reconcileDelete(beforeM: DataFrame, removedM: DataFrame,
+      afterM: DataFrame, partitionCol: String): DataFrame = {
+    val zero = lit(0L).cast("decimal(38,0)")
+    def arm(m: DataFrame, tag: String): DataFrame =
+      m.select(col(partitionCol), col("n_rows").as(s"__n_$tag"),
+        col("content_sum").cast("decimal(38,0)").as(s"__s_$tag"))
+    val expected = fullJoinNullSafe(arm(beforeM, "b"), arm(removedM, "r"),
+        partitionCol)
+      .select(col(partitionCol),
+        (coalesce(col("__n_b"), lit(0L)) - coalesce(col("__n_r"), lit(0L)))
+          .as("n_rows_expected"),
+        (coalesce(col("__s_b"), zero) - coalesce(col("__s_r"), zero))
+          .cast("decimal(38,0)").cast("string").as("content_sum_expected"),
+        coalesce(col("__n_r"), lit(0L)).as("n_removed"))
+    fullJoinNullSafe(expected,
+        afterM.select(col(partitionCol), col("n_rows").as("n_rows_after"),
+          col("content_sum").as("content_sum_after")),
+        partitionCol)
+      .withColumn("matched",
+        // an after-partition with no expectation row can never match
+        // (coalesce(null === …) → false); a fully deleted partition
+        // has no after row and matches iff the expectation is 0/"0"
+        coalesce(col("n_rows_expected") ===
+            coalesce(col("n_rows_after"), lit(0L)) &&
+          col("content_sum_expected").cast("decimal(38,0)") ===
+            coalesce(col("content_sum_after").cast("decimal(38,0)"), lit(0L)
+              .cast("decimal(38,0)")),
+          lit(false)))
+  }
+
+  /** P13d (audit form): manifest-reconciled DELETE — the release
+    * lifecycle's takedown/GDPR/retention leg (write P13, compact P13b,
+    * append P13c, delete P13d). `removeIds` is a frame of id values to
+    * purge; the surviving corpus is rewritten to `dstDir` (NEVER in
+    * place — same [[requireDisjointDirs]] guard and caller-owned
+    * atomic-swap transaction as [[compact]]), and the returned frame
+    * proves per partition that exactly the targeted rows left:
+    * expected = before − removed, compared against the re-read
+    * artifact. Ids absent from the release remove nothing and still
+    * reconcile — re-running a delete is idempotent by construction
+    * (the removed-manifest is computed from the release rows the ids
+    * actually HIT, materialized EAGERLY before the rewrite, for the
+    * same lazy-relist reasons as [[appendAndManifest]]).
+    *
+    * This form re-scans the whole release (before-manifest + rewrite)
+    * — audit-grade; [[deleteIncremental]] is the production path that
+    * touches only affected partitions.
+    */
+  def deleteAndManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dstDir: String, removeIds: DataFrame,
+      partitionCol: String, idCol: String, textCol: String,
+      maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    requireDisjointDirs(spark, dir, dstDir, "delete")
+    val mat = Materializer.of(spark)
+    val rm = broadcast(
+      removeIds.select(col(idCol).as("__rm_id")).distinct())
+    val src = spark.read.parquet(dir)
+    val before = mat.eager(manifest(src, partitionCol, idCol, textCol))
+    val removed = mat.eager(manifest(
+      src.join(rm, col(idCol) === col("__rm_id"), "leftsemi"),
+      partitionCol, idCol, textCol))
+    src.join(rm, col(idCol) === col("__rm_id"), "leftanti")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(dstDir)
+    // an all-rows delete writes an empty artifact parquet cannot
+    // re-infer a schema from — that is a legitimate outcome, not an
+    // error: every expectation row must then be 0/"0"
+    val after =
+      try manifest(spark.read.parquet(dstDir), partitionCol, idCol, textCol)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        before.limit(0) }
+    reconcileDelete(before, removed, after, partitionCol)
+  }
+
+  /** P13d's PRODUCTION path: the same delete, O(touched partitions)
+    * instead of O(release). The audit form's two full-corpus scans are
+    * the op's own scale killer at 100 TB when a takedown touches a
+    * handful of rows; here the caller passes the release's STORED
+    * manifest (the frame the previous writer op returned — the same
+    * trust chain as [[appendIncremental]]) and only partitions that
+    * can contain a targeted id are ever read:
+    *
+    *   1. candidate partitions come from metadata alone — if
+    *      `removeIds` carries the partition column (a takedown that
+    *      knows its shard) its distinct values are exact; otherwise
+    *      the stored manifest's per-partition [min_id, max_id] ranges
+    *      prune to the partitions whose id span can contain a target
+    *      (exact when the release is id-partitioned/sorted; a safe
+    *      superset otherwise). Both are vocabulary-sized broadcasts.
+    *   2. ONE partition-pruned read of the candidates finds the rows
+    *      the ids actually hit; their manifest materializes EAGERLY
+    *      (the removed-arm of the algebra, and the TOUCHED set —
+    *      candidates nothing hit are never rewritten, which is what
+    *      makes re-running a delete O(metadata), not O(delta)).
+    *   3. survivors of ONLY the touched partitions are rewritten to
+    *      `stagingDir` ([[requireDisjointDirs]]-guarded; the release
+    *      itself is never written — a before/after file listing RAISES
+    *      if anything mutated it mid-op), landed bytes are re-read and
+    *      verified per partition against expected = stored − removed.
+    *   4. the composed next-manifest folds landed values over stored
+    *      rows (untouched partitions keep their attested row; a fully
+    *      deleted partition composes to 0 rows) — zero reads of
+    *      untouched data anywhere.
+    *
+    * Caller's swap: replace each touched partition directory with
+    * staging's (drop directories of partitions composing to 0 rows),
+    * gated on `matched` all-true; the returned frame (minus its
+    * verdict columns, n_rows > 0) is the stored manifest for the next
+    * call.
+    */
+  def deleteIncremental(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stagingDir: String, storedManifest: DataFrame,
+      removeIds: DataFrame, partitionCol: String, idCol: String,
+      textCol: String, maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    requireDisjointDirs(spark, dir, stagingDir, "delete")
+    val mat = Materializer.of(spark)
+    val stored = mat.eager(storedManifest
+      .select(col(partitionCol), col("n_rows"), col("content_sum"),
+        col("min_id"), col("max_id")))
+    val rm = broadcast(removeIds.select(
+      (col(idCol).as("__rm_id") +:
+        (if (removeIds.columns.contains(partitionCol))
+          Seq(col(partitionCol).as("__rm_pc")) else Seq.empty)): _*)
+      .distinct())
+    // step 1: candidate partitions from metadata alone
+    val candDf =
+      if (removeIds.columns.contains(partitionCol))
+        rm.select(col("__rm_pc").as(partitionCol)).distinct()
+      else stored.join(rm,
+          col("__rm_id") >= col("min_id") && col("__rm_id") <= col("max_id"),
+          "leftsemi")
+        .select(col(partitionCol))
+    // vocabulary-sized by construction (bounded by the partition
+    // dimension's cardinality) — same config-sized-collect class as
+    // the IVF/BPE/moments driver collects
+    val cand = candDf.collect().map(_.get(0)).toSeq
+    def partIn(vals: Seq[Any]): Column = {
+      val nonNull = vals.filter(_ != null)
+      val in =
+        if (nonNull.isEmpty) lit(false)
+        else col(partitionCol).isInCollection(nonNull)
+      if (vals.contains(null)) in || col(partitionCol).isNull else in
+    }
+    def trivially(m: DataFrame): DataFrame =
+      m.select(col(partitionCol), col("n_rows"), col("content_sum"),
+        col("min_id"), col("max_id"))
+        .withColumn("n_removed", lit(0L))
+        .withColumn("touched", lit(false))
+        .withColumn("matched", lit(true))
+    if (cand.isEmpty) return trivially(stored)
+    // step 2: one partition-pruned read; the removed-arm manifest
+    val rmJoin = (l: DataFrame, how: String) => {
+      val cond =
+        if (removeIds.columns.contains(partitionCol))
+          col(idCol) === col("__rm_id") &&
+            col(partitionCol) <=> col("__rm_pc")
+        else col(idCol) === col("__rm_id")
+      l.join(rm, cond, how)
+    }
+    val pruned = spark.read.parquet(dir).filter(partIn(cand))
+    val removed = mat.eager(manifest(rmJoin(pruned, "leftsemi"),
+      partitionCol, idCol, textCol))
+    val touched = removed.select(col(partitionCol)).collect()
+      .map(_.get(0)).toSeq
+    if (touched.isEmpty) return trivially(stored)
+    // step 3: rewrite ONLY the touched partitions' survivors
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(hPath)
+    def listRelease(): Set[String] = {
+      val it = fs.listFiles(qualified, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().getPath.toString
+      b.result()
+    }
+    val files0 = listRelease()
+    rmJoin(pruned.filter(partIn(touched)), "leftanti")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(stagingDir)
+    val drift = {
+      val files1 = listRelease()
+      (files0 diff files1) ++ (files1 diff files0)
+    }
+    if (drift.nonEmpty) throw new IllegalStateException(
+      s"deleteIncremental: the release itself changed during the staged " +
+        s"rewrite (${drift.size} file(s), e.g. ${drift.head}) — the stored " +
+        "manifest no longer attests it; halt and re-attest before swapping")
+    val landed =
+      try manifest(spark.read.parquet(stagingDir), partitionCol, idCol,
+        textCol)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        stored.limit(0) } // every touched partition fully deleted
+    // step 4: verify landed = stored − removed per touched partition,
+    // compose the next manifest (landed folds over stored)
+    val zero = lit(0L).cast("decimal(38,0)")
+    def arm(m: DataFrame, tag: String): DataFrame =
+      m.select(col(partitionCol), col("n_rows").as(s"__n_$tag"),
+        col("content_sum").cast("decimal(38,0)").as(s"__s_$tag"),
+        col("min_id").as(s"__lo_$tag"), col("max_id").as(s"__hi_$tag"))
+    fullJoinNullSafe(
+        fullJoinNullSafe(arm(stored, "b"), arm(removed, "r"), partitionCol),
+        arm(landed, "l"), partitionCol)
+      .withColumn("touched", col("__n_r").isNotNull)
+      .select(col(partitionCol),
+        when(col("touched"), coalesce(col("__n_l"), lit(0L)))
+          .otherwise(col("__n_b")).as("n_rows"),
+        when(col("touched"), coalesce(col("__s_l"), zero))
+          .otherwise(col("__s_b")).cast("decimal(38,0)").cast("string")
+          .as("content_sum"),
+        when(col("touched"), col("__lo_l")).otherwise(col("__lo_b"))
+          .as("min_id"),
+        when(col("touched"), col("__hi_l")).otherwise(col("__hi_b"))
+          .as("max_id"),
+        coalesce(col("__n_r"), lit(0L)).as("n_removed"),
+        col("touched"),
+        when(col("touched"),
+          // the landed bytes must be exactly the survivors: counts and
+          // sums subtract; a vanished/invented/mangled staging row
+          // breaks one of the two equalities (nulls → false)
+          coalesce(coalesce(col("__n_l"), lit(0L)) ===
+              col("__n_b") - col("__n_r") &&
+            coalesce(col("__s_l"), zero).cast("decimal(38,0)") ===
+              (col("__s_b") - col("__s_r")).cast("decimal(38,0)"),
+            lit(false)))
+        .otherwise(
+          // an untouched partition must not appear in staging, and a
+          // staged partition unknown to the stored manifest is an
+          // invention — both read false, everything else true
+          col("__n_l").isNull && col("__n_b").isNotNull)
+        .as("matched"))
   }
 }
