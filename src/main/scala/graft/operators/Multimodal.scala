@@ -42,6 +42,12 @@ final case class AudioZcr(
     zero_crossings: Long,
     zcr: Double)
 
+/** Banded acoustic fingerprint decoded from an audio payload (M8). */
+final case class AudioFingerprint(
+    doc_id: Long,
+    n_samples: Long,
+    afp: Long)
+
 /** Typed features decoded from an audio payload. */
 final case class AudioMeta(
     doc_id: Long,
@@ -407,6 +413,85 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** M8: acoustic fingerprint from the REAL decoded PCM stream — the
+    * audio counterpart of the image dHash ([[perceptualHashOf]]): the
+    * sample stream is cut into 61 contiguous windows (sample i goes to
+    * window (i*61) div n — integer division, no boundary float), each
+    * window's ENERGY is the exact Long sum of its squared 16-bit
+    * samples, and bit j (0..59) is set when window j+1's energy
+    * strictly exceeds window j's. Sign-of-energy-delta is the
+    * classic tempo/envelope fingerprint shape (Haitsma-Kalker style),
+    * reduced to all-integer arithmetic so the value is
+    * engine-independent — the same lesson as the dHash's row sampling:
+    * no FFT, no float window functions, nothing encoder-defined — and
+    * the DuckDB oracle can recompute every bit from the closed-form
+    * synthesis ramp without owning a codec. 60 bits keeps the
+    * fingerprint positive in every engine's signed 64-bit integer;
+    * strict `>` makes equal energies a 0 bit with no tie hazard.
+    */
+  def audioFingerprintOf(id: Long, bytes: Array[Byte]): AudioFingerprint = {
+    import javax.sound.sampled.AudioSystem
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val pcm = in.readAllBytes()
+      val frameSize =
+        if (in.getFormat.getFrameSize > 0) in.getFormat.getFrameSize else 2
+      val n = (pcm.length / frameSize).toInt
+      val energy = new Array[Long](61)
+      var i = 0
+      while (i < n) {
+        val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+        energy(((i.toLong * 61L) / n).toInt) += v * v
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 60) {
+        if (energy(j + 1) > energy(j)) fp |= 1L << j
+        j += 1
+      }
+      AudioFingerprint(id, n.toLong, fp)
+    } finally in.close()
+  }
+
+  /** [[audioFingerprintOf]] over an (id, media) DataFrame — the same
+    * per-partition batched decode contract as [[extractMeta]].
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            audioFingerprintOf(id, bytes) }
+        }
+      }
+      .toDF()
+  }
+
+  /** M8 -> D4 composition (audio near-dup end to end, completing the
+    * near-dup triad across text/image/audio): decode every payload's
+    * PCM once into its 60-bit energy-delta fingerprint
+    * ([[audioFingerprint]]), then find all pairs within `maxHamming`
+    * bits through the same banded Hamming machinery as SimHash and the
+    * image dHash ([[Dedup.bandedHammingPairs]]). With nBands >
+    * maxHamming the band join is EXACT by pigeonhole — the output
+    * equals a brute-force all-pairs scan while the shuffle stays
+    * proportional to true bucket collisions (at 10^9 clips all-pairs
+    * is 10^18 comparisons; the band join is Σ bucket²). `maxBucket`
+    * guards the degenerate-bucket blowup (silence shares one
+    * fingerprint corpus-wide); run exact byte dedup first so identical
+    * files never reach the pair stage.
+    */
+  def audioNearDup(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 2, nBands: Int = 3, maxBucket: Long = 0): DataFrame =
+    Dedup.bandedHammingPairs(
+      audioFingerprint(df, idCol, mediaCol), "doc_id", "afp",
+      totalBits = 60, nBands = nBands, maxHamming = maxHamming,
+      maxBucket = maxBucket)
 
   /** Decode a (id, WAV binary) DataFrame into typed audio features —
     * the same batched mapPartitions contract as [[extractMeta]].

@@ -1136,6 +1136,17 @@ object PipelineQueries {
       "doc_id", "media", maxHamming = 2, nBands = 3)
       .orderBy("doc_a", "doc_b")
 
+  // M8 -> D4 composition: audio near-dup end to end — REAL decoded PCM
+  // -> 60-bit energy-delta fingerprint -> 3x20-bit band join -> exact
+  // Hamming verify. nBands (3) > maxHamming (2) makes the banding
+  // EXACT by pigeonhole, so the oracle brute-forces ALL pairs from the
+  // closed-form sample ramp and the sets must match bit for bit.
+  def qMmAudioNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDup(
+      Multimodal.synthesizeAudioCorpus(t(s, dir, "documents"), "doc_id"),
+      "doc_id", "media", maxHamming = 2, nBands = 3)
+      .orderBy("doc_a", "doc_b")
+
   // C4: per-doc 3-gram novelty vs a reference slice (doc_id % 7 == 0
   // stands in for "the training set so far"); scored docs are the rest.
   def qNovelty(s: SparkSession, dir: String): DataFrame = {
@@ -1315,6 +1326,7 @@ object PipelineQueries {
     "q_mm_meta" -> qMmMeta,
     "q_mm_phash" -> qMmPhash,
     "q_mm_neardup" -> qMmNeardup,
+    "q_mm_aneardup" -> qMmAudioNearDup,
     "q_mm_frames" -> qMmFrames,
     "q_mm_audio" -> qMmAudio,
     "q_mm_resize" -> qMmResize,
@@ -3674,6 +3686,32 @@ object PipelineQueries {
         |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
         |FROM d x JOIN d y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.dhash, y.dhash)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // M8 -> D4: all-pairs brute force over the closed-form acoustic
+    // fingerprint (61 integer window energies of the sample ramp,
+    // sign-of-delta bits) — legitimate ONLY in the oracle; the Spark
+    // side decodes REAL PCM and its banded join must produce the
+    // identical set because nBands > maxHamming.
+    "q_mm_aneardup" ->
+      """WITH p AS (SELECT doc_id, 1 + (doc_id % 7) AS a, doc_id % 256 AS c,
+        |        800 + (doc_id % 8) * 200 AS n FROM documents),
+        |s AS (SELECT doc_id, CAST((i * 61) // n AS INTEGER) AS j,
+        |        (a * i + c) % 4096 - 2048 AS v
+        |      FROM (SELECT doc_id, a, c, n,
+        |              unnest(generate_series(0, n - 1)) AS i FROM p) x),
+        |e AS (SELECT doc_id, j,
+        |        CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS en
+        |      FROM s GROUP BY 1, 2),
+        |b AS (SELECT doc_id, j,
+        |        CASE WHEN lead(en) OVER (PARTITION BY doc_id ORDER BY j) > en
+        |          THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bit
+        |      FROM e),
+        |f AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS afp
+        |      FROM b WHERE j < 60 GROUP BY 1)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(x.afp, y.afp)) AS BIGINT) AS hamming
+        |FROM f x JOIN f y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.afp, y.afp)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
     // T20: first-occurrence doc per bigram type -> buckets -> cumsum.
     "q_vocab_growth" ->
