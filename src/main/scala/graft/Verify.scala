@@ -22,7 +22,10 @@ object Verify {
     System.err.println("[verify] codegen.wholeStage=" +
       spark.conf.get("spark.sql.codegen.wholeStage", "true") +
       " factoryMode=" +
-      spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+      spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK") +
+      " vectorizedReader=" +
+      spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true") +
+      " aqe=" + spark.conf.get("spark.sql.adaptive.enabled", "true"))
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs just those
     // queries (the driver never sets it, so its gate always runs all)

@@ -84,10 +84,20 @@ object Materializer {
   }
   object Table { private val counter = new AtomicInteger(0) }
 
-  /** No materialization — every consumer recomputes. */
+  /** No materialization for SHARED INDEXES — every consumer recomputes
+    * (linear extra cost, the documented 1.4-2x). Iteration FRONTIERS
+    * still truncate: a fixpoint loop whose round-N plan embeds round
+    * N-1's plan several times (star contraction's gamma/largeMins both
+    * reference the frontier) grows the plan TREE exponentially with
+    * the round count — Catalyst walks trees, not DAGs, so an
+    * un-truncated 10-round contraction is minutes of pure optimizer
+    * CPU before a single row moves (r17 found exactly this: the M9
+    * cluster query under the lazy plan audit). Laziness for a frontier
+    * is not a materialization choice but an asymptotic bug.
+    */
   object Lazy extends Materializer {
     def apply(df: DataFrame): DataFrame = df
-    def eager(df: DataFrame): DataFrame = df
+    def eager(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
   }
 
   /** The session's configured strategy (`graft.materializer`). */

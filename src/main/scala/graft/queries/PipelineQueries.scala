@@ -1147,6 +1147,20 @@ object PipelineQueries {
       "doc_id", "media", maxHamming = 2, nBands = 3)
       .orderBy("doc_a", "doc_b")
 
+  // M9: the M8 pair set resolved to CLUSTER LABELS through the generic
+  // D6 star-contraction connected components — media dedup pipelines
+  // act on cluster representatives, not raw pair lists. Same composition
+  // discipline as M7->M8: one generic pair machine, one generic
+  // components machine, per-modality fingerprints.
+  def qMmAudioClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    Dedup.clusters(docs, "doc_id",
+      Multimodal.audioNearDup(
+        Multimodal.synthesizeAudioCorpus(docs, "doc_id"),
+        "doc_id", "media", maxHamming = 2, nBands = 3))
+      .orderBy("doc_id")
+  }
+
   // C4: per-doc 3-gram novelty vs a reference slice (doc_id % 7 == 0
   // stands in for "the training set so far"); scored docs are the rest.
   def qNovelty(s: SparkSession, dir: String): DataFrame = {
@@ -1327,6 +1341,7 @@ object PipelineQueries {
     "q_mm_phash" -> qMmPhash,
     "q_mm_neardup" -> qMmNeardup,
     "q_mm_aneardup" -> qMmAudioNearDup,
+    "q_mm_aclusters" -> qMmAudioClusters,
     "q_mm_frames" -> qMmFrames,
     "q_mm_audio" -> qMmAudio,
     "q_mm_resize" -> qMmResize,
@@ -3713,6 +3728,37 @@ object PipelineQueries {
         |FROM f x JOIN f y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.afp, y.afp)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // M9: the M8 closed-form pair set -> the D6 recursive-CTE
+    // connected-components device, verbatim the q_dedup_clusters
+    // reach pattern.
+    "q_mm_aclusters" ->
+      """WITH RECURSIVE p AS (SELECT doc_id, 1 + (doc_id % 7) AS a,
+        |        doc_id % 256 AS c, 800 + (doc_id % 8) * 200 AS n
+        |      FROM documents),
+        |s AS (SELECT doc_id, CAST((i * 61) // n AS INTEGER) AS j,
+        |        (a * i + c) % 4096 - 2048 AS v
+        |      FROM (SELECT doc_id, a, c, n,
+        |              unnest(generate_series(0, n - 1)) AS i FROM p) x),
+        |e AS (SELECT doc_id, j,
+        |        CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS en
+        |      FROM s GROUP BY 1, 2),
+        |b AS (SELECT doc_id, j,
+        |        CASE WHEN lead(en) OVER (PARTITION BY doc_id ORDER BY j) > en
+        |          THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bit
+        |      FROM e),
+        |f AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS afp
+        |      FROM b WHERE j < 60 GROUP BY 1),
+        |jp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |       FROM f x JOIN f y ON x.doc_id < y.doc_id
+        |       WHERE bit_count(xor(x.afp, y.afp)) <= 2),
+        |edges AS (SELECT doc_a AS v, doc_b AS u FROM jp
+        |          UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(v, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e2.v, r.m FROM edges e2 JOIN reach r ON r.v = e2.u)
+        |SELECT v AS doc_id, min(m) AS cluster_id
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     // T20: first-occurrence doc per bigram type -> buckets -> cumsum.
     "q_vocab_growth" ->
       """WITH tk AS (SELECT doc_id,

@@ -50,6 +50,12 @@ class PlanAuditSpec extends SparkSuite {
     // class as the simhash band join; both sides are the full decoded
     // fingerprint table, not broadcastable at image-corpus scale
     "q_mm_neardup",
+    // M9 nests the M8 acoustic band self-join (the identical class)
+    // and adds the D6 labels x corpus join-back — under this lazy
+    // audit the un-truncated fingerprint lineage sits on both sides;
+    // at runtime the banded frontier materializes and AQE picks the
+    // strategy per round (the q_dedup_clusters/q_pagerank note below)
+    "q_mm_aclusters",
     // SemDeDup's within-cell pair self-join — both sides are the full
     // cell-assigned embedding table (corpus x corpus, shuffled on cell
     // id); candidate volume is bounded by cell sizes, not by making a
