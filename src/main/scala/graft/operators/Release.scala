@@ -603,4 +603,118 @@ object Release {
           col("__n_l").isNull && col("__n_b").isNotNull)
         .as("matched"))
   }
+
+  /** P13e: RETENTION — whole-partition takedown by PREDICATE (drop
+    * every partition whose VALUE satisfies `dropPredicate`: age
+    * cutoffs, deprecated sources, jurisdiction sunsets), the
+    * partition-granular sibling of the row-granular [[deleteIncremental]].
+    * At partition granularity nothing needs rewriting — the op is a
+    * metadata plan plus an ARCHIVE MOVE (never a destructive delete:
+    * each dropped partition directory is renamed into `archiveDir`,
+    * the caller's retention policy disposes of the archive on its own
+    * clock), reconciled three ways:
+    *
+    *   1. dropped-partition directories are located by re-deriving
+    *      Spark's own Hive path encoding (`getPartitionPathString` —
+    *      escaped values and the null partition's default dir
+    *      included); a dropped partition whose directory is MISSING
+    *      raises (the stored manifest attests rows there), as does an
+    *      archive collision (refuse overwrite) or a failed rename;
+    *   2. the release's file listing after the moves must equal
+    *      before-minus-moved exactly — kept partitions provably
+    *      untouched, byte for byte;
+    *   3. the archived bytes are re-read (O(dropped) — the delta,
+    *      never the release) and their manifest compared per
+    *      partition against the stored rows that left: `matched`
+    *      false on any loss/invention/mangling in flight.
+    *
+    * A NULL partition value is dropped only when the predicate is
+    * TRUE on null (e.g. `isNull`); a predicate evaluating to NULL
+    * KEEPS the partition (retention must be explicit, never a
+    * three-valued-logic accident). Returns every stored partition
+    * with `dropped` + `matched` verdicts; the caller's next stored
+    * manifest is the `!dropped` rows minus the verdict columns.
+    */
+  def retainAndManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, archiveDir: String, storedManifest: DataFrame,
+      dropPredicate: Column, partitionCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    requireDisjointDirs(spark, dir, archiveDir, "retention")
+    val mat = Materializer.of(spark)
+    val stored = mat.eager(storedManifest
+      .select(col(partitionCol), col("n_rows"), col("content_sum"),
+        col("min_id"), col("max_id")))
+    val dropped = stored.filter(coalesce(dropPredicate, lit(false)))
+    val droppedVals = dropped.select(col(partitionCol)).collect()
+      .map(_.get(0)).toSeq
+    if (droppedVals.isEmpty)
+      return stored.withColumn("dropped", lit(false))
+        .withColumn("matched", lit(true))
+    val hConf = spark.sessionState.newHadoopConf()
+    val relPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = relPath.getFileSystem(hConf)
+    val relQ = fs.makeQualified(relPath)
+    val arcQ = fs.makeQualified(new org.apache.hadoop.fs.Path(archiveDir))
+    fs.mkdirs(arcQ)
+    def listAll(root: org.apache.hadoop.fs.Path): Set[String] = {
+      if (!fs.exists(root)) return Set.empty
+      val it = fs.listFiles(root, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().getPath.toString
+      b.result()
+    }
+    val before = listAll(relQ)
+    // Spark's own Hive path encoding, value escaping and the null
+    // partition's __HIVE_DEFAULT_PARTITION__ directory included
+    def dirNameOf(v: Any): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partitionCol,
+          Option(v).map(_.toString).getOrElse(""))
+    var moved = Set.empty[String]
+    val movedDirs = droppedVals.map { v =>
+      val name = dirNameOf(v)
+      val src = new org.apache.hadoop.fs.Path(relQ, name)
+      val dst = new org.apache.hadoop.fs.Path(arcQ, name)
+      if (!fs.exists(src)) throw new IllegalStateException(
+        s"retention: partition directory $src is missing but the stored " +
+          "manifest attests rows there — re-attest before retiring")
+      if (fs.exists(dst)) throw new IllegalStateException(
+        s"retention: archive already contains $dst — refusing to " +
+          "overwrite a previous retirement; choose a fresh archive dir")
+      moved ++= listAll(src)
+      if (!fs.rename(src, dst)) throw new IllegalStateException(
+        s"retention: rename $src -> $dst failed; release is untouched " +
+          "for this partition, halt and inspect the filesystem")
+      dst.toString
+    }
+    val after = listAll(relQ)
+    val drift = (after diff (before diff moved)) ++ ((before diff moved) diff after)
+    if (drift.nonEmpty) throw new IllegalStateException(
+      s"retention: kept partitions changed during the archive moves " +
+        s"(${drift.size} file(s), e.g. ${drift.head}) — the stored " +
+        "manifest no longer attests the release; halt and re-attest")
+    // O(dropped) verification: the archived bytes must BE the stored
+    // rows that left
+    val archivedM = manifest(
+      spark.read.option("basePath", arcQ.toString).parquet(movedDirs: _*),
+      partitionCol, idCol, textCol)
+    val zero = lit(0L).cast("decimal(38,0)")
+    def arm(m: DataFrame, tag: String): DataFrame =
+      m.select(col(partitionCol), col("n_rows").as(s"__n_$tag"),
+        col("content_sum").cast("decimal(38,0)").as(s"__s_$tag"))
+    val verdicts = fullJoinNullSafe(arm(dropped, "d"), arm(archivedM, "a"),
+        partitionCol)
+      .select(col(partitionCol),
+        coalesce(col("__n_d") === col("__n_a") &&
+            coalesce(col("__s_d"), zero) === coalesce(col("__s_a"), zero),
+          lit(false)).as("__arch_ok"))
+    stored
+      .withColumn("dropped", coalesce(dropPredicate, lit(false)))
+      .join(verdicts.withColumnRenamed(partitionCol, "__vp"),
+        col(partitionCol) <=> col("__vp"), "left")
+      .withColumn("matched",
+        when(col("dropped"), coalesce(col("__arch_ok"), lit(false)))
+          .otherwise(lit(true)))
+      .drop("__vp", "__arch_ok")
+  }
 }

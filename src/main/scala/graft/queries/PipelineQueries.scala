@@ -1161,6 +1161,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // M10: canonical-survivor selection for audio near-dup — the D11
+  // keep/drop discipline on media clusters at the near-exact tier
+  // (Hamming <= 1): ONE real-decode fingerprint pass feeds the band
+  // join AND the quality column (longest clip wins, ties to the
+  // smallest id — n_samples comes from the decoded stream, not the
+  // synthesis closed form).
+  def qMmAudioKeep(s: SparkSession, dir: String): DataFrame = {
+    val fp = Materializer.of(s)(Multimodal.audioFingerprint(
+      Multimodal.synthesizeAudioCorpus(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+      "doc_id", "media"))
+    val pairs = Dedup.bandedHammingPairs(fp, "doc_id", "afp",
+      totalBits = 60, nBands = 3, maxHamming = 1)
+    Dedup.keepCanonical(fp, "doc_id", col("n_samples"), pairs)
+      .orderBy("doc_id")
+  }
+
   // C4: per-doc 3-gram novelty vs a reference slice (doc_id % 7 == 0
   // stands in for "the training set so far"); scored docs are the rest.
   def qNovelty(s: SparkSession, dir: String): DataFrame = {
@@ -1342,6 +1359,7 @@ object PipelineQueries {
     "q_mm_neardup" -> qMmNeardup,
     "q_mm_aneardup" -> qMmAudioNearDup,
     "q_mm_aclusters" -> qMmAudioClusters,
+    "q_mm_akeep" -> qMmAudioKeep,
     "q_mm_frames" -> qMmFrames,
     "q_mm_audio" -> qMmAudio,
     "q_mm_resize" -> qMmResize,
@@ -3759,6 +3777,49 @@ object PipelineQueries {
         |  SELECT e2.v, r.m FROM edges e2 JOIN reach r ON r.v = e2.u)
         |SELECT v AS doc_id, min(m) AS cluster_id
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // M10: the M9 label chain at the near-exact tier (Hamming <= 1)
+    // + the D11 winner tail: longest clip (n) wins, ties to the
+    // smallest doc_id.
+    "q_mm_akeep" ->
+      """WITH RECURSIVE p AS (SELECT doc_id, 1 + (doc_id % 7) AS a,
+        |        doc_id % 256 AS c, 800 + (doc_id % 8) * 200 AS n
+        |      FROM documents),
+        |s AS (SELECT doc_id, CAST((i * 61) // n AS INTEGER) AS j,
+        |        (a * i + c) % 4096 - 2048 AS v
+        |      FROM (SELECT doc_id, a, c, n,
+        |              unnest(generate_series(0, n - 1)) AS i FROM p) x),
+        |e AS (SELECT doc_id, j,
+        |        CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS en
+        |      FROM s GROUP BY 1, 2),
+        |b AS (SELECT doc_id, j,
+        |        CASE WHEN lead(en) OVER (PARTITION BY doc_id ORDER BY j) > en
+        |          THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bit
+        |      FROM e),
+        |f AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS afp
+        |      FROM b WHERE j < 60 GROUP BY 1),
+        |jp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |       FROM f x JOIN f y ON x.doc_id < y.doc_id
+        |       WHERE bit_count(xor(x.afp, y.afp)) <= 1),
+        |edges AS (SELECT doc_a AS v, doc_b AS u FROM jp
+        |          UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(v, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e2.v, r.m FROM edges e2 JOIN reach r ON r.v = e2.u),
+        |lab AS (SELECT v AS doc_id, min(m) AS cluster_id
+        |        FROM reach GROUP BY v),
+        |mem AS (SELECT l.doc_id, l.cluster_id, pp.n AS q
+        |        FROM lab l JOIN p pp USING (doc_id)),
+        |r AS (SELECT doc_id, cluster_id, q,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |                           ORDER BY q DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |      FROM mem),
+        |k AS (SELECT cluster_id, doc_id AS keep_id FROM r WHERE rn = 1)
+        |SELECT r.doc_id, r.cluster_id, r.cluster_size, k.keep_id,
+        |  CAST(CASE WHEN r.doc_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_kept
+        |FROM r JOIN k USING (cluster_id) ORDER BY r.doc_id""".stripMargin,
     // T20: first-occurrence doc per bigram type -> buckets -> cumsum.
     "q_vocab_growth" ->
       """WITH tk AS (SELECT doc_id,

@@ -56,6 +56,10 @@ class PlanAuditSpec extends SparkSuite {
     // at runtime the banded frontier materializes and AQE picks the
     // strategy per round (the q_dedup_clusters/q_pagerank note below)
     "q_mm_aclusters",
+    // M10 is the same chain + D11's labels x fingerprints quality
+    // join-back and members x winners join — q_dedup_keep's class on
+    // the audio fingerprint table
+    "q_mm_akeep",
     // SemDeDup's within-cell pair self-join — both sides are the full
     // cell-assigned embedding table (corpus x corpus, shuffled on cell
     // id); candidate volume is bounded by cell sizes, not by making a
