@@ -51,10 +51,14 @@ object Contamination {
     // only train/test docs are shingled — a 'val' split (or anything
     // else) must not pay the tokenize+hash+explode pass at corpus scale
     val relevant = df.filter(col(splitCol).isin(trainVal, testVal))
-    val sets = Dedup.shingleSets(relevant, idCol, textCol, n, tokenHash)
-      .join(relevant.select((col(idCol).as("doc_id") +:
-          col(splitCol).as("__split") +: extraCols.map(col)): _*),
-        "doc_id")
+    // r17 opt: the split (and any facet columns) ride the explode as
+    // passthrough columns instead of being joined back onto the
+    // exploded shingle frame — the join-back shuffled the whole
+    // shingle frame on doc_id and, at corpus scale, dangled a
+    // data-sized doc-table broadcast in front of the planner
+    val sets = Dedup.shingleSetsWith(
+      relevant.withColumn("__split", col(splitCol)),
+      idCol, textCol, n, tokenHash, "__split" +: extraCols)
     // materialized + explicitly sized (Dedup.sizedGramSide): Spark
     // does not model explode fan-out, so the static estimate of a
     // post-explode distinct can underestimate by orders of magnitude

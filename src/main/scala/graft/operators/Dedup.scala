@@ -203,21 +203,36 @@ object Dedup {
     * production uses `c => Hashing.xx60(c) % (1 << 30)`.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int,
-      tokenHash: Column => Column = Hashing.h30): DataFrame = {
+      tokenHash: Column => Column = Hashing.h30): DataFrame =
+    shingleSetsWith(df, idCol, textCol, n, tokenHash, Seq.empty)
+
+  /** [[shingleSets]] with passthrough columns riding the explode
+    * (r17 opt): `extraCols` must exist on `df` and land verbatim on
+    * every (doc_id, sh) row. This replaces the former pattern of
+    * joining the exploded frame BACK to the doc table to re-attach
+    * doc-level columns — that join shuffled the entire shingle frame
+    * on doc_id (and at corpus scale tempts the planner into
+    * broadcasting a data-sized doc table); a projection through the
+    * explode costs neither (guide §2.4: remove shuffles outright).
+    */
+  def shingleSetsWith(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tokenHash: Column => Column,
+      extraCols: Seq[String]): DataFrame = {
     require(n <= ShingleCoef.length, s"n=$n exceeds ${ShingleCoef.length}")
     val combine = (0 until n)
       .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
       .mkString(" + ")
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    df.select(col(idCol).as("doc_id") +: extraCols.map(col) :+
+        tokens(col(textCol)).as("toks"): _*)
       .filter(size(col("toks")) >= n)
       .withColumn("th", transform(col("toks"), t => tokenHash(t)))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: extraCols.map(col) :+
         // distinct-within-doc happens on the in-row gram array
         // (array_distinct), NOT via .distinct() after the explode:
         // (doc_id, sh) is already unique across docs, so the global
         // distinct was a full shuffle buying nothing
         explode(array_distinct(expr(
-          s"transform(sequence(0, size(th) - $n), i -> $combine)"))).as("sh"))
+          s"transform(sequence(0, size(th) - $n), i -> $combine)"))).as("sh"): _*)
   }
 
   /** Per-pair shared-shingle counts via the inverted index: shuffle on
@@ -405,11 +420,15 @@ object Dedup {
       val largeMins = gamma.groupBy("u")
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // NO intermediate .distinct() here (r17 opt): the multiset is
+      // harmless — smallMins' min() is duplicate-insensitive and the
+      // round's closing distinct() restores set semantics — while the
+      // dedup cost was a full exchange + two hash aggregates over the
+      // widest frame of the round, every round (guide §2.4).
       val afterLarge = gamma.join(largeMins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: centers see only their smaller neighbors (the
       // orientation), whose minimum m is the closed-neighborhood min;
       // re-point every neighbor AND the center at m
@@ -939,10 +958,14 @@ object Dedup {
     val grams = mat(grams0)
     // both eval-side tables materialized AND explicitly sized — the
     // same rogue-broadcast guard as [[scrubContamination]]'s evalSh
-    val evalSuiteSh = mat(shingleSets(eval, idCol, textCol, n, tokenHash)
-      .join(eval.select(col(idCol).as("doc_id"),
-        col(suiteCol).as("suite")), "doc_id")
-      .select(col("suite"), col("sh")).distinct())
+    // r17 opt: the suite facet rides the explode as a passthrough
+    // column ([[shingleSetsWith]]) — the former join-back shuffled the
+    // exploded eval-gram frame on doc_id for a column the projection
+    // could carry for free
+    val evalSuiteSh = mat(shingleSetsWith(
+        eval.withColumn("__suite", col(suiteCol)),
+        idCol, textCol, n, tokenHash, Seq("__suite"))
+      .select(col("__suite").as("suite"), col("sh")).distinct())
     val evalSuiteShSized = sizedGramSide(evalSuiteSh)
     val evalSh = sizedGramSide(mat(evalSuiteSh.select("sh").distinct()))
     val covered = grams

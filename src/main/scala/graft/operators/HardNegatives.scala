@@ -90,4 +90,52 @@ object HardNegatives {
         col("__lbl").as("neighbor_label"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** [[mine]] at several `nprobe` settings in ONE physical pipeline
+    * (the G2 sweep's hot path, r17 opt). The per-arm form re-collected
+    * the centroids, re-assigned every corpus vector to its cell, and
+    * paid a separate cell join + rank-window tower PER ARM; here the
+    * centroid collect runs once, the cell-assigned corpus is planned
+    * once, and all arms share a single cell-keyed join plus one
+    * (nprobe, query)-keyed window. Arm np's slice is row-identical to
+    * `mine(..., nprobe = np)` because [[IvfIndex.probeCells]] returns
+    * cells sorted by (distance, cell id) — the first np entries of the
+    * max-probe array ARE the np-probe set.
+    */
+  def mineSweep(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, nlist: Int,
+      probes: Seq[Int]): DataFrame = {
+    require(k > 0 && nlist > 0 && probes.nonEmpty && probes.forall(_ > 0),
+      s"k=$k nlist=$nlist probes=$probes must all be positive")
+    val n = Similarity.withNorm(corpus, idCol, vecCol, Seq(labelCol))
+    val centroids = n.orderBy(col("vec_id")).limit(nlist)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cells = IvfIndex.withCell(n, centroids)
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm2"),
+        col(labelCol).as("__lbl"))
+    val maxP = math.min(probes.max, centroids.length)
+    val q = Similarity.withNorm(queries, idCol, vecCol, Seq(labelCol))
+      .select(col("vec_id").as("query_id"), col(labelCol).as("__qlbl"),
+        col("v").as("qv"), col("nrm2").as("qn"))
+      .select(col("query_id"), col("__qlbl"), col("qv"), col("qn"),
+        posexplode(IvfIndex.probeCells(col("qv"), col("qn"), centroids, maxP))
+          .as(Seq("__pos", "cell")))
+      .withColumn("nprobe",
+        explode(array(probes.map(p => lit(p.toLong)): _*)))
+      .filter(col("__pos") < least(col("nprobe"), lit(centroids.length.toLong)))
+    val cos = Similarity.cosine(
+      Similarity.dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(cells, Seq("cell"))
+      .filter(col("__qlbl") =!= col("__lbl"))
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("nprobe"), col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"),
+        col("__lbl").as("neighbor_label"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

@@ -180,4 +180,40 @@ object IvfIndex {
       .select(col("query_id"), col("rnk"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** [[search]] at several `nprobe` settings in ONE physical pipeline
+    * (the S6 sweep's hot path, r17 opt): every arm shares a single
+    * cell-keyed join plus one (nprobe, query)-keyed rank window
+    * instead of a separate join + window tower per arm. Arm np's
+    * slice is row-identical to `search(..., nprobe = np)` because
+    * [[probeCells]] returns cells sorted by (distance, cell id) — the
+    * first np entries of the max-probe array ARE the np-probe set.
+    */
+  def searchSweep(index: Index, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, probes: Seq[Int]): DataFrame = {
+    require(k > 0 && probes.nonEmpty && probes.forall(_ > 0),
+      s"k=$k probes=$probes must all be positive")
+    val len = index.centroids.length
+    val maxP = math.min(probes.max, len)
+    val q = Similarity.withNorm(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm2").as("qn"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(probeCells(col("qv"), col("qn"), index.centroids, maxP))
+          .as(Seq("__pos", "cell")))
+      .withColumn("nprobe",
+        explode(array(probes.map(p => lit(p.toLong)): _*)))
+      .filter(col("__pos") < least(col("nprobe"), lit(len.toLong)))
+    val cos = Similarity.cosine(
+      Similarity.dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(index.cells, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("nprobe"), col("query_id"), col("rnk"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
 }

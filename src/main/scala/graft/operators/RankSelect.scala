@@ -159,9 +159,13 @@ object RankSelect {
     val v = col(valueCol)
     val base = df.select(g, v).filter(v.isNotNull)
 
-    // (1) per-group range + population: one row per group, broadcast
+    // (1) per-group range: one row per group, broadcast. The group
+    // POPULATION no longer rides this table — it falls out of the
+    // histogram window below for free, which drops the two extra
+    // broadcast joins (targets' __n lookup and the countCol join) the
+    // r16 form paid per quantile call (guide §2.4: fewer exchanges).
     val stats = base.groupBy(g).agg(
-      min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
+      min(v).as("__lo"), max(v).as("__hi"))
 
     // (2) order-preserving range bucket: floor((v-lo)/(hi-lo)*buckets)
     // clamped to [0, buckets-1]. Monotonic in v, so equal values share
@@ -174,23 +178,31 @@ object RankSelect {
             .cast("int")))
       .select(g, v, col("__b"))
 
-    // (3) per-(group, bucket) histogram + exclusive running offsets —
-    // the only unkeyed-by-bucket window, over <= `buckets` rows/group
+    // (3) per-(group, bucket) histogram; ONE window pass (same
+    // partition + order spec -> one exchange, one WindowExec) derives
+    // BOTH the exclusive running offsets and the group population __n
+    // (= Σ __c = the non-null count the old stats table carried)
     val hist = keyed.groupBy(g, col("__b")).agg(count(lit(1)).as("__c"))
-    val off = hist.withColumn("__off",
-      coalesce(sum(col("__c")).over(Window.partitionBy(g).orderBy(col("__b"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wSpec = Window.partitionBy(g).orderBy(col("__b"))
+    val off = hist
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          wSpec.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(
+        wSpec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
 
-    // (4) locate each target rank's bucket arithmetically
+    // (4) locate each target rank's bucket arithmetically — __n rides
+    // the histogram rows, so no join back to stats is needed
     val qArr = array(qs.map { case (name, num, den) =>
       struct(lit(name).as("name"),
         expr(s"greatest(1L, ($num * __n + $den - 1) DIV $den)").as("k"))
     }: _*)
-    val targets = off.join(bcast(stats.select(g, col("__n"))), groupCol)
-      .select(g, col("__b"), col("__off"), col("__c"), explode(qArr).as("__q"))
+    val targets = off
+      .select(g, col("__b"), col("__off"), col("__c"), col("__n"),
+        explode(qArr).as("__q"))
       .filter(col("__off") < col("__q.k") && col("__q.k") <= col("__off") + col("__c"))
       .select(g, col("__b"), col("__q.name").as("__name"),
-        (col("__q.k") - col("__off")).as("__r"))
+        (col("__q.k") - col("__off")).as("__r"), col("__n"))
 
     // (5) rank ONLY the target buckets' rows; local rank + offset is
     // the global rank, and the window is (group, bucket, name)-keyed
@@ -201,11 +213,7 @@ object RankSelect {
 
     val aggs: Seq[Column] = qs.map { case (name, _, _) =>
       min(when(col("__name") === name, v)).as(name)
-    }
-    val res = picked.groupBy(g).agg(aggs.head, aggs.tail: _*)
-    // optional population column (the non-null count backing the
-    // ranks) — joined from the already-aggregated stats, group-sized
-    countCol.fold(res)(c =>
-      res.join(bcast(stats.select(g, col("__n").as(c))), groupCol))
+    } ++ countCol.map(c => max(col("__n")).as(c))
+    picked.groupBy(g).agg(aggs.head, aggs.tail: _*)
   }
 }

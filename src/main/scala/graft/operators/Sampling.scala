@@ -29,14 +29,24 @@ object Sampling {
     * percentages out of 100; the remainder is test.
     */
   def hashSplit(df: DataFrame, idCol: String, trainPct: Int, valPct: Int,
-      salt: String = "split"): DataFrame = {
+      salt: String = "split"): DataFrame =
+    df.withColumn("split", hashSplitCol(col(idCol), trainPct, valPct, salt))
+
+  /** The split label as a ROW-LOCAL expression of the id (r17 opt):
+    * the split is a pure hash of the id, so a consumer that already
+    * holds the id never needs to join the split table back — apply
+    * the expression in place (q_split_leakage dropped two id-keyed
+    * joins this way). Identical label to [[hashSplit]] by
+    * construction.
+    */
+  def hashSplitCol(id: Column, trainPct: Int, valPct: Int,
+      salt: String = "split"): Column = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split: train=$trainPct val=$valPct")
-    val b = bucketOf(col(idCol), salt, 100)
-    df.withColumn("split",
-      when(b < trainPct, "train")
-        .when(b < trainPct + valPct, "val")
-        .otherwise("test"))
+    val b = bucketOf(id, salt, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
   }
 
   /** Null-safe key rendering: a null stratum/source is a real category

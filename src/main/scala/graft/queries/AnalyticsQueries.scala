@@ -751,11 +751,13 @@ object AnalyticsQueries {
 
   // A16: hierarchical rollup (subtotals + grand total in one pass).
   def qRollup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    // r17 opt: expand over the 12-row partial table, not the corpus —
+    // see flagStatusPartials (exact regrouping, schema unchanged:
+    // this query never emitted sum_price)
+    flagStatusPartials(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__qty")).cast("long").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
@@ -779,31 +781,45 @@ object AnalyticsQueries {
 
   // A25: cube — the full grouping-set lattice in one pass (rollup's
   // superset: per-flag, per-status, both, and the grand total).
-  def qCube(s: SparkSession, dir: String): DataFrame =
+  /** r17 opt (guide §2.3, aggregate before you shuffle — applied to
+    * the EXPAND): cube/rollup/grouping-sets over (flag, status) used
+    * to expand the whole fact table (4x/3x the scan rows through the
+    * partial aggregate, with the decimal money arithmetic multiplied
+    * with them). Aggregating per FULL key first is an exact
+    * regrouping: counts add, l_quantity sums are integral doubles
+    * (exactly representable, associative), and decimal sums are
+    * associative — so every grouping-set row is bit-identical while
+    * the expand runs over the ~12-row partial table instead of the
+    * corpus. The oracles are unchanged.
+    */
+  private def flagStatusPartials(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("l_quantity")).cast("long").as("sum_qty"),
-        moneySum(money(col("l_extendedprice"))).as("sum_price"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("l_quantity")).as("__qty"),
+        sum(money(col("l_extendedprice"))).as("__price"))
+
+  private def flagStatusReAgg(
+      g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    g.agg(sum(col("__n")).as("n"),
+        sum(col("__qty")).cast("long").as("sum_qty"),
+        round(sum(col("__price")), 2).cast("double").as("sum_price"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    flagStatusReAgg(flagStatusPartials(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus")))
 
   // A28: explicit GROUPING SETS — the general form behind
   // rollup/cube: an arbitrary set of grouping combinations computed in
   // one pass over the fact table (here: by flag, by status, and the
   // grand total — NOT the full cube).
   def qGroupingSets(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    flagStatusReAgg(flagStatusPartials(s, dir)
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
-        col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("l_quantity")).cast("long").as("sum_qty"),
-        moneySum(money(col("l_extendedprice"))).as("sum_price"))
-      .orderBy(col("l_returnflag").asc_nulls_first,
-        col("l_linestatus").asc_nulls_first)
+        col("l_returnflag"), col("l_linestatus")))
 
   // A17: pivot — event types to columns, one shuffle.
   def qPivot(s: SparkSession, dir: String): DataFrame =
