@@ -397,17 +397,28 @@ object Dedup {
     * (pairs are generated from the same corpus).
     */
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, pairsCanonical: Boolean = false): DataFrame = {
     requireIntegralId(df, idCol)
     val mat = Materializer.of(df.sparkSession)
+    val dbg = sys.env.contains("GRAFT_CLUSTERS_DEBUG")
     // canonical orientation u > v (each edge points at its smaller
-    // end); self-loops carry no connectivity and drop here
-    var edges = mat.eager(pairs
-      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
-        least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
-    var prevCount = edges.count()
+    // end); self-loops carry no connectivity and drop here.
+    // `pairsCanonical = true` (r17 opt) asserts the input is already a
+    // set of UNIQUE unordered pairs with doc_a < doc_b — true for
+    // every pair generator in this repo (the band joins and the
+    // Jaccard verify both end in doc_a < doc_b + distinct-by-
+    // construction) — and skips the defensive re-distinct, a full
+    // exchange + dedup of the pair set.
+    val oriented =
+      if (pairsCanonical)
+        pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))
+      else pairs
+        .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    // count rides the materialization job (Materializer.eagerCounted)
+    var (edges, prevCount) = Materializer.eagerCounted(mat, oriented)
     var converged = prevCount == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -433,18 +444,20 @@ object Dedup {
       // orientation), whose minimum m is the closed-neighborhood min;
       // re-point every neighbor AND the center at m
       val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
-      val next = mat.eager(afterLarge.join(smallMins, "u")
-        .select(col("v").as("n"), col("m"))
-        .union(smallMins.select(col("u").as("n"), col("m")))
-        .filter(col("n") =!= col("m"))
-        .select(col("n").as("u"), col("m").as("v"))
-        .distinct())
-      val nextCount = next.count()
+      val (next, nextCount) = Materializer.eagerCounted(mat,
+        afterLarge.join(smallMins, "u")
+          .select(col("v").as("n"), col("m"))
+          .union(smallMins.select(col("u").as("n"), col("m")))
+          .filter(col("n") =!= col("m"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .distinct())
       // published termination criterion: the iterated edge set reaches
       // a fixpoint (disjoint stars). Both sides are distinct sets, so
       // equal counts + empty difference is exact set equality; the
       // count gate makes the except() run only on candidate rounds.
       converged = nextCount == prevCount && next.except(edges).isEmpty
+      if (dbg) System.err.println(
+        s"[clusters] round=${iter + 1} edges=$nextCount converged=$converged")
       edges = next
       prevCount = nextCount
       iter += 1
@@ -558,7 +571,8 @@ object Dedup {
     * scores to all-ties, making the id the de-facto keep rule.
     */
   def keepCanonical(df: DataFrame, idCol: String, qualityCol: Column,
-      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 20,
+      pairsCanonical: Boolean = false): DataFrame = {
     val qType = df.select(qualityCol.as("__q")).schema.head.dataType
     require(Seq(org.apache.spark.sql.types.LongType,
         org.apache.spark.sql.types.IntegerType,
@@ -567,10 +581,14 @@ object Dedup {
       s"keepCanonical requires an integral quality column, got $qType" +
         " — scale fractional scores to integer micros first (a" +
         " silent cast would collapse a [0,1] score to all-ties)")
-    val labels = clusters(df, idCol, pairs, maxIters)
-    val members = labels.join(
+    val labels = clusters(df, idCol, pairs, maxIters, pairsCanonical)
+    // r17 opt: members feeds BOTH the winner aggregation and the final
+    // audit join — unmaterialized, each consumer re-ran the label join
+    // (a corpus scan + edge join). One doc-sized checkpoint removes
+    // the duplicate pass.
+    val members = Materializer.of(df.sparkSession)(labels.join(
       df.select(col(idCol).as("doc_id"), qualityCol.cast("long").as("__q")),
-      "doc_id")
+      "doc_id"))
     val winners = members.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"),
         expr("max_by(doc_id, struct(__q, ~doc_id))").as("keep_id"))
@@ -1279,8 +1297,11 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
-      .distinct()
+      // r17 opt: row-local Hamming filter BEFORE the pair distinct —
+      // the exchange dedups only true matches, not the whole band
+      // fanout (see bandedHammingPairs)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** D4b: SimHash recall gate — the D10 measurement applied to the
@@ -1382,11 +1403,18 @@ object Dedup {
     // rows (same device as simhashNearDup); AutoBucket decides off
     // the materialized frame
     val bands = cappedBands(all, Seq("band", "bv"), maxBucket)
+    // r17 opt: the Hamming filter runs BEFORE the pair distinct. The
+    // filter is row-local (one bit_count), while the distinct is the
+    // band join's only full exchange — ordering it after the filter
+    // dedups only true matches (≤ nBands copies each) instead of the
+    // entire candidate fanout (Σ bucket², measured 3.1M candidate
+    // rows vs ~5k survivors on the sf0.1 audio corpus). Same result
+    // set: distinct∘filter ≡ filter∘distinct for a row-local predicate.
     bands.as("x").join(bands.as("y"), Seq("band", "bv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.h ^ y.h)").cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

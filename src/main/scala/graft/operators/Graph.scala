@@ -81,6 +81,20 @@ object Graph {
     val base = (dampDen - dampNum) * scale / dampDen
     var ranks = deg.select(col("node"), col("deg"),
       lit(scale).as("rank_fp"))
+    // r17 opt: the early-exit candidate gate is an order-independent
+    // rank-multiset fingerprint (bit_xor of xxhash64(node, rank_fp))
+    // that RIDES each round's materialization as an observed metric —
+    // zero extra jobs on non-converged rounds, where the previous form
+    // paid a node-keyed join + isEmpty scan per round. Fingerprint
+    // equality only NOMINATES a round; the exact join still verifies
+    // before any round is skipped, so a (astronomically unlikely) xor
+    // collision costs one wasted verify join, never a wrong result.
+    val fpExpr = expr("bit_xor(xxhash64(node, rank_fp))")
+    def fpOf(df: DataFrame): Long = {
+      val r = df.agg(fpExpr).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevFp: Option[Long] = if (earlyExit) Some(fpOf(ranks)) else None
     var executed = 0
     var converged = false
     for (i <- 1 to iters if !converged) {
@@ -105,23 +119,38 @@ object Graph {
               s"Graph.pageRank: rank overflow at iter $i — lower `scale`")))
             .otherwise(lit(base) + damped)
             .as("rank_fp"))
-      val nextM = mat.eager(next)
       // Exact integer early-exit: the update is a DETERMINISTIC map,
       // so ranks reproducing themselves bit-for-bit is a permanent
-      // fixpoint — every remaining round would be a no-op. The check
-      // is one node-keyed equi-join + take(1) over two frames the
-      // round already materialized (cheap next to the edge join), and
-      // at deployment scale it saves WHOLE rounds: float PageRank
-      // needs an epsilon argument here; the fixed-point ladder makes
-      // "unchanged" well-defined. Result-identical with the check off.
-      // the last round's check could only skip work that no longer
-      // exists — never pay it (ProbePagerank: ~0.12 s/round locally)
-      if (earlyExit && i < iters) {
+      // fixpoint — every remaining round would be a no-op. Candidate
+      // detection is the free observed fingerprint (see fpExpr above);
+      // only a fingerprint-equal round pays the exact node-keyed
+      // verify join. Float PageRank needs an epsilon argument here;
+      // the fixed-point ladder makes "unchanged" well-defined.
+      // Result-identical with the check off. The last round's check
+      // could only skip work that no longer exists — never pay it.
+      val (nextM, thisFp) =
+        if (earlyExit && i < iters) {
+          val obs = org.apache.spark.sql.Observation()
+          val cp = mat.eager(next.observe(obs, fpExpr.as("__fp")))
+          val f = try {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.DurationInt
+            val v = Await.result(
+              Future(obs.get)(scala.concurrent.ExecutionContext.global),
+              30.seconds)("__fp")
+            Some(if (v == null) 0L else v.asInstanceOf[Long])
+          } catch {
+            case _: java.util.concurrent.TimeoutException => Some(fpOf(cp))
+          }
+          (cp, f)
+        } else (mat.eager(next), None)
+      if (earlyExit && i < iters && thisFp == prevFp) {
         converged = nextM.as("n")
           .join(ranks.select(col("node"), col("rank_fp").as("__prev")), "node")
           .filter(col("rank_fp") =!= col("__prev"))
           .isEmpty
       }
+      prevFp = thisFp
       ranks = nextM
       executed = i
     }

@@ -100,6 +100,29 @@ object Materializer {
     def eager(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
   }
 
+  /** Eager materialization + row count in ONE action (r17 opt): the
+    * count rides the materializing job as an observed metric
+    * (CollectMetrics), so iterative fixpoint loops stop paying a
+    * separate count() job (plus its scheduling gap) every round.
+    * Exactness guard: if the strategy's materializing action does not
+    * surface the metric (no SQL-execution event within the bound),
+    * fall back to a plain count() over the already-materialized frame
+    * — same value either way, the observation is purely a job saver.
+    */
+  def eagerCounted(mat: Materializer, df: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = org.apache.spark.sql.Observation()
+    val cp = mat.eager(df.observe(obs, count(lit(1)).as("__rows")))
+    val n = try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.DurationInt
+      Await.result(
+        Future(obs.get)(scala.concurrent.ExecutionContext.global),
+        30.seconds)("__rows").asInstanceOf[Long]
+    } catch { case _: java.util.concurrent.TimeoutException => cp.count() }
+    (cp, n)
+  }
+
   /** The session's configured strategy (`graft.materializer`). */
   def of(spark: SparkSession): Materializer =
     spark.conf.get(ConfKey, "local") match {

@@ -218,8 +218,57 @@ object Multimodal {
   def sampleAt(id: Long, i: Int): Int =
     (slopeOf(id) * i + offsetOf(id)) % 4096 - 2048
 
-  /** A real mono 16-bit PCM WAV of the deterministic ramp. */
+  /** A real mono 16-bit PCM WAV of the deterministic ramp.
+    *
+    * r17 opt: the bytes are assembled directly (canonical 44-byte
+    * RIFF/WAVE header + PCM data) instead of through
+    * `javax.sound.sampled.AudioSystem.write` — the per-row SPI writer
+    * was the synthesis half of the fingerprint stage's measured
+    * bottleneck. `WavSynthesisBytesSpec` pins the output BYTE-IDENTICAL
+    * to the SPI writer ([[synthesizeWavRef]]) across every (rate,
+    * length) residue class, so every downstream decode, size_bytes
+    * field, and oracle is untouched.
+    */
   def synthesizeWav(id: Long): Array[Byte] = {
+    val n = samplesOf(id)
+    val rate = rateOf(id)
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putTag(o: Int, s: String): Unit = {
+      out(o) = s.charAt(0).toByte; out(o + 1) = s.charAt(1).toByte
+      out(o + 2) = s.charAt(2).toByte; out(o + 3) = s.charAt(3).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); put32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16)
+    put16(20, 1) // PCM
+    put16(22, 1) // mono
+    put32(24, rate)
+    put32(28, rate * 2) // byte rate
+    put16(32, 2) // block align
+    put16(34, 16) // bits per sample
+    putTag(36, "data"); put32(40, dataLen)
+    var i = 0
+    while (i < n) {
+      val v = sampleAt(id, i)
+      out(44 + 2 * i) = (v & 0xff).toByte
+      out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The SPI-writer reference [[synthesizeWav]] must match byte for
+    * byte (spec arm only — see WavSynthesisBytesSpec).
+    */
+  private[operators] def synthesizeWavRef(id: Long): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val n = samplesOf(id)
     val pcm = new Array[Byte](n * 2)
@@ -430,7 +479,96 @@ object Multimodal {
     * fingerprint positive in every engine's signed 64-bit integer;
     * strict `>` makes equal energies a 0 bit with no tie hazard.
     */
-  def audioFingerprintOf(id: Long, bytes: Array[Byte]): AudioFingerprint = {
+  def audioFingerprintOf(id: Long, bytes: Array[Byte]): AudioFingerprint =
+    audioFingerprintFast(id, bytes)
+      .getOrElse(audioFingerprintGeneral(id, bytes))
+
+  /** The 60-bit energy-delta fold shared by both fingerprint paths:
+    * 61 equal sample-index bands of Σ sample², bit j set iff band j+1
+    * carries more energy than band j.
+    */
+  private def energyDeltaBits(energy: Array[Long]): Long = {
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      if (energy(j + 1) > energy(j)) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  /** r17 opt — the fingerprint counterpart of [[decodePcmWavFast]]:
+    * the per-row `AudioSystem.getAudioInputStream` SPI walk measured
+    * as the whole fingerprint stage's bottleneck (2.8 s of a 32-task
+    * decode stage at sf0.1; the PCM math itself is microseconds per
+    * clip). Plain-PCM 16-bit WAVs take this in-array path — same
+    * chunk-walk guards as the meta fast path, same sample arithmetic
+    * as [[audioFingerprintGeneral]] (frame count from the declared
+    * block align, samples read at byte offset 2·i into the data
+    * chunk) — anything else falls back to the SPI decode.
+    * `AudioFingerprintFastPathSpec` pins fast == general on the
+    * synthesized corpus and on crafted multi-channel/truncated
+    * payloads.
+    */
+  private[operators] def audioFingerprintFast(id: Long,
+      bytes: Array[Byte]): Option[AudioFingerprint] = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtSeen = false
+    var channels = 0
+    var blockAlign = 0
+    while (off + 8 <= bytes.length) {
+      val chunk = tag(off)
+      val size = u32(off + 4).toInt
+      if (size < 0) return None
+      if (chunk == "fmt ") {
+        if (size < 16 || off + 8 + 16 > bytes.length) return None
+        if (u16(off + 8) != 1) return None // not plain PCM
+        channels = u16(off + 10)
+        blockAlign = u16(off + 20)
+        if (u16(off + 22) != 16) return None // 16-bit samples only
+        // the general path's frameSize comes from the SPI format,
+        // which derives it from the declared block align — a payload
+        // whose block align disagrees with channels*2 goes to the SPI
+        // path so the two paths can never diverge on it
+        if (channels < 1 || blockAlign != channels * 2) return None
+        fmtSeen = true
+      } else if (chunk == "data") {
+        if (!fmtSeen) return None
+        val start = off + 8
+        // truncated payload (declared data size past EOF): the SPI
+        // stream's partial-frame behavior is its own — don't mirror
+        // it, route to the general path
+        if (start.toLong + size > bytes.length.toLong) return None
+        val end = start + size
+        val n = (end - start) / blockAlign
+        val energy = new Array[Long](61)
+        var i = 0
+        while (i < n) {
+          val p = start + 2 * i
+          val v = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toLong
+          energy(((i.toLong * 61L) / n).toInt) += v * v
+          i += 1
+        }
+        return Some(AudioFingerprint(id, n.toLong, energyDeltaBits(energy)))
+      }
+      val next = off.toLong + 8L + size.toLong + (size & 1)
+      if (next > bytes.length.toLong) return None
+      off = next.toInt
+    }
+    None
+  }
+
+  /** SPI fingerprint decode — the reference arithmetic the fast path
+    * must match (and the route for any non-plain-PCM container).
+    */
+  private[operators] def audioFingerprintGeneral(id: Long,
+      bytes: Array[Byte]): AudioFingerprint = {
     import javax.sound.sampled.AudioSystem
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
@@ -445,13 +583,7 @@ object Multimodal {
         energy(((i.toLong * 61L) / n).toInt) += v * v
         i += 1
       }
-      var fp = 0L
-      var j = 0
-      while (j < 60) {
-        if (energy(j + 1) > energy(j)) fp |= 1L << j
-        j += 1
-      }
-      AudioFingerprint(id, n.toLong, fp)
+      AudioFingerprint(id, n.toLong, energyDeltaBits(energy))
     } finally in.close()
   }
 

@@ -116,7 +116,9 @@ object PipelineQueries {
     val corpus = dupCorpus(s, dir)
     val pairs = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 1, 2, tokenHash)
       .select("doc_a", "doc_b")
-    Dedup.clusters(corpus, "doc_id", pairs).orderBy("doc_id")
+    // pairsCanonical: minhashLsh emits unique doc_a < doc_b pairs
+    Dedup.clusters(corpus, "doc_id", pairs, pairsCanonical = true)
+      .orderBy("doc_id")
   }
 
   // D11: canonical-survivor selection — D6's clusters resolved to a
@@ -127,7 +129,8 @@ object PipelineQueries {
     val corpus = dupCorpus(s, dir)
     val pairs = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 1, 2, tokenHash)
       .select("doc_a", "doc_b")
-    Dedup.keepCanonical(corpus, "doc_id", length(col("text")), pairs)
+    Dedup.keepCanonical(corpus, "doc_id", length(col("text")), pairs,
+        pairsCanonical = true)
       .orderBy("doc_id")
   }
 
@@ -1182,7 +1185,8 @@ object PipelineQueries {
     Dedup.clusters(docs, "doc_id",
       Multimodal.audioNearDup(
         Multimodal.synthesizeAudioCorpus(docs, "doc_id"),
-        "doc_id", "media", maxHamming = 2, nBands = 3))
+        "doc_id", "media", maxHamming = 2, nBands = 3),
+      pairsCanonical = true)
       .orderBy("doc_id")
   }
 
@@ -1199,7 +1203,8 @@ object PipelineQueries {
       "doc_id", "media"))
     val pairs = Dedup.bandedHammingPairs(fp, "doc_id", "afp",
       totalBits = 60, nBands = 3, maxHamming = 1)
-    Dedup.keepCanonical(fp, "doc_id", col("n_samples"), pairs)
+    Dedup.keepCanonical(fp, "doc_id", col("n_samples"), pairs,
+        pairsCanonical = true)
       .orderBy("doc_id")
   }
 
