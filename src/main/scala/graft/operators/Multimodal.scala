@@ -2,7 +2,8 @@ package graft.operators
 
 import java.awt.image.{BufferedImage, IndexColorModel}
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.imageio.{IIOImage, ImageIO}
+import javax.imageio.{IIOImage, ImageIO, ImageReader, ImageWriter}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -107,6 +108,72 @@ object Multimodal {
   // in memory. (JVM-wide flag; executors touch it once per JVM.)
   private lazy val memoryCachedIo: Unit = ImageIO.setUseCache(false)
 
+  // ---- thread-local codec reuse (r17 opt) --------------------------
+  // Every per-row `ImageIO.write` / `ImageIO.getImageReaders` call
+  // walks the SYNCHRONIZED IIORegistry; with 32 decode tasks the
+  // registry lock serializes the codec stages (measured: the image
+  // synthesize+decode checkpoint ran seconds of wall for microseconds
+  // of per-payload codec math). One writer/reader per (thread, format)
+  // removes the per-row registry walk and the lock; setInput/setOutput
+  // fully reset these stateless JDK codecs between payloads
+  // (CodecReuseSpec pins byte/raster equality against fresh-instance
+  // output, including interleaved formats and repeated reuse).
+  private val pngWriterTl: ThreadLocal[ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      ImageIO.getImageWritersByFormatName("png").next())
+  private val gifWriterTl: ThreadLocal[ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      ImageIO.getImageWritersByFormatName("gif").next())
+  private val pngReaderTl: ThreadLocal[ImageReader] =
+    ThreadLocal.withInitial(() =>
+      ImageIO.getImageReadersByFormatName("png").next())
+  private val gifReaderTl: ThreadLocal[ImageReader] =
+    ThreadLocal.withInitial(() =>
+      ImageIO.getImageReadersByFormatName("gif").next())
+
+  /** Run `f` with a reader for `bytes`: pooled PNG/GIF reader via a
+    * magic sniff (the corpus' two containers), registry walk for
+    * anything else — identical decode either way, the pool only skips
+    * the per-row registry lock.
+    */
+  private def withReader[A](id: Long, bytes: Array[Byte])(
+      f: ImageReader => A): A = {
+    memoryCachedIo
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    val (reader, pooled) =
+      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'P'.toByte) (pngReaderTl.get(), true)
+      else if (bytes.length >= 3 && bytes(0) == 'G'.toByte &&
+          bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte)
+        (gifReaderTl.get(), true)
+      else {
+        val rs = ImageIO.getImageReaders(iis)
+        require(rs.hasNext, s"no ImageIO reader for payload of doc $id")
+        (rs.next(), false)
+      }
+    try {
+      reader.setInput(iis, false, true)
+      f(reader)
+    } finally {
+      if (pooled) reader.setInput(null) else reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Encode through the pooled PNG writer (byte-identical to
+    * `ImageIO.write(img, "png", out)` — CodecReuseSpec).
+    */
+  private def pngBytes(img: BufferedImage): Array[Byte] = {
+    memoryCachedIo
+    val out = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(out)
+    val writer = pngWriterTl.get()
+    writer.setOutput(ios)
+    try writer.write(null, new IIOImage(img, null, null), null)
+    finally { writer.setOutput(null); ios.close() }
+    out.toByteArray
+  }
+
   // ---- deterministic synthesis parameters (shared with the oracle) --
   // Every decoded statistic below is a closed-form integer function of
   // the doc id: gray(y, frame) is constant along x, so the oracle can
@@ -147,8 +214,13 @@ object Multimodal {
     img
   }
 
-  /** A real single-frame PNG of the deterministic pattern. */
-  def synthesizePng(id: Long): Array[Byte] = {
+  /** A real single-frame PNG of the deterministic pattern (pooled
+    * writer — byte-identical to `ImageIO.write`, see [[pngBytes]]).
+    */
+  def synthesizePng(id: Long): Array[Byte] = pngBytes(frameImage(id, 0))
+
+  /** Fresh-instance reference for CodecReuseSpec. */
+  private[operators] def synthesizePngRef(id: Long): Array[Byte] = {
     memoryCachedIo
     val out = new ByteArrayOutputStream()
     ImageIO.write(frameImage(id, 0), "png", out)
@@ -160,6 +232,25 @@ object Multimodal {
     * decodes.
     */
   def synthesizeGif(id: Long): Array[Byte] = {
+    memoryCachedIo
+    val out = new ByteArrayOutputStream()
+    val writer = gifWriterTl.get()
+    val ios = new MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    try {
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until framesOf(id))
+        writer.writeToSequence(new IIOImage(frameImage(id, f), null, null), null)
+      writer.endWriteSequence()
+    } finally {
+      writer.setOutput(null)
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Fresh-instance reference for CodecReuseSpec. */
+  private[operators] def synthesizeGifRef(id: Long): Array[Byte] = {
     memoryCachedIo
     val out = new ByteArrayOutputStream()
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
@@ -685,14 +776,8 @@ object Multimodal {
     * on undecodable payloads — corrupt-input policy belongs to the
     * caller (filter or quarantine), not silently fabricated metadata.
     */
-  def decodeImage(id: Long, bytes: Array[Byte]): MediaMeta = {
-    memoryCachedIo
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-    val readers = ImageIO.getImageReaders(iis)
-    require(readers.hasNext, s"no ImageIO reader for payload of doc $id")
-    val reader = readers.next()
-    try {
-      reader.setInput(iis, false, true)
+  def decodeImage(id: Long, bytes: Array[Byte]): MediaMeta =
+    withReader(id, bytes) { reader =>
       val n = reader.getNumImages(true)
       val first = reader.read(0)
       MediaMeta(
@@ -703,11 +788,7 @@ object Multimodal {
         height = first.getHeight,
         n_frames = n,
         mean_px = frameSum(first).toDouble / (first.getWidth.toLong * first.getHeight))
-    } finally {
-      reader.dispose()
-      iis.close()
     }
-  }
 
   /** STUB decoder for payloads the JDK cannot decode (video/audio —
     * no H.264/AAC codec ships with the JVM and this container has no
@@ -766,14 +847,8 @@ object Multimodal {
     * resampling is encoder-defined (the documented reason q_mm_resize
     * gates dims, not pixels), while raster reads round-trip exactly.
     */
-  def perceptualHashOf(id: Long, bytes: Array[Byte]): PerceptualHash = {
-    memoryCachedIo
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-    val readers = ImageIO.getImageReaders(iis)
-    require(readers.hasNext, s"no ImageIO reader for payload of doc $id")
-    val reader = readers.next()
-    try {
-      reader.setInput(iis, false, true)
+  def perceptualHashOf(id: Long, bytes: Array[Byte]): PerceptualHash =
+    withReader(id, bytes) { reader =>
       val img = reader.read(0)
       val (w, h) = (img.getWidth, img.getHeight)
       // gray samples with palette resolution (same contract as frameSum)
@@ -807,11 +882,7 @@ object Multimodal {
         j += 1
       }
       PerceptualHash(id, w, h, dh, hist(0), hist(1), hist(2), hist(3))
-    } finally {
-      reader.dispose()
-      iis.close()
     }
-  }
 
   /** [[perceptualHashOf]] over an (id, media) DataFrame — the same
     * per-partition batched decode contract as [[extractMeta]].
@@ -864,13 +935,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(DecodeBatchSize).flatMap { batch =>
           batch.iterator.flatMap { case (id, bytes) =>
-            memoryCachedIo
-            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-            val readers = ImageIO.getImageReaders(iis)
-            require(readers.hasNext, s"no ImageIO reader for payload of doc $id")
-            val reader = readers.next()
-            try {
-              reader.setInput(iis, false, true)
+            withReader(id, bytes) { reader =>
               (0 until reader.getNumImages(true)).map { f =>
                 val img = reader.read(f)
                 val hex = (0 until math.min(4, img.getHeight))
@@ -878,9 +943,6 @@ object Multimodal {
                 MediaFrame(id, f, hex,
                   frameSum(img).toDouble / (img.getWidth.toLong * img.getHeight))
               }
-            } finally {
-              reader.dispose()
-              iis.close()
             }
           }
         }
@@ -902,8 +964,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(DecodeBatchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            memoryCachedIo
-            val src = ImageIO.read(new ByteArrayInputStream(bytes))
+            val src = withReader(id, bytes)(_.read(0))
             val scale = math.min(1.0,
               maxSide.toDouble / math.max(src.getWidth, src.getHeight))
             val ow = math.max(1, math.round(src.getWidth * scale).toInt)
@@ -912,9 +973,7 @@ object Multimodal {
             val g = dst.createGraphics()
             try g.drawImage(src, 0, 0, ow, oh, null)
             finally g.dispose()
-            val out = new ByteArrayOutputStream()
-            ImageIO.write(dst, "png", out)
-            (id, src.getWidth, src.getHeight, ow, oh, scale, out.toByteArray)
+            (id, src.getWidth, src.getHeight, ow, oh, scale, pngBytes(dst))
           }
         }
       }
