@@ -687,11 +687,30 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("__d"))
       .filter(col("__d") >= minDocs)
       .select("sh")
-    val covered = grams.join(dupSh, Seq("sh"), "left_semi")
+    val covered = dedupPositions(grams.join(dupSh, Seq("sh"), "left_semi")
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
-      .distinct()
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp")))
     (base, covered)
+  }
+
+  /** DISTINCT (doc_id, tp) rows via the doc-keyed sort window every
+    * downstream gaps-and-islands pass runs anyway (r17 opt): the
+    * former hash `.distinct()` placed a full (doc_id, tp) exchange
+    * immediately before the window's own doc_id exchange — two wide
+    * shuffles for one dedup. Sorted by tp within a doc, duplicate
+    * positions are ADJACENT, so `lag(tp) === tp` drops them in the
+    * window pass itself; the output stays partitioned by doc_id and
+    * sorted by tp, which the consumers' lag/running-sum windows reuse
+    * without a new exchange or sort. (The lag of a kept row always
+    * equals the previous DISTINCT position value — duplicates of that
+    * value carry the same tp — so span detection downstream is
+    * unchanged.)
+    */
+  private def dedupPositions(pos: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
+    pos.withColumn("__lagdedup", lag(col("tp"), 1).over(w))
+      .filter(col("__lagdedup").isNull || col("__lagdedup") =!= col("tp"))
+      .drop("__lagdedup")
   }
 
   /** D7b: maximal repeated-substring report — the ExactSubstr view of
@@ -886,10 +905,9 @@ object Dedup {
     val evalSh = sizedGramSide(Materializer.of(train.sparkSession)(
       shingleSets(eval, idCol, textCol, n, tokenHash)
         .select("sh").distinct()))
-    val covered = grams.join(evalSh, Seq("sh"), "left_semi")
+    val covered = dedupPositions(grams.join(evalSh, Seq("sh"), "left_semi")
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
-      .distinct()
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp")))
     cleanCoveredAtThreshold(base, covered, minSpanLen)
   }
 
@@ -986,11 +1004,10 @@ object Dedup {
       .select(col("__suite").as("suite"), col("sh")).distinct())
     val evalSuiteShSized = sizedGramSide(evalSuiteSh)
     val evalSh = sizedGramSide(mat(evalSuiteSh.select("sh").distinct()))
-    val covered = grams
+    val covered = dedupPositions(grams
       .join(evalSh, Seq("sh"), "left_semi")
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
-      .distinct()
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp")))
     val removed = mergedSpans(covered)
       .filter(col("__len") >= minSpanLen)
       .select(col("doc_id"),

@@ -1053,8 +1053,15 @@ object AnalyticsQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-    val edges = e0.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
-      .union(e0.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    // r17 opt: both orientations come from ONE pass over e0 (explode
+    // of a 2-struct array) instead of a self-union whose two legs each
+    // embed the join+distinct subplan — same rows, half the plan, no
+    // reliance on exchange reuse
+    val edges = e0.select(explode(array(
+        struct((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst")),
+        struct((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     graft.operators.Graph.pageRank(edges, iters = 3)
       .select(
         when(col("node") % 2 === 0, lit("customer"))
