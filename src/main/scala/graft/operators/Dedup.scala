@@ -215,6 +215,24 @@ object Dedup {
     * broadcasting a data-sized doc table); a projection through the
     * explode costs neither (guide §2.4: remove shuffles outright).
     */
+  /** Ensure CPU-bound narrow work (tokenize + per-token hashing +
+    * explode) runs with at least the session's core count of tasks
+    * (r17 opt): input partitioning follows FILE layout, and a small
+    * single-file corpus arrives as ONE scan task that would tokenize
+    * and hash the whole corpus serially before the first exchange —
+    * the synthesizeCorpus lesson applied to the text side. The guard
+    * is scale-adaptive, not a local constant: when the scan already
+    * yields at least half the session's cores of splits (every real
+    * deployment's corpus), this is the identity and NO extra corpus
+    * shuffle appears; only an under-split input pays one round-robin
+    * of its raw rows to unlock the cores.
+    */
+  private[operators] def withScanParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   def shingleSetsWith(df: DataFrame, idCol: String, textCol: String,
       n: Int, tokenHash: Column => Column,
       extraCols: Seq[String]): DataFrame = {
@@ -222,8 +240,11 @@ object Dedup {
     val combine = (0 until n)
       .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
       .mkString(" + ")
-    df.select(col(idCol).as("doc_id") +: extraCols.map(col) :+
-        tokens(col(textCol)).as("toks"): _*)
+    withScanParallelism(
+        df.select(col(idCol).as("doc_id") +: extraCols.map(col) :+
+          col(textCol).as("__text"): _*))
+      .select(col("doc_id") +: extraCols.map(col) :+
+        tokens(col("__text")).as("toks"): _*)
       .filter(size(col("toks")) >= n)
       .withColumn("th", transform(col("toks"), t => tokenHash(t)))
       .select(col("doc_id") +: extraCols.map(col) :+
@@ -670,8 +691,12 @@ object Dedup {
       .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
       .mkString(" + ")
     val mat = Materializer.of(df.sparkSession)
-    val base = mat(df
-      .select(col(idCol).as("doc_id") +: tokens(col(textCol)).as("toks") +:
+    // withScanParallelism: the tokenize+hash pass must not run inside
+    // a single under-split scan task (see the helper's scaladoc)
+    val base = mat(withScanParallelism(
+        df.select(col(idCol).as("doc_id") +: col(textCol).as("__text") +:
+          extraCols.map(col): _*))
+      .select(col("doc_id") +: tokens(col("__text")).as("toks") +:
         extraCols.map(col): _*)
       .filter(size(col("toks")) >= n)
       .withColumn("th", transform(col("toks"), t => tokenHash(t))))
@@ -950,8 +975,9 @@ object Dedup {
     val combine = (0 until n)
       .map(k => s"${ShingleCoef(k)}L * element_at(th, i + ${k + 1})")
       .mkString(" + ")
-    val base = Materializer.of(train.sparkSession)(train
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val base = Materializer.of(train.sparkSession)(withScanParallelism(
+        train.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), tokens(col("__text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .withColumn("th", transform(col("toks"), t => tokenHash(t))))
     val grams = base

@@ -19,12 +19,19 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = Dedup.tokens(text)
 
+  /** r17 opt: every operator here opens with a narrow tokenize/regex
+    * pass over raw text — run it with at least the session's cores of
+    * tasks (no-op on well-split scans; see
+    * [[Dedup.withScanParallelism]]).
+    */
+  private def par(df: DataFrame): DataFrame = Dedup.withScanParallelism(df)
+
   /** T1: per-document quality statistics. Ratios divide exact ints in
     * double — bit-identical to the oracle; no transcendentals (libm
     * results differ across engines).
     */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    par(df).select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
@@ -53,7 +60,7 @@ object TextAnalysis {
     */
   def langId(df: DataFrame, idCol: String, textCol: String,
       trueLangCol: String): DataFrame = {
-    val toks = df
+    val toks = par(df)
       .select(col(idCol).as("doc_id"), col(trueLangCol).as("lang"),
         explode(tokens(col(textCol))).as("tok"))
       .withColumn("bucket", Hashing.md5Long60(col("tok")) % Langs.length)
@@ -87,7 +94,7 @@ object TextAnalysis {
     * subword units.
     */
   def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
-    df.select(col(groupCol).as("source"),
+    par(df).select(col(groupCol).as("source"),
         size(tokens(col(textCol))).cast("long").as("ws"),
         size(regexp_extract_all(col(textCol), lit(BpeRegex), lit(0)))
           .cast("long").as("bpe"))
@@ -102,7 +109,7 @@ object TextAnalysis {
     * (anagram documents get different fingerprints), overflow-free.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    par(df).select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col("doc_id"),
         Hashing.h30(col("tok")).as("h"), (col("pos") % 30).as("s"))
@@ -133,7 +140,7 @@ object TextAnalysis {
       val total = size(col("toks")) - (n - 1)
       round((total - distinctN) / total.cast("double"), 4)
     }
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    par(df).select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 3)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("__st", graft.functions.RepetitionStats.of(col("toks")))
@@ -235,7 +242,7 @@ object TextAnalysis {
       rules: Psl.Rules = Psl.default): DataFrame = {
     val spark = df.sparkSession
     val maxL = rules.maxRuleLabels + 1 // deepest registrable domain
-    var hosts = df.select(col(idCol).as("doc_id"),
+    var hosts = par(df).select(col(idCol).as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit(UrlHostRe), lit(1)))
           .as("__raw_host"))
       // root-qualified hosts ("example.com.") are legal URL syntax —
@@ -313,7 +320,7 @@ object TextAnalysis {
     def weightOf(t: Column): Column =
       tokenHash(t) % 2001L - 1000L
     val toks = tokens(col(textCol))
-    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+    par(df).select(col(idCol).as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         aggregate(transform(col("toks"), weightOf(_)), lit(0L), (acc, x) => acc + x)
@@ -342,7 +349,7 @@ object TextAnalysis {
     val afterEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
     val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     val scrubbed = regexp_replace(afterIp, LongNumRe, "<NUM>")
-    df.select(col(idCol).as("doc_id"),
+    par(df).select(col(idCol).as("doc_id"),
       size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
         .cast("long").as("n_email"),
       size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0)))
@@ -379,7 +386,7 @@ object TextAnalysis {
     * row_number within the count group (keyed, distributed window).
     */
   def vocabulary(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
-    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+    val counts = par(df).select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
     val hist = counts.groupBy(col("n")).agg(count(lit(1)).as("__c"))
@@ -416,7 +423,7 @@ object TextAnalysis {
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String,
       minTf: Long = 2, minDf: Long = 2): DataFrame = {
-    val tf = df
+    val tf = par(df)
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -455,7 +462,7 @@ object TextAnalysis {
     */
   def collocations(df: DataFrame, textCol: String,
       minPairCount: Long): DataFrame = {
-    val toks = df.select(tokens(col(textCol)).as("ts"))
+    val toks = par(df).select(tokens(col(textCol)).as("ts"))
     val uni = toks.select(explode(col("ts")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
     val bi = toks.filter(size(col("ts")) >= 2)
@@ -509,7 +516,7 @@ object TextAnalysis {
     val d38 = "decimal(38,0)"
     def lnm(x: Column) =
       round(round(log(x.cast("double")), 6) * 1e6).cast("long")
-    val counts = df
+    val counts = par(df)
       .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("c"))
     val agg = counts.groupBy(col("grp"))
@@ -554,7 +561,7 @@ object TextAnalysis {
     val syl = size(regexp_extract_all(
       graft.functions.TextExpressions.lowerRoot(col(textCol)),
       lit("[aeiouy]+"), lit(0))).cast("long")
-    df.select(col(idCol).as("doc_id"),
+    par(df).select(col(idCol).as("doc_id"),
         w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"))
       .withColumn("__s1", greatest(col("n_sentences"), lit(1L)))
       .select(col("doc_id"), col("n_words"), col("n_sentences"),
@@ -601,7 +608,7 @@ object TextAnalysis {
     * downstream keys on (the line TEXT never shuffles).
     */
   def lineRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    par(df).select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .withColumn("__h", md5(trim(col("line"))))
 
@@ -689,7 +696,8 @@ object TextAnalysis {
   /** (doc_id, w1, w2) — one row per bigram OCCURRENCE, document order
     * irrelevant downstream; docs under two tokens have no bigrams.
     */
-  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = df
+  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    par(df)
     .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
     .filter(size(col("toks")) >= 2)
     .select(col("doc_id"), expr(
@@ -760,7 +768,7 @@ object TextAnalysis {
     // types are word n-grams (n = 1: plain tokens; n >= 2 tracks the
     // phrase vocabulary, which keeps growing long after the unigram
     // vocabulary of a narrow-domain corpus has saturated)
-    df.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
+    par(df).select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(__toks) - ${n - 1}),
@@ -785,7 +793,7 @@ object TextAnalysis {
     * extraction GATE a ground-truth check instead of regex parity.
     */
   def synthesizeHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    par(df).select(col(idCol).as("doc_id"),
       concat(
         lit("<html><head><title>Doc "), col(idCol), lit("</title>"),
         lit("<script type=\"text/javascript\">var x = "), col(idCol),
@@ -820,7 +828,7 @@ object TextAnalysis {
     c = regexp_replace(c, "&#39;", "'")
     c = regexp_replace(c, "&amp;", "&")
     c = trim(regexp_replace(c, "\\s+", " "))
-    df.select(col(idCol).as("doc_id"), c.as("text"))
+    par(df).select(col(idCol).as("doc_id"), c.as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
@@ -844,7 +852,7 @@ object TextAnalysis {
     def countOf(cls: String): Column =
       (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
     val nChars = length(text).cast("long")
-    df.select(col(idCol).as("doc_id"),
+    par(df).select(col(idCol).as("doc_id"),
         nChars.as("n_chars"),
         countOf("[^\\x00-\\x7F]").as("n_non_ascii"),
         countOf("[0-9]").as("n_digit"),
@@ -868,7 +876,7 @@ object TextAnalysis {
   /** (doc_id, dl, __tf0..__tfN): in-row term frequencies. */
   private def bm25Tf(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"),
+    val base = par(df).select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         size(col("__toks")).cast("long").as("dl"))
