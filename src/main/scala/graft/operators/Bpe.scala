@@ -54,10 +54,11 @@ object Bpe {
 
     // (word, count) -> initial symbol string 'h e l l o'
     var words = mat.eager(
-      // r17 opt: tokenize with >= cores tasks (no-op on well-split
-      // scans — see Dedup.withScanParallelism)
-      Dedup.withScanParallelism(df.select(col(textCol).as("__text")))
-        .select(explode(TextAnalysis.tokens(col("__text"))).as("token"))
+      // no scan-parallelism guard here: a token-keyed count with a
+      // light map side — the round-robin's partial-agg dedup loss
+      // outweighs the tokenize parallelism (the qHoppingDistinct
+      // finding)
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
         .filter(col("token").rlike("^[a-z]+$"))
         .groupBy(col("token")).agg(count(lit(1)).as("wc"))
         .filter(col("wc") >= minWordCount)

@@ -26,6 +26,13 @@ object TextAnalysis {
     */
   private def par(df: DataFrame): DataFrame = Dedup.withScanParallelism(df)
 
+  /** [[par]] hash-keyed on the doc id: keeps a doc's rows co-located
+    * so doc-keyed partial aggregates retain their dedup power (see
+    * Dedup.withScanParallelism's keys note).
+    */
+  private def parBy(df: DataFrame, idCol: String): DataFrame =
+    Dedup.withScanParallelism(df, Seq(col(idCol)))
+
   /** T1: per-document quality statistics. Ratios divide exact ints in
     * double — bit-identical to the oracle; no transcendentals (libm
     * results differ across engines).
@@ -60,7 +67,7 @@ object TextAnalysis {
     */
   def langId(df: DataFrame, idCol: String, textCol: String,
       trueLangCol: String): DataFrame = {
-    val toks = par(df)
+    val toks = parBy(df, idCol)
       .select(col(idCol).as("doc_id"), col(trueLangCol).as("lang"),
         explode(tokens(col(textCol))).as("tok"))
       .withColumn("bucket", Hashing.md5Long60(col("tok")) % Langs.length)
@@ -94,7 +101,7 @@ object TextAnalysis {
     * subword units.
     */
   def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
-    par(df).select(col(groupCol).as("source"),
+    df.select(col(groupCol).as("source"),
         size(tokens(col(textCol))).cast("long").as("ws"),
         size(regexp_extract_all(col(textCol), lit(BpeRegex), lit(0)))
           .cast("long").as("bpe"))
@@ -109,7 +116,7 @@ object TextAnalysis {
     * (anagram documents get different fingerprints), overflow-free.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    par(df).select(col(idCol).as("doc_id"),
+    parBy(df, idCol).select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col("doc_id"),
         Hashing.h30(col("tok")).as("h"), (col("pos") % 30).as("s"))
@@ -386,7 +393,10 @@ object TextAnalysis {
     * row_number within the count group (keyed, distributed window).
     */
   def vocabulary(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
-    val counts = par(df).select(explode(tokens(col(textCol))).as("token"))
+    // plain tokenize + a token-keyed count: the map side is light and
+    // a repartition would scatter duplicate tokens (partial-agg dedup
+    // loss, the qHoppingDistinct finding) — leave the scan split alone
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
     val hist = counts.groupBy(col("n")).agg(count(lit(1)).as("__c"))
@@ -423,7 +433,7 @@ object TextAnalysis {
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String,
       minTf: Long = 2, minDf: Long = 2): DataFrame = {
-    val tf = par(df)
+    val tf = parBy(df, idCol)
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -462,7 +472,7 @@ object TextAnalysis {
     */
   def collocations(df: DataFrame, textCol: String,
       minPairCount: Long): DataFrame = {
-    val toks = par(df).select(tokens(col(textCol)).as("ts"))
+    val toks = df.select(tokens(col(textCol)).as("ts"))
     val uni = toks.select(explode(col("ts")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
     val bi = toks.filter(size(col("ts")) >= 2)
@@ -516,7 +526,7 @@ object TextAnalysis {
     val d38 = "decimal(38,0)"
     def lnm(x: Column) =
       round(round(log(x.cast("double")), 6) * 1e6).cast("long")
-    val counts = par(df)
+    val counts = df
       .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("c"))
     val agg = counts.groupBy(col("grp"))
@@ -608,7 +618,7 @@ object TextAnalysis {
     * downstream keys on (the line TEXT never shuffles).
     */
   def lineRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    par(df).select(col(idCol).as("doc_id"),
+    parBy(df, idCol).select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .withColumn("__h", md5(trim(col("line"))))
 
@@ -697,7 +707,7 @@ object TextAnalysis {
     * irrelevant downstream; docs under two tokens have no bigrams.
     */
   def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    par(df)
+    parBy(df, idCol)
     .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
     .filter(size(col("toks")) >= 2)
     .select(col("doc_id"), expr(
@@ -768,7 +778,7 @@ object TextAnalysis {
     // types are word n-grams (n = 1: plain tokens; n >= 2 tracks the
     // phrase vocabulary, which keeps growing long after the unigram
     // vocabulary of a narrow-domain corpus has saturated)
-    par(df).select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
+    parBy(df, idCol).select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(__toks) - ${n - 1}),
@@ -876,7 +886,7 @@ object TextAnalysis {
   /** (doc_id, dl, __tf0..__tfN): in-row term frequencies. */
   private def bm25Tf(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
-    val base = par(df).select(col(idCol).as("doc_id"),
+    val base = parBy(df, idCol).select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         size(col("__toks")).cast("long").as("dl"))

@@ -884,6 +884,8 @@ object AnalyticsQueries {
   // The sketch's raw value stays ScalaTest-gated (SketchSpec) — its
   // bit pattern is implementation-defined, its error bound is not.
   def qSketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    // NOT withScanParallelism — same distinct-aggregate scatter
+    // finding as qHoppingDistinct (measured regression)
     val e = t(s, dir, "events")
     val approx = e.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
@@ -1171,6 +1173,11 @@ object AnalyticsQueries {
   // operator (mergeable, bounded state — the streaming-compatible
   // distinct).
   def qHoppingDistinct(s: SparkSession, dir: String): DataFrame = {
+    // NOT withScanParallelism (r17 opt note): a round-robin before a
+    // distinct aggregate SCATTERS duplicate (window, user) rows across
+    // tasks, so the partial-distinct phase stops deduplicating and the
+    // exchange grows — measured 2.1 -> 4.6 s. The single-task scan's
+    // partial agg is the cheaper plan for distinct aggregates.
     val e = t(s, dir, "events")
     val w = window(col("ts"), "3600 seconds", "900 seconds")
     // the two arms aggregate SEPARATELY (the A10 shape): one groupBy
