@@ -61,9 +61,15 @@ object Dsir {
     val mat = Materializer.of(docs.sparkSession)
     // One tokenize+hash pass feeds both the bucket counts and the
     // per-document scores.
-    val hashed = mat(docs
-      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
-        explode(grams(col(textCol))).as("gram"))
+    // r17 opt: the gram explode + per-gram md5 must not run inside a
+    // single under-split scan task; doc-keyed so the per-doc score
+    // aggregate keeps partial-agg locality (Dedup.withScanParallelism)
+    val hashed = mat(Dedup.withScanParallelism(
+        docs.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+          col(textCol).as("__text")),
+        Seq(col("doc_id")))
+      .select(col("doc_id"), col("is_target"),
+        explode(grams(col("__text"))).as("gram"))
       .select(col("doc_id"), col("is_target"),
         (Hashing.h30(col("gram")) % nBuckets).as("bucket")))
     val counts = hashed.groupBy(col("bucket"))

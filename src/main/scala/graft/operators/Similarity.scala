@@ -231,6 +231,46 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** The S2 + S5 recall arms in ONE pipeline (r17 opt, the S4 gate's
+    * hot path): the single-probe LSH candidate set is exactly the
+    * multi-probe set's probe-0 slice (probe 0 is the unflipped base
+    * bucket, and probe buckets are distinct so candidates never
+    * duplicate), so both arms share one bucketed corpus, one
+    * candidate join, and one sorted window pass. `__m` flags the
+    * multi-probe top-k (row_number over all candidates); `__l` flags
+    * the single-probe top-k (running count over the probe-0 rows in
+    * the same sort — the rank within that slice). Each slice is
+    * row-identical to `lshTopK` / `lshTopKMultiProbe` at the same
+    * parameters.
+    */
+  def lshRecallArms(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int,
+      nFlip: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val n = withNorm(vecs, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm2").as("qn"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(lshProbeBuckets(col("qv"), planes, nFlip))
+          .as(Seq("__probe", "bucket")))
+    val cos = cosine(dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(n, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cos)
+      .withColumn("__mprnk", row_number().over(w).cast("long"))
+      .withColumn("__lshrnk",
+        sum(when(col("__probe") === 0, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("__probe") === 0 && col("__lshrnk") <= k, 1L).as("__l"),
+        when(col("__mprnk") <= k, 1L).as("__m"))
+      .filter(col("__l").isNotNull || col("__m").isNotNull)
+  }
+
   /** S2: LSH-bucketed ANN — queries probe only their own bucket, so the
     * search join shuffles on bucket id (at scale: per-bucket local
     * top-k instead of a full cross product). Approximate by design;

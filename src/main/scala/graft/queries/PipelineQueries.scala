@@ -461,11 +461,11 @@ object PipelineQueries {
     val queriesDf = e.filter(col("vec_id") < 10)
     val brute = Similarity.bruteTopK(e, queriesDf, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"))
-    val lsh = Similarity.lshTopK(e, queriesDf, "vec_id", "embedding", 5, 8, 64)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__l"))
-    val mp = Similarity.lshTopKMultiProbe(e, queriesDf, "vec_id",
-        "embedding", 5, 8, 64, nFlip = 3)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__m"))
+    // r17 opt: the S2 and S5 arms fuse into one candidate join + one
+    // window pass (Similarity.lshRecallArms) — per-arm slices are
+    // row-identical to the separate lshTopK / lshTopKMultiProbe calls
+    val lshmp = Similarity.lshRecallArms(e, queriesDf, "vec_id",
+      "embedding", 5, 8, 64, nFlip = 3)
     val mt = Similarity.lshTopKMultiTable(e, queriesDf, "vec_id",
         "embedding", 5, 6, 64, nTables = 3)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("__t"))
@@ -477,8 +477,7 @@ object PipelineQueries {
     // ANN searches run once for the result, not a second time for the
     // range partitioner's sample pass (measured ~2x on this query).
     Materializer.of(s)(brute
-      .join(lsh, Seq("query_id", "neighbor_id"), "left")
-      .join(mp, Seq("query_id", "neighbor_id"), "left")
+      .join(lshmp, Seq("query_id", "neighbor_id"), "left")
       .join(mt, Seq("query_id", "neighbor_id"), "left")
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))

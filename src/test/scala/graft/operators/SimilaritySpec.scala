@@ -135,4 +135,30 @@ class SimilaritySpec extends SparkSuite {
     assert(rThree >= rOne, s"3-table recall $rThree < 1-table $rOne")
     assert(rThree >= 0.1, s"multi-table recall collapsed: $rThree")
   }
+
+  test("lshRecallArms slices are row-identical to the per-arm " +
+      "lshTopK / lshTopKMultiProbe calls (r17 fusion guard)") {
+    // a richer corpus: 40 deterministic 4-dim vectors, queries = 4
+    val rich = (1L to 40L).map { i =>
+      (i, Seq(math.sin(i * 1.0).toFloat, math.cos(i * 2.0).toFloat,
+        math.sin(i * 3.0).toFloat, math.cos(i * 5.0).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = rich.filter("vec_id <= 4")
+    val k = 5
+    val fused = Similarity.lshRecallArms(rich, qs, "vec_id", "embedding",
+      k, 8, 4, nFlip = 3).collect()
+    def pairs(rows: Array[org.apache.spark.sql.Row], flag: String) = rows
+      .filter(r => !r.isNullAt(r.fieldIndex(flag)))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val lshRef = Similarity.lshTopK(rich, qs, "vec_id", "embedding", k, 8, 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val mpRef = Similarity.lshTopKMultiProbe(rich, qs, "vec_id", "embedding",
+        k, 8, 4, nFlip = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(pairs(fused, "__l") == lshRef, "single-probe slice diverged")
+    assert(pairs(fused, "__m") == mpRef, "multi-probe slice diverged")
+  }
 }
