@@ -508,7 +508,6 @@ object Multimodal {
     * recomputes both from the closed-form synthesis ramp.
     */
   def extractAudioZcr(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
-    import javax.sound.sampled.AudioSystem
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(mediaCol))
@@ -516,9 +515,21 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(DecodeBatchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            val in = AudioSystem.getAudioInputStream(
-              new ByteArrayInputStream(bytes))
-            try {
+            audioZcrFast(id, bytes).getOrElse(audioZcrGeneral(id, bytes))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** SPI ZCR decode — the reference arithmetic [[audioZcrFast]] must
+    * match (and the route for non-plain-PCM containers).
+    */
+  private[operators] def audioZcrGeneral(id: Long, bytes: Array[Byte]): AudioZcr = {
+    import javax.sound.sampled.AudioSystem
+    val in = AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
               val declared = in.getFrameLength
               val pcm = in.readAllBytes()
               var crossings = 0L
@@ -547,11 +558,7 @@ object Multimodal {
                 else BigDecimal(crossings.toDouble / (n - 1))
                   .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
               AudioZcr(id, n, crossings, rate)
-            } finally in.close()
-          }
-        }
-      }
-      .toDF()
+    } finally in.close()
   }
 
   /** M8: acoustic fingerprint from the REAL decoded PCM stream — the
@@ -601,8 +608,15 @@ object Multimodal {
     * synthesized corpus and on crafted multi-channel/truncated
     * payloads.
     */
-  private[operators] def audioFingerprintFast(id: Long,
-      bytes: Array[Byte]): Option[AudioFingerprint] = {
+  /** Shared chunk walk for the in-array PCM fast paths: Some((block
+    * align, data offset, data size)) iff `bytes` is a plain 16-bit PCM
+    * RIFF/WAVE whose declared block align matches channels*2 and whose
+    * data chunk is fully present — every condition under which the SPI
+    * decode's sample arithmetic is exactly reproducible in-array.
+    * Anything else (float/ADPCM, 8/24-bit, truncated data, corrupt
+    * sizes) returns None and the caller falls back to the SPI path.
+    */
+  private def pcmDataChunk(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     def u32(o: Int): Long =
       (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
@@ -636,17 +650,7 @@ object Multimodal {
         // stream's partial-frame behavior is its own — don't mirror
         // it, route to the general path
         if (start.toLong + size > bytes.length.toLong) return None
-        val end = start + size
-        val n = (end - start) / blockAlign
-        val energy = new Array[Long](61)
-        var i = 0
-        while (i < n) {
-          val p = start + 2 * i
-          val v = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toLong
-          energy(((i.toLong * 61L) / n).toInt) += v * v
-          i += 1
-        }
-        return Some(AudioFingerprint(id, n.toLong, energyDeltaBits(energy)))
+        return Some((blockAlign, start, size))
       }
       val next = off.toLong + 8L + size.toLong + (size & 1)
       if (next > bytes.length.toLong) return None
@@ -654,6 +658,53 @@ object Multimodal {
     }
     None
   }
+
+  private[operators] def audioFingerprintFast(id: Long,
+      bytes: Array[Byte]): Option[AudioFingerprint] =
+    pcmDataChunk(bytes).map { case (blockAlign, start, size) =>
+      val n = size / blockAlign
+      val energy = new Array[Long](61)
+      var i = 0
+      while (i < n) {
+        val p = start + 2 * i
+        val v = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toLong
+        energy(((i.toLong * 61L) / n).toInt) += v * v
+        i += 1
+      }
+      AudioFingerprint(id, n.toLong, energyDeltaBits(energy))
+    }
+
+  /** r17 opt — the in-array ZCR counterpart of [[audioFingerprintFast]]:
+    * same whole-frame byte walk as the SPI path (which reads
+    * frames*frameSize bytes and steps every 2 bytes across ALL
+    * interleaved channels), same n = declared frame count, same
+    * round-6 rate. `AudioFingerprintFastPathSpec` pins fast == SPI.
+    */
+  private[operators] def audioZcrFast(id: Long,
+      bytes: Array[Byte]): Option[AudioZcr] =
+    pcmDataChunk(bytes).map { case (blockAlign, start, size) =>
+      val n = (size / blockAlign).toLong
+      // the SPI stream hands back WHOLE frames only — walk exactly
+      // n * blockAlign bytes, not a possibly mid-frame declared size
+      val end = start + (n * blockAlign).toInt
+      var crossings = 0L
+      var prevNonNeg = true
+      var first = true
+      var i = start
+      while (i < end - 1) {
+        val v = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+        val nonNeg = v >= 0
+        if (!first && nonNeg != prevNonNeg) crossings += 1
+        prevNonNeg = nonNeg
+        first = false
+        i += 2
+      }
+      val rate =
+        if (n <= 1) 0.0
+        else BigDecimal(crossings.toDouble / (n - 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      AudioZcr(id, n, crossings, rate)
+    }
 
   /** SPI fingerprint decode — the reference arithmetic the fast path
     * must match (and the route for any non-plain-PCM container).

@@ -69,4 +69,18 @@ class AudioFingerprintFastPathSpec extends AnyFunSuite {
       AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
+
+  test("ZCR fast path equals the SPI reference and declines the same " +
+      "payload classes") {
+    for (id <- 0L until 48L) {
+      val wav = Multimodal.synthesizeWav(id)
+      val fast = Multimodal.audioZcrFast(id, wav)
+      assert(fast.isDefined, s"ZCR fast path declined plain PCM id=$id")
+      assert(fast.get == Multimodal.audioZcrGeneral(id, wav),
+        s"ZCR fast/SPI divergence for id=$id")
+    }
+    val wav = Multimodal.synthesizeWav(9L)
+    assert(Multimodal.audioZcrFast(9L, wav.take(wav.length - 50)).isEmpty,
+      "ZCR fast path must decline a truncated data chunk")
+  }
 }
