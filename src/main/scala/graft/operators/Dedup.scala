@@ -229,6 +229,9 @@ object Dedup {
     */
   private[graft] def withScanParallelism(df: DataFrame,
       keys: Seq[Column] = Seq.empty): DataFrame = {
+    // streaming frames: micro-batch partitioning is the source's
+    // business and `.rdd` is a batch-only action — identity
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= target) df
     // keys: hash-partition so rows sharing the downstream aggregation
