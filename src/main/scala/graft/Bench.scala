@@ -174,6 +174,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
     println(json)
+    // Tail-safe closer (r18, contract restoration): the driver's
+    // stdout scrape keeps only the last ~2000 characters, and the full
+    // per-query line above has outgrown that (~6 KB at 197 queries) —
+    // two rounds of PERF comparisons came back empty because the
+    // scrape's parser only ever saw a beheaded line. Emit the same
+    // artifact's summary as a LAST line that always fits, pointing at
+    // the intact copies written above. Additions only: the full line,
+    // its fields, and the timing methodology are unchanged.
+    val summaryJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"artifact":"/tmp/graft_bench.json","full_line_above":true,"sf":${jstr(sfDir)}}"""
+    println(summaryJson)
     spark.stop()
   }
 }

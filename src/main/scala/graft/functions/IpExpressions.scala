@@ -68,6 +68,48 @@ object GraftKernels {
     }
     acc
   }
+
+  private def dotArr(a: ArrayData, b: Array[Double]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** L2-argmin centroid index for `v` — the IVF cell-assignment
+    * kernel (r18). Bit-identical replication of the SQL form
+    * `array_position(ds, array_min(ds)) - 1` over
+    * ds_i = (dot(v,v) - 2.0*dot(v, c_i)) + |c_i|^2:
+    * each distance folds in the same IEEE order, and the scan keeps
+    * the FIRST minimum under the SQL double ordering (NaN greatest,
+    * ±0.0 equal — `d == best` short-circuits before Double.compare,
+    * exactly SQLOrderingUtil.compareDoubles), so ties and degenerate
+    * NaN rows land on the identical cell. Throws on a null vector or
+    * an empty centroid set, mirroring the SQL form's raise_error arm.
+    */
+  def nearestCell(v: ArrayData, centroids: Array[Array[Double]],
+      norms: Array[Double]): Int = {
+    if (v == null || centroids.length == 0)
+      throw new IllegalArgumentException(NearestCell.DegenerateMsg)
+    val nrm2 = dot(v, v)
+    var best = 0.0
+    var bestIdx = -1
+    var i = 0
+    while (i < centroids.length) {
+      val d = (nrm2 - 2.0 * dotArr(v, centroids(i))) + norms(i)
+      if (bestIdx < 0 ||
+          (d != best && java.lang.Double.compare(d, best) < 0)) {
+        best = d
+        bestIdx = i
+      }
+      i += 1
+    }
+    bestIdx
+  }
 }
 
 /** Native `IPv4StringToNum`: parses the dotted quad in one pass with no
@@ -150,6 +192,70 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native IVF cell assignment: ONE kernel call per corpus row where
+  * the SQL form (`array_position(ds, array_min(ds))` over a 16-entry
+  * distance array) inlined the float->double cast of the vector into
+  * EVERY centroid dot — and, being nullable via its raise_error arm,
+  * baited the probe join into a pushed-down `isnotnull(cell)` filter
+  * that re-derived the entire expression a second time per row. That
+  * duplicated tree was the ~14k-line generated stage janino refused
+  * (InternalCompilerException, "Code grows beyond 64 KB") — the ANN
+  * probe stage then ran INTERPRETED (r17 known issue). This
+  * expression is non-nullable (null input raises, same contract), so
+  * no null filter is ever inserted, and its codegen is one static
+  * call — the stage compiles and the cast materializes once.
+  */
+case class NearestCell(child: Expression,
+    centroids: Array[Array[Double]]) extends UnaryExpression {
+  private def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> column, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_nearest_cell"
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(_.foldLeft(0.0)((acc, x) => acc + x * x))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) throw new IllegalArgumentException(NearestCell.DegenerateMsg)
+    GraftKernels.nearestCell(v.asInstanceOf[ArrayData], centroids, norms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("cnorms", norms, "double[]")
+    val msg = ctx.addReferenceObj("cellmsg", NearestCell.DegenerateMsg, "String")
+    ev.copy(code =
+      code"""
+        |${c.code}
+        |if (${c.isNull}) { throw new IllegalArgumentException($msg); }
+        |int ${ev.value} =
+        |  graft.functions.GraftKernels.nearestCell(${c.value}, $cRef, $nRef);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+object NearestCell {
+  /** Same contract (and test-pinned phrase) as the SQL raise_error arm. */
+  val DegenerateMsg: String =
+    "IvfIndex: null/degenerate vector has no nearest cell — scrub or " +
+      "impute before assignment"
+}
+
 /** Column-level entry points for the native expressions. */
 object IpExpressions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -158,4 +264,6 @@ object IpExpressions {
   def ip4ToNum(ip: Column): Column = c(Ip4ToNum(e(ip)))
   def numToIp4(n: Column): Column = c(NumToIp4(e(n)))
   def dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    c(NearestCell(e(v), centroids))
 }

@@ -133,10 +133,13 @@ object Graph {
           val obs = org.apache.spark.sql.Observation()
           val cp = mat.eager(next.observe(obs, fpExpr.as("__fp")))
           val f = try {
-            import scala.concurrent.{Await, Future}
+            import scala.concurrent.{Await, Future, blocking}
             import scala.concurrent.duration.DurationInt
+            // blocking{} for the same reason as Materializer.eagerCounted
+            // (ADVICE r17): a timed-out waiter must not pin a global-EC
+            // pool thread forever.
             val v = Await.result(
-              Future(obs.get)(scala.concurrent.ExecutionContext.global),
+              Future(blocking(obs.get))(scala.concurrent.ExecutionContext.global),
               30.seconds)("__fp")
             Some(if (v == null) 0L else v.asInstanceOf[Long])
           } catch {

@@ -103,16 +103,19 @@ object IvfIndex {
     * them.
     */
   def withCell(n: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    n.withColumn("__ds", array(centroids.map(c =>
-        distToCentroid(col("v"), col("nrm2"), c)).toIndexedSeq: _*))
-      .withColumn("__pos", array_position(col("__ds"), array_min(col("__ds"))))
-      .withColumn("cell",
-        when(col("__pos").isNull || col("__pos") === 0,
-          raise_error(lit("IvfIndex: null/degenerate vector has no " +
-            "nearest cell — scrub or impute before assignment"))
-            .cast("int"))
-          .otherwise((col("__pos") - 1).cast("int")))
-      .drop("__ds", "__pos")
+    // r18: ONE native kernel call (graft.functions.NearestCell) instead
+    // of the array_position/array_min SQL form. Same arithmetic in the
+    // same IEEE order (spec-pinned identical incl. ties and the
+    // null-raises contract), but: (a) the vector's float->double cast
+    // materializes once per row instead of once per centroid dot,
+    // (b) the expression is NON-NULLABLE, so the probe join no longer
+    // pushes down an isnotnull(cell) filter that re-derived the whole
+    // distance tree a second time per row — that duplicated tree was
+    // the ~14k-line generated stage janino refused, which ran the ANN
+    // probe stage interpreted (r17 known issue, now gone: the stage
+    // whole-stage-compiles — see plans/r18 and OPTIMIZATION_r18.md).
+    n.withColumn("cell",
+      graft.functions.IpExpressions.nearestCell(col("v"), centroids))
 
   /** Persist an index: cells as parquet bucketed by cell id (searches
     * shuffle on cell, so reads are co-located), centroids as a small

@@ -114,10 +114,16 @@ object Materializer {
     val obs = org.apache.spark.sql.Observation()
     val cp = mat.eager(df.observe(obs, count(lit(1)).as("__rows")))
     val n = try {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.duration.DurationInt
+      // blocking{}: Observation.get parks until the action's SQL
+      // execution ends; without the marker a strategy whose eager
+      // action never fires CollectMetrics would pin one global-EC pool
+      // thread per timeout FOREVER (ADVICE r17) — blocking{} makes the
+      // pool spawn a compensating thread, so an abandoned waiter
+      // degrades to one parked daemon thread, never pool starvation.
       Await.result(
-        Future(obs.get)(scala.concurrent.ExecutionContext.global),
+        Future(blocking(obs.get))(scala.concurrent.ExecutionContext.global),
         30.seconds)("__rows").asInstanceOf[Long]
     } catch { case _: java.util.concurrent.TimeoutException => cp.count() }
     (cp, n)

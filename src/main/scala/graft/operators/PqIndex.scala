@@ -204,12 +204,36 @@ object PqIndex {
     * as [[searchAdc]], so the selection restricted to the probed cells
     * is identical (spec-asserted).
     */
+  /** [[searchIvfAdc]] with the code table derived IN-ROW from the IVF
+    * cell frame (r18 opt): `ivf.cells` already carries every vector's
+    * `v`, and PQ encoding is a row-local function of `v` — so the
+    * (cells ⋈ codes) vec_id equi-join of the general form (two corpus
+    * scans + a corpus-sized shuffle on each side at scale) collapses
+    * into one projection over one scan. Row-identical by construction:
+    * the join was 1:1 on the unique vec_id and both sides derive from
+    * the same `withNorm` cast (spec-pinned in PqIndexSpec). The
+    * `codes`-taking overload stays for serving layouts where codes are
+    * a stored table.
+    */
+  def searchIvfAdc(ivf: IvfIndex.Index, cb: Codebook,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame =
+    searchIvfAdcOn(ivf, cb,
+      ivf.cells.select(col("vec_id"), col("cell"),
+        encodeExpr(col("v"), cb).as("codes")),
+      queries, idCol, vecCol, k, nprobe)
+
   def searchIvfAdc(ivf: IvfIndex.Index, cb: Codebook, codes: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    searchIvfAdcOn(ivf, cb,
+      ivf.cells.select(col("vec_id"), col("cell")).join(codes, "vec_id"),
+      queries, idCol, vecCol, k, nprobe)
+
+  private def searchIvfAdcOn(ivf: IvfIndex.Index, cb: Codebook,
+      cellCodes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val np = math.min(nprobe, ivf.centroids.length)
-    val cellCodes = ivf.cells.select(col("vec_id"), col("cell"))
-      .join(codes, "vec_id")
     val q = withAdcTable(
         Similarity.withNorm(queries, idCol, vecCol)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),

@@ -271,6 +271,83 @@ object Similarity {
       .filter(col("__l").isNotNull || col("__m").isNotNull)
   }
 
+  /** ALL FOUR S4 recall arms — brute truth, single-probe LSH (S2),
+    * multi-probe LSH (S5), multi-table LSH (S7), IVF (S3) — in ONE
+    * pipeline (r18 opt, completing the r17 [[lshRecallArms]] fusion).
+    *
+    * The key identity: the brute arm already enumerates EVERY
+    * (query, candidate) pair with its cosine, and each approximate
+    * arm's candidate set is a row-local PREDICATE over that pair —
+    *   - single-probe LSH: corpus bucket == the query's base bucket
+    *     (probe 0 of [[lshProbeBuckets]] is the unflipped bucket);
+    *   - multi-probe: corpus bucket ∈ the query's probe array;
+    *   - multi-table: any salted table t with bucket_t(corpus) ==
+    *     bucket_t(query) (the OR dedups what the per-arm union +
+    *     groupBy deduped);
+    *   - IVF: the corpus vector's cell ∈ the query's nprobe nearest
+    *     cells ([[IvfIndex.probeCells]]).
+    * So ONE broadcast cross join + ONE window pass replace the four
+    * candidate-join towers + the three left joins of the per-arm
+    * gate: `rnk` (row_number over cos desc, vec_id) is the brute
+    * rank, and each arm's rank is the running count of its flagged
+    * rows in the SAME sort — identical to the rank the arm's own
+    * window would assign, because a subset inherits the total order.
+    * Every cosine is the same sequential-fold expression over the
+    * same (v, nrm2) pair, so all slices stay bit-identical to the
+    * per-arm operators (pinned in SimilaritySpec).
+    *
+    * The corpus side rides `ivf.cells` — IvfIndex.assign's output IS
+    * withNorm + cell, so no second corpus pass and no join-back to
+    * attach the cell. Returns one row per (query_id, neighbor_id)
+    * in the brute top-k, with per-arm hit flags `__l/__m/__t/__i`
+    * (1L when the pair is in that arm's top-k, else null) — the
+    * shape the recall aggregation consumes.
+    */
+  def annRecallCandidates(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int, nFlip: Int,
+      mtPlanes: Int, mtTables: Int, ivf: IvfIndex.Index,
+      nprobe: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val mtSets = (0 until mtTables)
+      .map(tb => hyperplanes(mtPlanes, dim, s"t${tb}_"))
+    val np = math.min(nprobe, ivf.centroids.length)
+    val n = ivf.cells
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("__mtb", array(mtSets.map(pl =>
+        lshBucket(col("v"), pl)): _*))
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm2").as("qn"))
+      .withColumn("__probes", lshProbeBuckets(col("qv"), planes, nFlip))
+      .withColumn("__qmtb", array(mtSets.map(pl =>
+        lshBucket(col("qv"), pl)): _*))
+      .withColumn("__qcells",
+        IvfIndex.probeCells(col("qv"), col("qn"), ivf.centroids, np))
+    val cos = cosine(dotD(col("qv"), col("v")), col("qn"), col("nrm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rank(flag: Column): Column =
+      sum(when(flag, 1L).otherwise(0L)).over(run)
+    val isL = element_at(col("__probes"), 1) === col("bucket")
+    val isM = array_contains(col("__probes"), col("bucket"))
+    val isT = (0 until mtTables).map(i =>
+        element_at(col("__qmtb"), i + 1) === element_at(col("__mtb"), i + 1))
+      .reduce(_ || _)
+    val isI = array_contains(col("__qcells"), col("cell"))
+    broadcast(q).join(n, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cos)
+      .withColumn("__rnk", row_number().over(w).cast("long"))
+      .withColumn("__lr", rank(isL)).withColumn("__mr", rank(isM))
+      .withColumn("__tr", rank(isT)).withColumn("__ir", rank(isI))
+      .filter(col("__rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(isL && col("__lr") <= k, 1L).as("__l"),
+        when(isM && col("__mr") <= k, 1L).as("__m"),
+        when(isT && col("__tr") <= k, 1L).as("__t"),
+        when(isI && col("__ir") <= k, 1L).as("__i"))
+  }
+
   /** S2: LSH-bucketed ANN — queries probe only their own bucket, so the
     * search join shuffles on bucket id (at scale: per-bucket local
     * top-k instead of a full cross product). Approximate by design;

@@ -796,7 +796,13 @@ object AnalyticsQueries {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("__n"),
-        sum(col("l_quantity")).as("__qty"),
+        // long partial sums (ADVICE r17): the regrouping's exactness no
+        // longer rests on the data invariant "quantities are integral
+        // doubles summing under 2^53" — the per-row cast is exact for
+        // integral quantities (the generator's contract, checked by the
+        // oracle's own long cast) and long sums reassociate exactly at
+        // any scale
+        sum(col("l_quantity").cast("long")).as("__qty"),
         sum(money(col("l_extendedprice"))).as("__price"))
 
   private def flagStatusReAgg(

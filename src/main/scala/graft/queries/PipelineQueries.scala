@@ -459,27 +459,22 @@ object PipelineQueries {
   def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val queriesDf = e.filter(col("vec_id") < 10)
-    val brute = Similarity.bruteTopK(e, queriesDf, "vec_id", "embedding", 5)
-      .select(col("query_id"), col("neighbor_id"))
-    // r17 opt: the S2 and S5 arms fuse into one candidate join + one
-    // window pass (Similarity.lshRecallArms) — per-arm slices are
-    // row-identical to the separate lshTopK / lshTopKMultiProbe calls
-    val lshmp = Similarity.lshRecallArms(e, queriesDf, "vec_id",
-      "embedding", 5, 8, 64, nFlip = 3)
-    val mt = Similarity.lshTopKMultiTable(e, queriesDf, "vec_id",
-        "embedding", 5, 6, 64, nTables = 3)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__t"))
-    val ivf = IvfIndex.search(
-        IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16),
-        queriesDf, "vec_id", "embedding", k = 5, nprobe = 4)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__i"))
-    // Materialize the (10-row) scored frame before the sort: the five
-    // ANN searches run once for the result, not a second time for the
+    // r18 opt: ALL four arms fuse into the brute arm's cross join —
+    // each approximate arm's candidate set is a row-local predicate
+    // over the (query, candidate) pairs the truth arm enumerates
+    // anyway, so one broadcast join + one window pass replaces the
+    // four candidate towers + three left joins of the r17 shape
+    // (Similarity.annRecallCandidates; per-arm slices pinned
+    // row-identical to the standalone operators in SimilaritySpec).
+    val hits = Similarity.annRecallCandidates(queriesDf, "vec_id",
+      "embedding", k = 5, nPlanes = 8, dim = 64, nFlip = 3,
+      mtPlanes = 6, mtTables = 3,
+      ivf = IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16),
+      nprobe = 4)
+    // Materialize the (10-row) scored frame before the sort: the fused
+    // search runs once for the result, not a second time for the
     // range partitioner's sample pass (measured ~2x on this query).
-    Materializer.of(s)(brute
-      .join(lshmp, Seq("query_id", "neighbor_id"), "left")
-      .join(mt, Seq("query_id", "neighbor_id"), "left")
-      .join(ivf, Seq("query_id", "neighbor_id"), "left")
+    Materializer.of(s)(hits
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("n_true"),
@@ -552,10 +547,15 @@ object PipelineQueries {
   // cells; the oracle fuses the two proven CTE chains.
   def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val (cb, codes) = PqIndex.buildDeterministic(e, "vec_id", "embedding",
+    // r18 opt: codes derive in-row from ivf.cells' own `v` inside the
+    // fused searchIvfAdc overload — the (cells ⋈ codes) corpus
+    // self-join and its second corpus scan are gone (the codes frame
+    // buildDeterministic returns serves the stored-table layout; the
+    // codebook is all this query needs from the build)
+    val (cb, _) = PqIndex.buildDeterministic(e, "vec_id", "embedding",
       m = 8, ksub = 16)
     val ivf = IvfIndex.buildDeterministic(e, "vec_id", "embedding", nlist = 16)
-    PqIndex.searchIvfAdc(ivf, cb, codes, e.filter(col("vec_id") < 10),
+    PqIndex.searchIvfAdc(ivf, cb, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 4)
       .orderBy("query_id", "rnk")
   }

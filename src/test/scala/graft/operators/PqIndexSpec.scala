@@ -102,6 +102,22 @@ class PqIndexSpec extends SparkSuite {
     assert(all == plain)
   }
 
+  test("fused searchIvfAdc (codes derived in-row from ivf.cells) is " +
+      "row-identical to the stored-codes overload (r18 fusion guard)") {
+    val df = corpus(80, 21)
+    val (cb, codes) = PqIndex.buildDeterministic(df, "vec_id", "embedding",
+      m, ksub)
+    val ivf = IvfIndex.buildDeterministic(df, "vec_id", "embedding", nlist = 6)
+    val queries = df.filter(col("vec_id") < 3)
+    val stored = PqIndex.searchIvfAdc(ivf, cb, codes, queries,
+        "vec_id", "embedding", k = 4, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val fused = PqIndex.searchIvfAdc(ivf, cb, queries,
+        "vec_id", "embedding", k = 4, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(fused == stored)
+  }
+
   test("Lloyd refinement never worsens reconstruction error") {
     val df = corpus(120, 33)
     val (cb0, _) = PqIndex.buildDeterministic(df, "vec_id", "embedding",

@@ -161,4 +161,45 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs(fused, "__l") == lshRef, "single-probe slice diverged")
     assert(pairs(fused, "__m") == mpRef, "multi-probe slice diverged")
   }
+
+  test("annRecallCandidates slices are row-identical to the brute/" +
+      "lshTopK/lshTopKMultiProbe/lshTopKMultiTable/IvfIndex.search " +
+      "towers (r18 full-gate fusion guard)") {
+    val rich = (1L to 40L).map { i =>
+      (i, Seq(math.sin(i * 1.0).toFloat, math.cos(i * 2.0).toFloat,
+        math.sin(i * 3.0).toFloat, math.cos(i * 5.0).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = rich.filter("vec_id <= 4")
+    val k = 5
+    val ivf = IvfIndex.buildDeterministic(rich, "vec_id", "embedding",
+      nlist = 6)
+    val fused = Similarity.annRecallCandidates(qs, "vec_id", "embedding",
+      k, nPlanes = 8, dim = 4, nFlip = 3, mtPlanes = 6, mtTables = 3,
+      ivf = ivf, nprobe = 2).collect()
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    def slice(flag: String): Set[(Long, Long)] = fused
+      .filter(r => !r.isNullAt(r.fieldIndex(flag)))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val brute = pairsOf(Similarity.bruteTopK(rich, qs, "vec_id", "embedding", k))
+    // the fused frame IS the brute top-k pair set (one row per pair)
+    assert(fused.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet == brute, "truth slice diverged")
+    assert(fused.length == brute.size, "duplicate truth rows")
+    // each arm flag marks exactly (brute top-k) ∩ (arm top-k) — the
+    // pair set the r17 left-join gate produced
+    val lshRef = pairsOf(Similarity.lshTopK(rich, qs, "vec_id", "embedding", k, 8, 4))
+    val mpRef = pairsOf(Similarity.lshTopKMultiProbe(rich, qs, "vec_id",
+      "embedding", k, 8, 4, nFlip = 3))
+    val mtRef = pairsOf(Similarity.lshTopKMultiTable(rich, qs, "vec_id",
+      "embedding", k, 6, 4, nTables = 3))
+    val ivfRef = pairsOf(IvfIndex.search(ivf, qs, "vec_id", "embedding",
+      k, nprobe = 2))
+    assert(slice("__l") == (brute & lshRef), "single-probe slice diverged")
+    assert(slice("__m") == (brute & mpRef), "multi-probe slice diverged")
+    assert(slice("__t") == (brute & mtRef), "multi-table slice diverged")
+    assert(slice("__i") == (brute & ivfRef), "ivf slice diverged")
+  }
 }
