@@ -758,22 +758,21 @@ object Dedup {
     * Scale shape: NO pair fanout anywhere — unlike the near-dup
     * operators this never materializes doc pairs. One groupBy on the
     * gram hash (partial-aggregated distinct-doc count), a semi-join
-    * back on the same key, then per-doc window/agg keyed on doc_id. A
+    * back on the same key, then one doc-keyed aggregate with in-row
+    * span assembly. A
     * stop-phrase gram shared by 10^6 docs costs one counter, not
     * O(df^2) pairs, so no df-cap is needed for safety — `minDocs`
     * only tunes sensitivity.
     */
   def dupPassages(df: DataFrame, idCol: String, textCol: String, n: Int,
       minDocs: Long = 2, tokenHash: Column => Column = Hashing.h30): DataFrame = {
-    val (base, covered) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
-    val spans = covered
-      .withColumn("__new",
-        when(lag(col("tp"), 1).over(w).isNull ||
-          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dup_tokens"), sum(col("__new")).as("n_spans"),
-        collect_list(col("tp")).as("__cov"))
+    // r18 (VERDICT #5, positions-as-array): [[coveredPositions]] now
+    // returns per-doc SPAN ARRAYS merged in-row ([[spanArrays]]) — the
+    // covered-token count, span count and covered-position list are
+    // row-local folds over the (ascending, disjoint) spans, so the
+    // former gaps-and-islands window + per-doc re-aggregation are gone
+    // and the base join is doc-level 1:1.
+    val (base, spans) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
     // kept positions via array_except (hash-set membership, O(n + dup)
     // per doc) instead of filter+array_contains (a linear scan of the
     // covered list PER TOKEN, O(n * dup) — a 100k-token doc that is 90%
@@ -782,17 +781,24 @@ object Dedup {
     // stay in document order and the hash is unchanged.
     spans.join(base, "doc_id")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        col("dup_tokens"), col("n_spans"),
+        expr("aggregate(__spans, 0L, (acc, x) -> acc + (x.e - x.s + 1))")
+          .as("dup_tokens"),
+        size(col("__spans")).cast("long").as("n_spans"),
+        col("toks"), col("__spans"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"), col("n_spans"),
         round(col("dup_tokens") / size(col("toks")), 4).as("dup_frac"),
         md5(concat_ws(" ", transform(
-          array_except(sequence(lit(1), size(col("toks"))), col("__cov")),
+          array_except(sequence(lit(1), size(col("toks"))),
+            expr("flatten(transform(__spans, x -> sequence(x.s, x.e)))")),
           p => element_at(col("toks"), p)))).as("keep_hash"))
   }
 
   /** Shared front half of [[dupPassages]] / [[dupSubstrings]]:
-    * `base` = (doc_id, toks, th) tokenized docs, `covered` = the
-    * DISTINCT 1-based token positions of each doc that lie inside any
-    * word-`n`-gram occurring in >= `minDocs` distinct documents.
+    * `base` = (doc_id, toks, th) tokenized docs, `spans` = one row per
+    * qualifying doc with `__spans`, the ascending disjoint MAXIMAL
+    * token spans (1-based, inclusive struct<s,e>) covered by any
+    * word-`n`-gram occurring in >= `minDocs` distinct documents
+    * ([[spanArrays]]).
     *
     * Both frames materialize once (`Materializer`): base feeds the
     * gram stream AND the final reassembly join, grams feed the
@@ -836,38 +842,68 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("__d"))
       .filter(col("__d") >= minDocs)
       .select("sh")
-    val covered = dedupPositions(grams.join(dupSh, Seq("sh"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp")))
-    (base, covered)
+    (base, spanArrays(
+      grams.join(dupSh, Seq("sh"), "left_semi").select("doc_id", "pos"), n))
   }
 
-  /** DISTINCT (doc_id, tp) rows via the doc-keyed sort window every
-    * downstream gaps-and-islands pass runs anyway (r17 opt): the
-    * former hash `.distinct()` placed a full (doc_id, tp) exchange
-    * immediately before the window's own doc_id exchange — two wide
-    * shuffles for one dedup. Sorted by tp within a doc, duplicate
-    * positions are ADJACENT, so `lag(tp) === tp` drops them in the
-    * window pass itself; the output stays partitioned by doc_id and
-    * sorted by tp, which the consumers' lag/running-sum windows reuse
-    * without a new exchange or sort. (The lag of a kept row always
-    * equals the previous DISTINCT position value — duplicates of that
-    * value carry the same tp — so span detection downstream is
-    * unchanged.)
+  /** Per-doc MAXIMAL repeated spans from qualifying gram-START rows
+    * (doc_id, pos), merged entirely IN-ROW (r18, VERDICT #5's
+    * positions-as-array device): one doc-keyed collect_list replaces
+    * the explode-to-covered-positions + gaps-and-islands window chain
+    * the whole ExactSubstr family ran —
+    *
+    *   - the doc_id exchange now carries ONE row per qualifying gram
+    *     instead of `n` exploded positions per gram (§2.3 shuffle
+    *     fewer bytes, factor n), and collect_list partial-aggregates
+    *     map-side, so per-row shuffle overhead collapses into arrays;
+    *   - the WindowExec sort+lag+running-sum passes, the r17 adjacent-
+    *     dup drop, and the (doc_id, __sid) re-aggregation disappear —
+    *     span assembly is a row-local interval merge over the sorted
+    *     start array;
+    *   - downstream joins against `base` become doc-level 1:1 (one row
+    *     per doc with its span array) instead of span-level.
+    *
+    * Exactness: a width-n gram at start p covers [p, p+n-1]. Starts
+    * are unique per doc (one gram per position), so over the ascending
+    * start array the covered intervals — all the same width — form one
+    * maximal island exactly while consecutive starts satisfy
+    * next <= prev + n (overlap or adjacency); a later interval can
+    * never bridge a gap an earlier pair left because ends ascend with
+    * starts. So `s` = starts where the chain breaks, `e` = last start
+    * of each run + (n-1), zipped positionally — the same maximal
+    * islands the old window's `tp > lag(tp)+1` test produced over the
+    * exploded positions (spec-pinned row-identical in DedupSpec's
+    * family tests + the oracle gate over all six queries).
+    *
+    * Per-doc array size: one entry per qualifying gram start — bounded
+    * by the doc's own token count, the family's existing per-doc
+    * in-row bound (base already carries the full `toks` array per
+    * row).
     */
-  private def dedupPositions(pos: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
-    pos.withColumn("__lagdedup", lag(col("tp"), 1).over(w))
-      .filter(col("__lagdedup").isNull || col("__lagdedup") =!= col("tp"))
-      .drop("__lagdedup")
-  }
+  private[operators] def spanArrays(hits: DataFrame, n: Int): DataFrame =
+    hits.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col("doc_id"), expr(s"""
+        zip_with(
+          filter(transform(__ps, (p, i) -> CASE
+              WHEN i = 0 THEN p
+              WHEN p > element_at(__ps, i) + $n THEN p
+              ELSE CAST(NULL AS INT) END),
+            x -> x IS NOT NULL),
+          filter(transform(__ps, (p, i) -> CASE
+              WHEN i = size(__ps) - 1 THEN p
+              WHEN element_at(__ps, i + 2) > p + $n THEN p
+              ELSE CAST(NULL AS INT) END),
+            x -> x IS NOT NULL),
+          (s, e) -> struct(s AS s, e + ${n - 1} AS e)
+        ) AS __spans"""))
 
   /** D7b: maximal repeated-substring report — the ExactSubstr view of
     * the [[dupPassages]] machinery (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better": remove repeated SUBSTRINGS,
     * not just whole near-dup documents). Overlapping/adjacent cross-doc
     * `n`-gram hits merge into MAXIMAL repeated token spans per doc
-    * (gaps-and-islands over the covered positions); each span carries a
+    * (the in-row interval merge of [[spanArrays]]); each span carries a
     * content hash so identical substrings are one identity across the
     * corpus. Output is the span-length distribution:
     * (span_len, n_spans, n_docs, n_substrings) — the report a curation
@@ -875,29 +911,23 @@ object Dedup {
     * tokens) before cleaning.
     *
     * Scale shape: inherits zero-pair-fanout from [[coveredPositions]];
-    * span assembly is one doc-keyed window (same shuffle the coverage
-    * distinct already placed — gaps-and-islands running sum), the
-    * per-span groupBy is co-partitioned (doc_id subsumes (doc_id,
-    * span_id) clustering — no second exchange), and the final
-    * distribution aggregates span rows, a frame ~|corpus| / mean
-    * span length. Nothing driver-side.
+    * span assembly is row-local over one doc-keyed aggregate, the base
+    * join is doc-level 1:1, spans re-explode only for the per-span
+    * content hash, and the final distribution aggregates span rows, a
+    * frame ~|corpus| / mean span length. Nothing driver-side.
     */
   def dupSubstrings(df: DataFrame, idCol: String, textCol: String, n: Int,
       minDocs: Long = 2, tokenHash: Column => Column = Hashing.h30): DataFrame = {
-    val (base, covered) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
-    val spans = covered
-      .withColumn("__new",
-        when(lag(col("tp"), 1).over(w).isNull ||
-          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
-      .withColumn("__sid", sum(col("__new")).over(w))
-      .groupBy(col("doc_id"), col("__sid"))
-      .agg(min(col("tp")).cast("int").as("__start"),
-        count(lit(1)).as("span_len"))
+    // r18: spans arrive as per-doc arrays ([[spanArrays]]) — the base
+    // join is doc-level 1:1 and spans re-explode only here, where the
+    // per-span content hash genuinely needs a row per span
+    val (base, spans) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
     spans.join(base, "doc_id")
-      .select(col("doc_id"), col("span_len"),
+      .select(col("doc_id"), col("toks"), explode(col("__spans")).as("sp"))
+      .select(col("doc_id"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("span_len"),
         md5(concat_ws(" ",
-          slice(col("toks"), col("__start"), col("span_len").cast("int"))))
+          slice(col("toks"), col("sp.s"), col("sp.e") - col("sp.s") + 1)))
           .as("__sh"))
       .groupBy(col("span_len"))
       .agg(count(lit(1)).as("n_spans"),
@@ -922,21 +952,17 @@ object Dedup {
   def dupSubstringsBy(df: DataFrame, idCol: String, textCol: String,
       byCol: String, n: Int, minDocs: Long = 2,
       tokenHash: Column => Column = Hashing.h30): DataFrame = {
-    val (base, covered) = coveredPositions(df, idCol, textCol, n, minDocs,
+    // r18: same positions-as-array shape as [[dupSubstrings]]; the
+    // facet column still rides the base frame
+    val (base, spans) = coveredPositions(df, idCol, textCol, n, minDocs,
       tokenHash, extraCols = Seq(byCol))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
-    val spans = covered
-      .withColumn("__new",
-        when(lag(col("tp"), 1).over(w).isNull ||
-          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
-      .withColumn("__sid", sum(col("__new")).over(w))
-      .groupBy(col("doc_id"), col("__sid"))
-      .agg(min(col("tp")).cast("int").as("__start"),
-        count(lit(1)).as("span_len"))
     spans.join(base, "doc_id")
-      .select(col(byCol), col("doc_id"), col("span_len"),
+      .select(col(byCol), col("doc_id"), col("toks"),
+        explode(col("__spans")).as("sp"))
+      .select(col(byCol), col("doc_id"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("span_len"),
         md5(concat_ws(" ",
-          slice(col("toks"), col("__start"), col("span_len").cast("int"))))
+          slice(col("toks"), col("sp.s"), col("sp.e") - col("sp.s") + 1)))
           .as("__sh"))
       .groupBy(col(byCol), col("span_len"))
       .agg(count(lit(1)).as("n_spans"),
@@ -966,59 +992,35 @@ object Dedup {
       tokenHash: Column => Column = Hashing.h30): DataFrame = {
     require(minSpanLen >= n,
       s"minSpanLen=$minSpanLen < n=$n: no span can be shorter than one gram")
-    val (base, covered) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
-    cleanCoveredAtThreshold(base, covered, minSpanLen)
-  }
-
-  /** Gaps-and-islands merge of covered (doc_id, tp) positions into
-    * maximal spans: (doc_id, __sid, __start, __len) — one doc-keyed
-    * window + a co-partitioned groupBy.
-    */
-  private def mergedSpans(covered: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
-    covered
-      .withColumn("__new",
-        when(lag(col("tp"), 1).over(w).isNull ||
-          col("tp") > lag(col("tp"), 1).over(w) + 1, 1L).otherwise(0L))
-      .withColumn("__sid", sum(col("__new")).over(w))
-      .groupBy(col("doc_id"), col("__sid"))
-      .agg(min(col("tp")).as("__start"), count(lit(1)).as("__len"))
+    val (base, spans) = coveredPositions(df, idCol, textCol, n, minDocs, tokenHash)
+    cleanCoveredAtThreshold(base, spans, minSpanLen)
   }
 
   /** Shared removal tail of [[dupCleanAtThreshold]] /
-    * [[scrubContamination]]: merge covered positions into maximal
-    * spans, keep spans >= `minSpanLen`, and emit per affected doc
-    * (n_tokens, removed_tokens, n_spans_removed, keep_hash).
-    *
-    * ONE doc-keyed aggregate over the span frame: removed_tokens is
-    * Σ span lengths (spans are disjoint by construction), the covered
-    * position list assembles in-row via flatten(collect_list(
-    * sequence)) — membership-only downstream (array_except), so
-    * collect_list's arrival order is immaterial — and the span count
-    * rides the same groupBy. The r14 shape consumed `spans` TWICE
-    * (positions explode+agg, then a separate count groupBy joined
-    * back): with `covered` unmaterialized that re-ran the coverage
-    * distinct AND the span window end-to-end per consumer — the exact
-    * dedup-recall lesson, and the probed source of q_dup_clean's
-    * paired premium.
+    * [[scrubContamination]]: keep spans >= `minSpanLen` (a row-local
+    * array filter over the [[spanArrays]] frame — no window, no
+    * re-aggregation), drop docs with none left, and emit per affected
+    * doc (n_tokens, removed_tokens, n_spans_removed, keep_hash). The
+    * covered position list for the array_except mask assembles in-row
+    * from the qualifying spans (disjoint by construction, so
+    * removed_tokens is an exact fold of span lengths).
     */
-  private def cleanCoveredAtThreshold(base: DataFrame, covered: DataFrame,
-      minSpanLen: Int): DataFrame = {
-    val spans = mergedSpans(covered)
-      .filter(col("__len") >= minSpanLen)
-    val agg = spans
-      .groupBy(col("doc_id"))
-      .agg(sum(col("__len")).as("removed_tokens"),
-        count(lit(1)).as("n_spans_removed"),
-        flatten(collect_list(sequence(col("__start"),
-          col("__start") + col("__len").cast("int") - 1))).as("__cov"))
-    agg.join(base, "doc_id")
+  private def cleanCoveredAtThreshold(base: DataFrame, spans: DataFrame,
+      minSpanLen: Int): DataFrame =
+    spans
+      .select(col("doc_id"),
+        expr(s"filter(__spans, x -> x.e - x.s + 1 >= $minSpanLen)")
+          .as("__spans"))
+      .filter(size(col("__spans")) > 0)
+      .join(base, "doc_id")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        col("removed_tokens"), col("n_spans_removed"),
+        expr("aggregate(__spans, 0L, (acc, x) -> acc + (x.e - x.s + 1))")
+          .as("removed_tokens"),
+        size(col("__spans")).cast("long").as("n_spans_removed"),
         md5(concat_ws(" ", transform(
-          array_except(sequence(lit(1), size(col("toks"))), col("__cov")),
+          array_except(sequence(lit(1), size(col("toks"))),
+            expr("flatten(transform(__spans, x -> sequence(x.s, x.e)))")),
           p => element_at(col("toks"), p)))).as("keep_hash"))
-  }
 
   /** C8: decontamination SCRUBBING — the removal counterpart of the C1
     * contamination AUDIT: delete from each training document every
@@ -1035,8 +1037,9 @@ object Dedup {
     * eval set is tiny next to the training corpus, so the semi-join
     * shuffles on the gram hash with the eval side far below the
     * training side (broadcastable when the eval corpus is small
-    * enough; Spark decides from stats). Still zero pair fanout, one
-    * doc-keyed window, array_except assembly.
+    * enough; Spark decides from stats). Still zero pair fanout; span
+    * assembly is the row-local [[spanArrays]] fold, array_except
+    * assembly unchanged.
     */
   def scrubContamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int, minSpanLen: Int,
@@ -1054,10 +1057,9 @@ object Dedup {
     val evalSh = sizedGramSide(Materializer.of(train.sparkSession)(
       shingleSets(eval, idCol, textCol, n, tokenHash)
         .select("sh").distinct()))
-    val covered = dedupPositions(grams.join(evalSh, Seq("sh"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp")))
-    cleanCoveredAtThreshold(base, covered, minSpanLen)
+    cleanCoveredAtThreshold(base, spanArrays(
+      grams.join(evalSh, Seq("sh"), "left_semi").select("doc_id", "pos"), n),
+      minSpanLen)
   }
 
   /** Row cap under which a (materialized) gram/shingle set side of a
@@ -1130,7 +1132,7 @@ object Dedup {
     * tagged gram set is eval-sized), train never shuffled for the
     * probes (semi/inner joins against the tiny gram tables broadcast;
     * growing eval degrades to a shuffled semi-join, measured in
-    * ProbeC8EvalGrowth), one doc-keyed span window, and the final
+    * ProbeC8EvalGrowth), row-local span assembly, and the final
     * aggregate is suite-cardinality rows. The gram stream is consumed
     * twice (global covered + suite tagging), so it materializes once
     * here.
@@ -1155,15 +1157,16 @@ object Dedup {
       .select(col("__suite").as("suite"), col("sh")).distinct())
     val evalSuiteShSized = sizedGramSide(evalSuiteSh)
     val evalSh = sizedGramSide(mat(evalSuiteSh.select("sh").distinct()))
-    val covered = dedupPositions(grams
-      .join(evalSh, Seq("sh"), "left_semi")
+    // removed (doc_id, tp) pairs re-explode from the qualifying spans —
+    // the suiteCov semi-join below genuinely needs position rows; the
+    // span merge itself is the row-local [[spanArrays]] fold
+    val removed = spanArrays(
+        grams.join(evalSh, Seq("sh"), "left_semi").select("doc_id", "pos"), n)
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp")))
-    val removed = mergedSpans(covered)
-      .filter(col("__len") >= minSpanLen)
+        explode(expr(s"filter(__spans, x -> x.e - x.s + 1 >= $minSpanLen)"))
+          .as("sp"))
       .select(col("doc_id"),
-        explode(sequence(col("__start"),
-          col("__start") + col("__len").cast("int") - 1)).as("tp"))
+        explode(sequence(col("sp.s"), col("sp.e"))).as("tp"))
     val suiteCov = grams.join(evalSuiteShSized, Seq("sh"))
       .select(col("doc_id"), col("suite"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
