@@ -72,8 +72,15 @@ object Graph {
     require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"bad fixed-point config: scale=$scale damp=$dampNum/$dampDen")
     val mat = Materializer.of(edges.sparkSession)
+    // r18: hash-partition the LOOP-INVARIANT edge table by src ONCE,
+    // before its checkpoint — every round's contribution join requires
+    // src-hash partitioning, and without this the big side re-shuffled
+    // per round while the ranks side (already node-hash from the
+    // previous round's aggregate) did not (guide §2.4: establish the
+    // partitioning once). The checkpoint preserves the partitioning,
+    // so co-partitioned rounds skip the edge exchange entirely.
     val e = mat.eager(edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")))
+      col("dst").cast("long").as("dst")).repartition(col("src")))
     val deg = mat.eager(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     // teleport term: truncating long division, same `div` the SQL twin
@@ -202,9 +209,15 @@ object Graph {
         greatest(col("src"), col("dst")).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    val deg = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // r18: ONE explode pass over the materialized edges instead of a
+    // two-scan union (the pagerank edge-build device), and the degree
+    // table MATERIALIZES — its three consumers (both orientation
+    // sides, the final per-node join) each re-ran the scan+aggregate
+    // otherwise (guide §2.4; at corpus scale deg is node-count-sized,
+    // linear to checkpoint, and the orientation joins read it twice)
+    val deg = mat(e
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg")))
     // orient each edge by (deg, id); carry the head's (deg, id) so the
     // wedge join can order the two out-neighbors without re-joining deg
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
