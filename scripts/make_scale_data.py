@@ -10,6 +10,12 @@ under <table>.parquet/ so scans actually split — the point of the
 artifact is measuring low-core vs high-core scaling on scan-bound
 queries, which single-row-group sf0.1 files cannot express.
 
+Offsets are the smallest power of 10 above the key FAMILY's global max
+(PK and its FKs share one stride so replica i joins replica i), never a
+fixed 1e9: large synthetic ids overflowed q_ip6_cidr's Knuth
+multiplicative hash (user_id * 2654435761 exceeds int64 once
+user_id > ~3.5e9) in the first cut of this artifact.
+
 Measurement tooling only: the driver contract (real testdata SFs,
 BENCH_LOCAL.json baselines) is untouched; runs against this directory
 are reported separately as the scaling artifact.
@@ -20,24 +26,29 @@ import os
 import shutil
 import sys
 
-import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-OFFSET = 1_000_000_000
-
-# entity-key columns offset per replica (present-or-skipped per table)
-KEYS = {
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "part": ["p_partkey"],
-    "supplier": ["s_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+# key columns offset per replica, grouped into PK/FK families that must
+# share one stride
+FAMILIES = {
+    "custkey": {"customer": ["c_custkey"], "orders": ["o_custkey"]},
+    "orderkey": {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]},
+    "partkey": {"part": ["p_partkey"], "lineitem": ["l_partkey"]},
+    "suppkey": {"supplier": ["s_suppkey"], "lineitem": ["l_suppkey"]},
+    "event": {"events": ["event_id"]},
+    "user": {"events": ["user_id"]},
+    "doc": {"documents": ["doc_id"]},
+    "vec": {"embeddings": ["vec_id"]},
 }
 DIMS = ["nation", "region"]
+
+
+def stride(col_max):
+    s = 10
+    while s <= col_max:
+        s *= 10
+    return s
 
 
 def main():
@@ -48,20 +59,35 @@ def main():
     for t in DIMS:
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
         print(f"{t}: copied (dimension)")
-    for t, keys in KEYS.items():
-        tab = pq.read_table(f"{src}/{t}.parquet")
+    tables = sorted({t for fam in FAMILIES.values() for t in fam})
+    loaded = {t: pq.read_table(f"{src}/{t}.parquet") for t in tables}
+    # pass 1: one stride per family, from the family-global max
+    col_stride = {}
+    for fam in FAMILIES.values():
+        fam_max = max(
+            pc.max(loaded[t].column(c)).as_py()
+            for t, cols in fam.items() for c in cols
+            if c in loaded[t].schema.names)
+        s = stride(fam_max * k)
+        for t, cols in fam.items():
+            for c in cols:
+                col_stride[(t, c)] = s
+    # pass 2: write K offset replicas per table
+    for t in tables:
+        tab = loaded[t]
         d = f"{out}/{t}.parquet"
         os.makedirs(d)
-        present = [c for c in keys if c in tab.schema.names]
+        offs = {c: s for (tt, c), s in col_stride.items()
+                if tt == t and c in tab.schema.names}
         for i in range(k):
             rep = tab
             if i > 0:
-                for c in present:
+                for c, s in offs.items():
                     idx = rep.schema.get_field_index(c)
-                    col = pc.add(rep.column(c), i * OFFSET)
-                    rep = rep.set_column(idx, rep.schema.field(c), col)
+                    rep = rep.set_column(idx, rep.schema.field(c),
+                                         pc.add(rep.column(c), i * s))
             pq.write_table(rep, f"{d}/part-{i:03d}.parquet")
-        print(f"{t}: {k} replicas x {tab.num_rows} rows, keys {present}")
+        print(f"{t}: {k} replicas x {tab.num_rows} rows, strides {offs}")
 
 
 if __name__ == "__main__":

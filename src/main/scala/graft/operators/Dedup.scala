@@ -1274,7 +1274,7 @@ object Dedup {
     * `num/den`. `maxBucket > 0` drops band buckets wider than the cap
     * before they emit O(width²) pairs (see [[minhashLsh]]).
     */
-  private def lshPairsFromSets(sets: DataFrame, num: Long,
+  private[operators] def lshPairsFromSets(sets: DataFrame, num: Long,
       den: Long, maxBucket: Long = 0): DataFrame = {
     require(maxBucket >= AutoBucket,
       s"maxBucket=$maxBucket: 0 = uncapped, > 0 = explicit cap, " +
@@ -1327,15 +1327,41 @@ object Dedup {
       shingleSets(df, idCol, textCol, n, tokenHash))
     val truth = if (maxDf <= 0) jaccardFilter(sharedCounts(sets), sets, num, den)
       else cappedJaccardPairs(sets, num, den, maxDf)
-    val hits = lshPairsFromSets(sets, num, den)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
+    // r18 (the annRecallCandidates predicate device, applied to the
+    // dedup gate): for a TRUTH pair, membership in the LSH arm's
+    // output is a ROW-LOCAL predicate — the uncapped LSH chain emits
+    // exactly the pairs that (a) share >= 1 band bucket at the same
+    // band index and (b) pass the same exact-Jaccard threshold the
+    // truth row already passed with the same full-set shared/n_a/n_b
+    // (cappedJaccardPairs adds the hot overlap back, so truth `shared`
+    // IS the full |A∩B|). So the whole hit tower — band explode +
+    // band-bucket self-join + candidate distinct + exactShared's two
+    // shingle joins + jaccardFilter's two size joins — collapses into
+    // two narrow id-keyed joins of a per-doc 4-band-hash array and an
+    // element-wise equality (§2.4). Band arrays use the identical
+    // md5-slice expressions as [[bandHashes]], so collisions (and
+    // therefore hits) are bit-identical to the standalone chain
+    // (spec-pinned in DedupSpec against the two-tower reference).
+    val nBands = MinhashK / BandRows
+    val bandArr = array((0 until nBands).map { j =>
+      md5(concat_ws("_",
+        (0 until BandRows).map(k => col(s"mh_${BandRows * j + k}")): _*))
+    }: _*)
+    val bands = minhashSignatures(sets)
+      .select(col("doc_id"), bandArr.as("__bands"))
+    val isHit = (1 to nBands).map(j =>
+      element_at(col("__ba"), j) === element_at(col("__bb"), j))
+      .reduce(_ || _)
     truth
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"))
       .withColumn("bucket", expr("10 * shared div (n_a + n_b - shared)"))
-      .join(hits, Seq("doc_a", "doc_b"), "left")
+      .join(bands.select(col("doc_id").as("doc_a"),
+        col("__bands").as("__ba")), "doc_a")
+      .join(bands.select(col("doc_id").as("doc_b"),
+        col("__bands").as("__bb")), "doc_b")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        sum(when(isHit, 1).otherwise(0)).cast("long").as("n_hit"))
       .withColumn("recall", round(col("n_hit") / col("n_true"), 4))
       .orderBy(col("bucket"))
   }
